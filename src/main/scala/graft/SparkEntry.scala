@@ -1,13 +1,124 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ExactOutliers, GridOutliers}
+import graft.sources.Sources
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
+  *
+  * Every deterministic query appears both here (Spark) and in [[oracleSql]]
+  * (DuckDB) with byte-identical derivation expressions and matching output
+  * column names/aliases; the driver hash-compares the two on sf0.01.
+  */
 object SparkEntry {
+
+  // Fixture-1 outlier parameters (FIXTURES.md): pinned from the sf0.1 point
+  // density so the grid join stays selective at the bench scale.
+  val D = 0.5
+  val M = 10
+  val K = 10
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    GridOutliers.summary(Sources.points2d(spark, "/root/testdata/sf0.001"), D, M)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources (S1-S3) ----
+    "q_points" -> ((s, dir) =>
+      Sources.points2d(s, dir).orderBy("id")),
+    // ---- MRApproxOutliers pipeline (C2: A1, J2/A3, P5/P6/A4, T2) ----
+    "q_cells" -> ((s, dir) =>
+      GridOutliers.cellCounts(Sources.points2d(s, dir), D).orderBy("i", "j")),
+    "q_cells_centered" -> ((s, dir) =>
+      GridOutliers.cellCounts(Sources.points2dCentered(s, dir), D).orderBy("i", "j")),
+    "q_cell_stats" -> ((s, dir) =>
+      GridOutliers.neighborStats(
+        GridOutliers.cellCounts(Sources.points2d(s, dir), D), M).orderBy("i", "j")),
+    "q_outlier_summary" -> ((s, dir) =>
+      GridOutliers.summary(Sources.points2d(s, dir), D, M)),
+    "q_topk_cells" -> ((s, dir) =>
+      GridOutliers.topKCells(Sources.points2d(s, dir), D, K)),
+    // ---- ExactOutliers (C1/J1) ----
+    "q_exact_outliers" -> ((s, dir) =>
+      ExactOutliers.outliers(Sources.points2d(s, dir), D, M, K)),
+    "q_exact_outlier_count" -> ((s, dir) =>
+      ExactOutliers.outlierCount(Sources.points2d(s, dir), D, M)),
+  )
+
+  // ---------------------------------------------------------------------------
+  // Oracle SQL (DuckDB). `<sfDir>` is substituted by the driver (FIXTURES.md §4).
+  // ---------------------------------------------------------------------------
+
+  /** Fixture-1 point derivation — must stay textually in sync with
+    * [[Sources.points2d]]. */
+  private val P =
+    "SELECT l_orderkey*10+l_linenumber AS id, l_quantity AS x, " +
+      "l_extendedprice/1000.0 AS y FROM '<sfDir>/lineitem.parquet'"
+
+  /** Grid cell CTE over a point relation alias `p` — λ = D/(2√2) written with
+    * the same expression shape as [[GridOutliers.cellify]] for bit equality. */
+  private def cellsSql(m: Int = M): String =
+    s"""c AS (SELECT CAST(FLOOR(x / ($D / (2 * SQRT(2)))) AS BIGINT) AS i,
+       |            CAST(FLOOR(y / ($D / (2 * SQRT(2)))) AS BIGINT) AS j,
+       |            COUNT(*) AS size
+       |       FROM p GROUP BY 1, 2)""".stripMargin
+
+  private val offs7 =
+    """offs AS (SELECT di, dj
+      |           FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) a(di),
+      |                (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) b(dj))""".stripMargin
+
+  private val contrib =
+    """contrib AS (SELECT c.i + di AS ci, c.j + dj AS cj,
+      |                   SUM(CASE WHEN ABS(di) <= 1 AND ABS(dj) <= 1 THEN size END) AS n3,
+      |                   SUM(size) AS n7
+      |              FROM c, offs GROUP BY 1, 2)""".stripMargin
+
+  private val statsSql =
+    s"""WITH p AS ($P), ${cellsSql()}, $offs7, $contrib,
+       |st AS (SELECT c.i, c.j, c.size,
+       |              CAST(contrib.n3 AS BIGINT) AS n3, CAST(contrib.n7 AS BIGINT) AS n7
+       |         FROM c JOIN contrib ON c.i = contrib.ci AND c.j = contrib.cj)""".stripMargin
+
+  private val exactBalls =
+    s"""WITH p AS ($P),
+       |a AS (SELECT id, x, y, CAST(FLOOR(x / $D) AS BIGINT) AS bi,
+       |             CAST(FLOOR(y / $D) AS BIGINT) AS bj FROM p),
+       |offs AS (SELECT di, dj FROM (VALUES (-1),(0),(1)) q(di),
+       |                            (VALUES (-1),(0),(1)) r(dj)),
+       |balls AS (SELECT a.id, CAST(COUNT(*) AS BIGINT) AS ball_size
+       |            FROM a JOIN offs ON TRUE
+       |                 JOIN a b ON b.bi = a.bi + offs.di AND b.bj = a.bj + offs.dj
+       |           WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $D*$D
+       |           GROUP BY a.id)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_points" ->
+      s"WITH p AS ($P) SELECT id, x, y FROM p ORDER BY id",
+    "q_cells" ->
+      s"WITH p AS ($P), ${cellsSql()} SELECT i, j, size FROM c ORDER BY i, j",
+    "q_cells_centered" ->
+      s"""WITH p0 AS ($P),
+         |p AS (SELECT id, x - 25.0 AS x, y - 50.0 AS y FROM p0),
+         |${cellsSql()} SELECT i, j, size FROM c ORDER BY i, j""".stripMargin,
+    "q_cell_stats" ->
+      s"$statsSql SELECT i, j, size, n3, n7 FROM st ORDER BY i, j",
+    "q_outlier_summary" ->
+      s"""$statsSql
+         |SELECT (SELECT COUNT(*) FROM p) AS n_points,
+         |       CAST(COALESCE(SUM(CASE WHEN n3 <= $M AND n7 <= $M THEN size END), 0) AS BIGINT) AS sure_outliers,
+         |       CAST(COALESCE(SUM(CASE WHEN n3 <= $M AND n7 > $M THEN size END), 0) AS BIGINT) AS uncertain_points
+         |  FROM st""".stripMargin,
+    "q_topk_cells" ->
+      s"WITH p AS ($P), ${cellsSql()} SELECT i, j, size FROM c ORDER BY size, i, j LIMIT $K",
+    "q_exact_outliers" ->
+      s"$exactBalls SELECT id, ball_size FROM balls WHERE ball_size <= $M ORDER BY ball_size, id LIMIT $K",
+    "q_exact_outlier_count" ->
+      s"$exactBalls SELECT CAST(COUNT(*) AS BIGINT) AS n_outliers FROM balls WHERE ball_size <= $M",
+  )
 }

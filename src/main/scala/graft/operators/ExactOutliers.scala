@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact (D,M)-outlier detection (SURVEY.md §2.9 C1, §2.3 J1).
+  *
+  * Reference: `ExactOutliers` at `big_data_computing_1.py:30-53` — a
+  * driver-side O(n²) nested loop, gated to n ≤ 200,000 (`:178`). Rebuilt as a
+  * distributed grid-bucketed distance self-join: points are bucketed into
+  * cells of side D, each point probes its 3x3 cell neighborhood (any point
+  * within distance D lies in an adjacent cell), and the join is a plain
+  * equi-join on cell keys that Catalyst executes as a shuffled hash / sort-merge
+  * join — never a cartesian. Pair count is n · E[ball size], not n², so the
+  * plan survives 100x scale-up; skewed cells are handled by AQE skew-join.
+  *
+  * Semantics preserved exactly:
+  *  - ball counts are self-inclusive (counts start at 1,
+  *    `big_data_computing_1.py:33`): the self-pair (dist 0 ≤ D) stays in.
+  *  - distance predicate is inclusive `dist ≤ D` (`:37`), compared in squared
+  *    form with the same expression shape as the oracle for bit equality.
+  */
+object ExactOutliers {
+
+  private val offsets3x3: Seq[(Int, Int)] =
+    for { di <- -1 to 1; dj <- -1 to 1 } yield (di, dj)
+
+  /** |B(p,D)| per point: (id, x, y, ball_size). */
+  def ballCounts(points: DataFrame, d: Double): DataFrame = {
+    val bucketed = points.select(
+      col("id"), col("x"), col("y"),
+      floor(col("x") / lit(d)).cast("long").as("bi"),
+      floor(col("y") / lit(d)).cast("long").as("bj"))
+    val probes = bucketed
+      .select(col("id"), col("x"), col("y"), col("bi"), col("bj"),
+        explode(typedlit(offsets3x3)).as("o"))
+      .select(col("id"), col("x"), col("y"),
+        (col("bi") + col("o._1")).as("pi"),
+        (col("bj") + col("o._2")).as("pj"))
+    val other = bucketed.select(
+      col("id").as("oid"), col("x").as("ox"), col("y").as("oy"),
+      col("bi"), col("bj"))
+    probes
+      .join(other, probes("pi") === other("bi") && probes("pj") === other("bj"))
+      .filter(
+        (col("x") - col("ox")) * (col("x") - col("ox")) +
+        (col("y") - col("oy")) * (col("y") - col("oy")) <= lit(d) * lit(d))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("ball_size"))
+  }
+
+  /** Outliers: |B(p,D)| ≤ M (`big_data_computing_1.py:42-44`), first K in
+    * ascending (ball_size, id) order (`:48-53`, tie-break made deterministic). */
+  def outliers(points: DataFrame, d: Double, m: Int, k: Int): DataFrame =
+    ballCounts(points, d)
+      .filter(col("ball_size") <= m)
+      .orderBy(col("ball_size").asc, col("id").asc)
+      .limit(k)
+
+  /** Total outlier count (`big_data_computing_1.py:46-47`). */
+  def outlierCount(points: DataFrame, d: Double, m: Int): DataFrame =
+    ballCounts(points, d)
+      .filter(col("ball_size") <= m)
+      .agg(count(lit(1)).as("n_outliers"))
+}

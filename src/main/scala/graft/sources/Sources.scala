@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-boundary loaders (SURVEY.md §2.1 S1-S4, FIXTURES.md).
+  *
+  * The reference reads raw CSV point files (`big_data_computing_1.py:152-156`)
+  * and a socket integer stream (`big_data_computing_3.py:62`). The driver
+  * supplies deterministic parquet testdata instead; these loaders derive the
+  * reference input shapes from it with expressions mirrored verbatim in the
+  * DuckDB oracle SQL so both engines see bit-identical inputs.
+  */
+object Sources {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Fixture 1 — 2-D point set for HW1 outlier detection.
+    * SQL twin: `SELECT l_orderkey*10+l_linenumber AS id, l_quantity AS x,
+    * l_extendedprice/1000.0 AS y FROM lineitem`. */
+  def points2d(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+      col("l_quantity").as("x"),
+      (col("l_extendedprice") / 1000.0).as("y"))
+
+  /** Fixture 1b — centered variant with negative coordinates, exercising the
+    * floor-vs-truncate trap (SURVEY.md §7.3.1). Constant offsets keep the
+    * derivation bit-exact across engines (no order-dependent avg). */
+  def points2dCentered(spark: SparkSession, sfDir: String): DataFrame =
+    points2d(spark, sfDir).select(
+      col("id"), (col("x") - 25.0).as("x"), (col("y") - 50.0).as("y"))
+
+  /** Fixture 2 — d-dimensional points for FFT: 64-dim embeddings as doubles. */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings").select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+
+  /** Fixture 3 — integer item stream for HW3 frequent items:
+    * `SELECT event_id AS seq, user_id % 50 AS item FROM events ORDER BY seq`. */
+  def streamItems(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").select(
+      col("event_id").as("seq"), (col("user_id") % 50).as("item"))
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+
+  /** Reference-format CSV-of-points reader (`big_data_computing_1.py:152-156`,
+    * `"x,y"` lines): kept so a user of the reference can point the library at
+    * their existing files. Parses once at the boundary into the fixed schema. */
+  def pointsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(
+      monotonically_increasing_id().as("id"),
+      split(col("value"), ",").getItem(0).cast("double").as("x"),
+      split(col("value"), ",").getItem(1).cast("double").as("y"))
+
+  /** d-dim CSV reader (`big_data_computing_2.py:10-12` strToFloats). */
+  def vectorsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(
+      monotonically_increasing_id().as("id"),
+      split(col("value"), ",").cast("array<double>").as("vec"))
+}
