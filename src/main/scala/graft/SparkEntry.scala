@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ExactOutliers, GridOutliers}
+import graft.operators.{Clustering, ExactOutliers, GridOutliers}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
@@ -19,6 +19,11 @@ object SparkEntry {
   val D = 0.5
   val M = 10
   val K = 10
+
+  /** Fixed literal centers for the oracle-checkable radius query (J3/A6):
+    * the deterministic stand-in for MRFFT's randomized center set. */
+  val FixedCenters: Seq[(Double, Double)] =
+    Seq((10.0, 10.0), (25.0, 50.0), (40.0, 90.0), (15.0, 75.0), (45.0, 25.0))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -46,6 +51,24 @@ object SparkEntry {
       ExactOutliers.outliers(Sources.points2d(s, dir), D, M, K)),
     "q_exact_outlier_count" -> ((s, dir) =>
       ExactOutliers.outlierCount(Sources.points2d(s, dir), D, M)),
+    // ---- MRFFT / k-center clustering (C3/C4, J3, A6) ----
+    "q_radius_fixed_centers" -> ((s, dir) =>
+      Sources.points2d(s, dir).agg(
+        max(Clustering.minDistToCenters2d(col("x"), col("y"), FixedCenters)).as("radius"))),
+    // Randomized-by-nature ops (seeded deterministic here, but iterative —
+    // not SQL-expressible): rows-only driver check; covered by property specs.
+    "q_mrfft_radius" -> ((s, dir) => {
+      val pts = Sources.points2d(s, dir)
+      val vecs = pts.select(col("id"), array(col("x"), col("y")).as("vec"))
+      Clustering.radius(vecs, Clustering.mrfftCenters(vecs, 8, 8))
+    }),
+    "q_mrfft_embeddings" -> ((s, dir) => {
+      val vecs = Sources.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("emb").as("vec"))
+      Clustering.radius(vecs, Clustering.mrfftCenters(vecs, 8, 4))
+    }),
+    "q_hw2_pipeline" -> ((s, dir) =>
+      Clustering.hw2Pipeline(Sources.points2d(s, dir), 8, 8, M)),
   )
 
   // ---------------------------------------------------------------------------
@@ -120,5 +143,11 @@ object SparkEntry {
       s"$exactBalls SELECT id, ball_size FROM balls WHERE ball_size <= $M ORDER BY ball_size, id LIMIT $K",
     "q_exact_outlier_count" ->
       s"$exactBalls SELECT CAST(COUNT(*) AS BIGINT) AS n_outliers FROM balls WHERE ball_size <= $M",
+    "q_radius_fixed_centers" -> {
+      val dists = FixedCenters.map { case (cx, cy) =>
+        s"SQRT((x-$cx)*(x-$cx)+(y-$cy)*(y-$cy))"
+      }
+      s"WITH p AS ($P) SELECT MAX(LEAST(${dists.mkString(", ")})) AS radius FROM p"
+    },
   )
 }

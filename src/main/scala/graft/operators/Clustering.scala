@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MRFFT — coreset-based farthest-first-traversal k-center clustering
+  * (SURVEY.md §2.9 C3/C4; reference `big_data_computing_2.py:14-54`).
+  *
+  * Round 1: per-partition Gonzalez FFT over a `Dataset.mapPartitions` typed op
+  * (the one place per-partition imperative iteration is inherent,
+  * `big_data_computing_2.py:34`); coreset of L·K points collected to driver.
+  * Round 2: driver-local FFT on the coreset (`:40-41`).
+  * Round 3: per-point min distance to the K centers as pure column math
+  * (centers inlined as literals — K is tiny, no join or broadcast var needed,
+  * SURVEY.md §2.3 J3), global max = clustering radius (`:47-51`).
+  *
+  * The reference picks the first center uniformly at random
+  * (`big_data_computing_2.py:19`); here the choice is injectable and defaults
+  * to the lexicographically-least point, making runs reproducible and
+  * property-testable (SURVEY.md §7.3.2). The 2-approximation (4-approx after
+  * the coreset round) holds for ANY first-center choice.
+  */
+object Clustering {
+
+  def sqdist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Gonzalez farthest-first traversal (`big_data_computing_2.py:14-28`):
+    * running elementwise min-distance array (A7), argmax next center.
+    * Returns min(k, n) centers. O(n·k), dimension-agnostic. */
+  def sequentialFFT(pts: IndexedSeq[Array[Double]], k: Int, firstIdx: Int = 0): IndexedSeq[Array[Double]] = {
+    val n = pts.length
+    if (n == 0 || k <= 0) return IndexedSeq.empty
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var last = pts(math.min(firstIdx, n - 1))
+    centers += last
+    val minD = Array.fill(n)(Double.PositiveInfinity)
+    while (centers.length < math.min(k, n)) {
+      var best = 0; var bestD = -1.0; var i = 0
+      while (i < n) {
+        val d = sqdist(pts(i), last)
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      last = pts(best)
+      centers += last
+    }
+    centers.toIndexedSeq
+  }
+
+  /** Rounds 1+2: L·K coreset via mapPartitions, then driver FFT.
+    * `vecs` must have columns (id: long, vec: array<double>).
+    * `repartition(l)` is pinned BEFORE the typed op — coreset size/quality
+    * depends on the partition count (SURVEY.md §7.3.5). Each partition seeds
+    * FFT at its min-id point so the whole computation is deterministic. */
+  def mrfftCenters(vecs: DataFrame, k: Int, l: Int): IndexedSeq[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val coreset: Array[Array[Double]] = vecs
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .repartition(l)
+      .mapPartitions { it =>
+        val buf = it.toIndexedSeq
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val firstIdx = buf.indices.minBy(buf(_)._1)
+          sequentialFFT(buf.map(_._2), k, firstIdx).iterator
+        }
+      }
+      .collect()
+    sequentialFFT(coreset.toIndexedSeq, k, firstIdx = 0)
+  }
+
+  /** Per-point distance to the nearest of `centers`, as a codegen'd column
+    * expression over a (d-dim) array column: least(sqrt(Σ(vᵢ−cᵢ)²), …). */
+  def minDistToCenters(vecCol: Column, centers: Seq[Array[Double]]): Column = {
+    val dists = centers.map { c =>
+      sqrt(aggregate(
+        zip_with(vecCol, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    }
+    if (dists.length == 1) dists.head else least(dists: _*)
+  }
+
+  /** 2-D specialization sharing the exact expression shape of the SQL oracle:
+    * LEAST(SQRT((x-cx)^2+(y-cy)^2), ...). */
+  def minDistToCenters2d(x: Column, y: Column, centers: Seq[(Double, Double)]): Column = {
+    val dists = centers.map { case (cx, cy) =>
+      sqrt((x - lit(cx)) * (x - lit(cx)) + (y - lit(cy)) * (y - lit(cy)))
+    }
+    if (dists.length == 1) dists.head else least(dists: _*)
+  }
+
+  /** Round 3 (`big_data_computing_2.py:47-51`): clustering radius =
+    * max over points of the min distance to the center set (J3 + A6). */
+  def radius(vecs: DataFrame, centers: Seq[Array[Double]]): DataFrame =
+    vecs.agg(max(minDistToCenters(col("vec").cast("array<double>"), centers)).as("radius"))
+
+  /** Full MRFFT on a 2-D point table (id, x, y) → (centers, radius). */
+  def mrfft2d(points: DataFrame, k: Int, l: Int): (IndexedSeq[Array[Double]], Double) = {
+    val vecs = points.select(col("id"), array(col("x"), col("y")).as("vec"))
+    val centers = mrfftCenters(vecs, k, l)
+    val r = radius(vecs, centers).head().getDouble(0)
+    (centers, r)
+  }
+
+  /** HW2 end-to-end composition (`big_data_computing_2.py:161-169`): the MRFFT
+    * clustering radius becomes the distance threshold D of MRApproxOutliers. */
+  def hw2Pipeline(points: DataFrame, k: Int, l: Int, m: Int): DataFrame = {
+    val cached = points.cache() // rescanned by R1, R3 and the grid pass
+    val (centers, r) = mrfft2d(cached, k, l)
+    GridOutliers.summary(cached, r, m)
+      .withColumn("radius", lit(r))
+      .withColumn("k", lit(k))
+  }
+}
