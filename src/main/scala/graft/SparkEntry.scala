@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.model.StreamParams
 import graft.operators.{Clustering, ExactOutliers, GridOutliers}
 import graft.sources.Sources
+import graft.streaming.{FrequentItems, ReservoirAgg}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
   *
@@ -24,6 +26,11 @@ object SparkEntry {
     * the deterministic stand-in for MRFFT's randomized center set. */
   val FixedCenters: Seq[(Double, Double)] =
     Seq((10.0, 10.0), (25.0, 50.0), (40.0, 90.0), (15.0, 75.0), (45.0, 25.0))
+
+  /** Fixture-3 stream parameters (FIXTURES.md shape; φ lowered to 0.025 so the
+    * frequent set is non-empty at every sf — the item distribution flattens to
+    * ~uniform-over-50 beyond sf0.001). */
+  val SP: StreamParams = StreamParams(1000L, 0.025, 0.01, 0.1)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -69,6 +76,24 @@ object SparkEntry {
     }),
     "q_hw2_pipeline" -> ((s, dir) =>
       Clustering.hw2Pipeline(Sources.points2d(s, dir), 8, 8, M)),
+    // ---- frequent items over the item stream fixture (C5-C7, §2.7, §2.10) ----
+    "q_freq_exact" -> ((s, dir) =>
+      FrequentItems.exactFrequent(Sources.streamItems(s, dir), SP.n, SP.phi)),
+    "q_freq_compare" -> ((s, dir) =>
+      FrequentItems.compareReport(Sources.streamItems(s, dir), SP.n, SP.phi, SP.eps)),
+    "q_sticky_det" -> ((s, dir) =>
+      FrequentItems.stickyDeterministic(Sources.streamItems(s, dir), SP)),
+    // Seeded randomized samplers: rows-only driver check + property specs.
+    "q_reservoir" -> ((s, dir) =>
+      FrequentItems.reservoirEstimate(Sources.streamItems(s, dir), SP, seed = 42L)),
+    "q_reservoir_merge" -> ((s, dir) => {
+      import s.implicits._
+      val items = Sources.streamItems(s, dir).orderBy("seq").limit(SP.n.toInt)
+        .select(col("seq").cast("long"), col("item").cast("long")).as[(Long, Long)]
+      val sample = items.select(new ReservoirAgg(SP.reservoirSize, salt = 42L).toColumn)
+        .head()
+      sample.distinct.sorted.toSeq.toDF("item")
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -80,6 +105,12 @@ object SparkEntry {
   private val P =
     "SELECT l_orderkey*10+l_linenumber AS id, l_quantity AS x, " +
       "l_extendedprice/1000.0 AS y FROM '<sfDir>/lineitem.parquet'"
+
+  /** Fixture-3 item-stream derivation (first n items in arrival order) — must
+    * stay textually in sync with [[Sources.streamItems]] + the stop-at-n gate. */
+  private val S =
+    s"SELECT event_id AS seq, user_id % 50 AS item FROM '<sfDir>/events.parquet' " +
+      s"ORDER BY seq LIMIT ${SP.n}"
 
   /** Grid cell CTE over a point relation alias `p` — λ = D/(2√2) written with
     * the same expression shape as [[GridOutliers.cellify]] for bit equality. */
@@ -149,5 +180,37 @@ object SparkEntry {
       }
       s"WITH p AS ($P) SELECT MAX(LEAST(${dists.mkString(", ")})) AS radius FROM p"
     },
+    "q_freq_exact" ->
+      s"""WITH s AS ($S),
+         |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY item)
+         |SELECT item, cnt FROM g
+         | WHERE cnt >= CAST(${SP.phi} AS DOUBLE) * CAST(${SP.n} AS DOUBLE)
+         | ORDER BY item""".stripMargin,
+    "q_freq_compare" ->
+      s"""WITH s AS ($S),
+         |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY item),
+         |est AS (SELECT item, cnt AS est_cnt FROM g
+         |         WHERE cnt >= (CAST(${SP.phi} AS DOUBLE) - CAST(${SP.eps} AS DOUBLE)) * CAST(${SP.n} AS DOUBLE)),
+         |tru AS (SELECT item AS t_item FROM g
+         |         WHERE cnt >= CAST(${SP.phi} AS DOUBLE) * CAST(${SP.n} AS DOUBLE))
+         |SELECT est.item, est.est_cnt,
+         |       CASE WHEN t_item IS NOT NULL THEN '+' ELSE '-' END AS mark
+         |  FROM est LEFT JOIN tru ON est.item = tru.t_item
+         | ORDER BY item""".stripMargin,
+    "q_sticky_det" ->
+      s"""WITH s AS ($S),
+         |coins AS (SELECT seq, item,
+         |                 CAST(('0x' || substr(md5(CAST(seq AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |            FROM s),
+         |adm AS (SELECT item AS a_item, MIN(seq) AS s0 FROM coins
+         |         WHERE h < (LN(1/(CAST(${SP.phi} AS DOUBLE)*CAST(${SP.delta} AS DOUBLE)))/CAST(${SP.eps} AS DOUBLE)
+         |                    / CAST(${SP.n} AS DOUBLE)) * 1152921504606846976.0
+         |         GROUP BY item),
+         |cnts AS (SELECT s.item, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM s JOIN adm ON s.item = adm.a_item AND s.seq >= adm.s0
+         |          GROUP BY s.item)
+         |SELECT item, cnt FROM cnts
+         | WHERE cnt > (CAST(${SP.phi} AS DOUBLE) - CAST(${SP.eps} AS DOUBLE)) * CAST(${SP.n} AS DOUBLE)
+         | ORDER BY item""".stripMargin,
   )
 }
