@@ -1,0 +1,181 @@
+package graft
+
+/** DuckDB oracle SQL for the M7 extension operators (documents/embeddings).
+  * Every string mirrors its Spark twin's expression shapes exactly — operand
+  * order, cast points, fold direction — so double-typed outputs hash-match.
+  * `<sfDir>` is substituted by the driver (FIXTURES.md §4). */
+object ExtensionOracles {
+
+  private val DOCS = "'<sfDir>/documents.parquet'"
+
+  /** Distinct char 9-gram shingles; uncorrelated series + filter (this
+    * DuckDB build lacks lateral generate_series; text max len is 577). */
+  private val SH =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS s
+       |         FROM $DOCS, generate_series(1, 1000) t(i)
+       |        WHERE i <= length(text) - 8)""".stripMargin
+
+  private val EMB =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM '<sfDir>/embeddings.parquet')"
+
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) / " +
+      s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
+      s"SQRT(list_sum(list_transform($b, v -> v*v)))))"
+
+  private val jaccardSelect =
+    """SELECT i.a, i.b,
+      |       CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) AS jaccard
+      |  FROM inter i JOIN sz ca ON i.a = ca.doc_id JOIN sz cb ON i.b = cb.doc_id""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    // ---- text analysis ----
+    "q_token_counts" ->
+      s"""SELECT doc_id,
+         |       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(CEIL(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS n_tokens_bpe
+         |  FROM $DOCS ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH d AS (SELECT doc_id, ' ' || text || ' ' AS p FROM $DOCS),
+         |c AS (SELECT doc_id,
+         |  (length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3 + (length(p)-length(replace(p,' of ','')))/4 AS c_en,
+         |  (length(p)-length(replace(p,' le ','')))/4 + (length(p)-length(replace(p,' la ','')))/4 + (length(p)-length(replace(p,' et ','')))/4 AS c_fr,
+         |  (length(p)-length(replace(p,' der ','')))/5 + (length(p)-length(replace(p,' die ','')))/5 + (length(p)-length(replace(p,' und ','')))/5 AS c_de,
+         |  (length(p)-length(replace(p,' el ','')))/4 + (length(p)-length(replace(p,' los ','')))/5 + (length(p)-length(replace(p,' y ','')))/3 AS c_es
+         |  FROM d)
+         |SELECT doc_id,
+         |       CAST(c_en AS BIGINT) AS c_en, CAST(c_fr AS BIGINT) AS c_fr,
+         |       CAST(c_de AS BIGINT) AS c_de, CAST(c_es AS BIGINT) AS c_es,
+         |       CASE WHEN c_en = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'en'
+         |            WHEN c_fr = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'fr'
+         |            WHEN c_de = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'de'
+         |            WHEN c_es = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'es'
+         |            ELSE 'und' END AS lang_pred
+         |  FROM c ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+         |             CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM t GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |             g.n_tokens, g.n_distinct, g.n_stop,
+         |             CAST(g.n_distinct AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS ttr,
+         |             CAST(g.n_stop AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS stop_ratio
+         |        FROM $DOCS d JOIN g ON d.doc_id = g.doc_id)
+         |SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop, ttr, stop_ratio,
+         |       CAST(0.5 AS DOUBLE)*ttr
+         |         + CAST(0.3 AS DOUBLE)*LEAST(stop_ratio*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |         + CAST(0.2 AS DOUBLE)*LEAST(CAST(n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+         |  FROM j ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $SH
+         |SELECT doc_id, MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS fp
+         |  FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_stats" ->
+      s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         |  FROM $DOCS GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // ---- dedup ----
+    "q_dedup_groups" ->
+      s"""SELECT md5(text) AS h, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_dups
+         |  FROM $DOCS GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+    "q_dedup_summary" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+         |       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_docs
+         |  FROM $DOCS""".stripMargin,
+    "q_minhash_lsh" ->
+      s"""WITH $SH,
+         |ks AS (SELECT k FROM generate_series(0, 15) g(k)),
+         |mh AS (SELECT doc_id, k,
+         |              MIN(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
+         |         FROM sh, ks GROUP BY doc_id, k),
+         |bands AS (SELECT doc_id, CAST(FLOOR(k / CAST(4 AS DOUBLE)) AS INT) AS band,
+         |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
+         |            FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |           FROM bands x JOIN bands y
+         |             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT cand.a, cand.b, CAST(COUNT(*) AS BIGINT) AS inter
+         |            FROM cand JOIN sh sa ON cand.a = sa.doc_id
+         |                      JOIN sh sb ON cand.b = sb.doc_id AND sa.s = sb.s
+         |           GROUP BY cand.a, cand.b)
+         |$jaccardSelect
+         | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5
+         | ORDER BY a, b""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $SH,
+         |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) WHERE df <= 20),
+         |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM rsh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+         |            FROM rsh x JOIN rsh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |           GROUP BY x.doc_id, y.doc_id)
+         |$jaccardSelect
+         | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.3
+         | ORDER BY a, b""".stripMargin,
+    "q_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
+         |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
+         |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
+         |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
+         |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b),
+         |s AS (SELECT doc_id,
+         |             CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM sg GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM s x JOIN s y ON x.doc_id < y.doc_id
+         | WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         | ORDER BY a, b""".stripMargin,
+    // ---- similarity search ----
+    "q_ann_topk" ->
+      s"""WITH $EMB,
+         |q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id AS nid, ${cosSql("q.qv", "e.emb")} AS cos
+         |        FROM e, q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, cos,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |        FROM s)
+         |SELECT qid, nid, rank, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH $EMB,
+         |cent AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id % 100 = 0),
+         |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
+         |cells AS (SELECT vec_id AS nid, emb AS nv, cid FROM rk WHERE crank = 1),
+         |probes AS (SELECT vec_id AS qid, emb AS qv, cid FROM rk WHERE vec_id < 5 AND crank <= 2),
+         |sc AS (SELECT p.qid, c.nid, MAX(${cosSql("p.qv", "c.nv")}) AS cos
+         |         FROM cells c JOIN probes p ON c.cid = p.cid
+         |        WHERE c.nid <> p.qid GROUP BY p.qid, c.nid),
+         |r AS (SELECT qid, nid,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |        FROM sc)
+         |SELECT qid, nid, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_neardup_cos" ->
+      s"""WITH $EMB,
+         |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
+         |        FROM e x JOIN e y ON x.vec_id < y.vec_id)
+         |SELECT a, b, cos FROM s WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    // ---- multimodal (stub decode arithmetic mirrored on length(text)) ----
+    "q_media_meta" ->
+      s"""SELECT doc_id AS media_id, source AS kind,
+         |       CAST(length(text) AS BIGINT) AS n_bytes,
+         |       CAST(64 + (length(text) % 576) AS BIGINT) AS width,
+         |       CAST(48 + ((length(text) * 7) % 432) AS BIGINT) AS height,
+         |       CAST(1 + (length(text) % 16) AS BIGINT) AS n_frames
+         |  FROM $DOCS ORDER BY media_id""".stripMargin,
+  )
+}

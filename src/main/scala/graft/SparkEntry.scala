@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
-import graft.operators.{Clustering, ExactOutliers, GridOutliers}
+import graft.operators.{Clustering, Dedup, ExactOutliers, GridOutliers,
+  Multimodal, Similarity, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -94,6 +95,25 @@ object SparkEntry {
         .head()
       sample.distinct.sorted.toSeq.toDF("item")
     }),
+    // ---- M7 extensions: text analysis ----
+    "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(Sources.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Sources.documents(s, dir))),
+    "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Sources.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Sources.documents(s, dir))),
+    "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Sources.documents(s, dir))),
+    // ---- M7 extensions: dedup ----
+    "q_dedup_groups" -> ((s, dir) => Dedup.exactGroups(Sources.documents(s, dir))),
+    "q_dedup_summary" -> ((s, dir) => Dedup.dedupSummary(Sources.documents(s, dir))),
+    "q_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(Sources.documents(s, dir))),
+    "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Sources.documents(s, dir))),
+    "q_simhash" -> ((s, dir) => Dedup.simhash(Sources.documents(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Sources.documents(s, dir))),
+    // ---- M7 extensions: similarity search ----
+    "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
+    "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),
+    "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
+    // ---- M7 extensions: multimodal plumbing (stub decode) ----
+    "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(Sources.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------------
@@ -212,5 +232,5 @@ object SparkEntry {
          |SELECT item, cnt FROM cnts
          | WHERE cnt > (CAST(${SP.phi} AS DOUBLE) - CAST(${SP.eps} AS DOUBLE)) * CAST(${SP.n} AS DOUBLE)
          | ORDER BY item""".stripMargin,
-  )
+  ) ++ ExtensionOracles.sql
 }

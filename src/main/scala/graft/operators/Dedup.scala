@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Deduplication operators for a training-data pipeline (north-star
+  * extension, SURVEY.md §7.1 M7): exact hash dedup, MinHash+LSH, SimHash and
+  * DF-capped n-gram Jaccard near-dup detection.
+  *
+  * Scale design: nothing here ever materializes the n² pair space.
+  *  - exact dedup is one hash aggregation;
+  *  - MinHash/LSH generates candidates only where a band signature collides
+  *    (equi-join on the band key → shuffled hash join);
+  *  - n-gram Jaccard prunes the inverted index by document frequency before
+  *    pairing, bounding each posting list (the classic stop-shingle cap);
+  *  - SimHash pairs join on a coarse prefix bucket before the Hamming check.
+  * All hashes are md5-derived ([[Hashes]]) so every operator has an exact
+  * DuckDB oracle twin.
+  */
+object Dedup {
+
+  /** Exact duplicate groups (`dropDuplicates` inverted): content hash,
+    * surviving doc (min id), multiplicity — only groups with >1 member. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+      .orderBy("h")
+
+  /** Corpus-level dedup summary: total docs, distinct texts, redundant docs. */
+  def dedupSummary(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+
+  /** MinHash signatures: for each of `h` hash functions k, the min 60-bit
+    * hash of `k:shingle` over the doc's distinct 9-gram shingles.
+    * Output: (doc_id, k, mh). */
+  def minhashSignatures(docs: DataFrame, h: Int = 16): DataFrame = {
+    val ks = (0 until h).map(k => (k, ())).map(_._1)
+    TextAnalysis.charShingles(docs)
+      .select(col("doc_id"), col("s"), explode(typedlit(ks)).as("k"))
+      .groupBy("doc_id", "k")
+      .agg(min(Hashes.h60(concat(col("k").cast("string"), lit(":"), col("s")))).as("mh"))
+  }
+
+  /** MinHash LSH near-dup pairs: band the signature (bands of `rows` hashes),
+    * join docs whose band signature collides, then verify candidates with the
+    * exact Jaccard over their distinct shingle sets. Output:
+    * (a, b, jaccard) for verified pairs with jaccard ≥ threshold. */
+  def minhashLshPairs(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val bands = minhashSignatures(docs, h)
+      .withColumn("band", floor(col("k") / lit(rows.toDouble)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("-",
+        transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+          x => x.getField("mh").cast("string"))).as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifiedJaccard(docs, cand, threshold)
+  }
+
+  /** Exact Jaccard over distinct 9-gram shingle sets for given (a,b) pairs. */
+  private def verifiedJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val sh = TextAnalysis.charShingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("ca"), col("a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** DF-capped n-gram Jaccard near-dup pairs: inverted index over shingles
+    * whose document frequency ≤ `dfCap` (stop-shingle pruning — bounds every
+    * posting list, hence the pair fan-out, at any corpus size); Jaccard is
+    * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
+  def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
+                        threshold: Double = 0.3): DataFrame = {
+    val sh = TextAnalysis.charShingles(docs)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("s")
+    val rsh = sh.join(rare, "s").cache()
+    val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = rsh.as("x").join(rsh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("ca"), col("a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** 32-bit SimHash over whitespace tokens (with multiplicity): per bit b,
+    * sign-sum of token-hash bits; simhash bit b set iff the sum is positive. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bits = (0 until 32).toList
+    TextAnalysis.tokens(docs)
+      .select(col("doc_id"), Hashes.h32(col("tok")).as("th"),
+        explode(typedlit(bits)).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr("(shiftright(th, b) & 1) * 2 - 1")).as("sgn"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sgn") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming (< 8).
+    *
+    * Candidate generation is an EXACT band trick, not a heuristic: the 32-bit
+    * simhash splits into 8 bands of 4 bits; ≤ 7 flipped bits can touch at most
+    * 7 bands, so every qualifying pair agrees on at least one whole band and
+    * is found by the (band_id, band_value) equi-join — a shuffled hash join,
+    * never a cartesian. The oracle can therefore use the naive quadratic SQL:
+    * both produce identical pair sets. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming < 8, "band trick is exact only below the band count")
+    val sh = simhash(docs).cache()
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(typedlit((0 until 8).toList)).as("bd"))
+      .withColumn("bv", expr("shiftright(simhash, bd * 4) & 15"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bd") === col("y.bd") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        expr("bit_count(sa.simhash ^ sb.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+}

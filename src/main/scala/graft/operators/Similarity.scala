@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star extension,
+  * SURVEY.md §7.1 M7): brute-force cosine top-k as the correctness baseline,
+  * an IVF (inverted-file) coarse-quantizer variant as the scale path, and
+  * cosine near-dup pairs.
+  *
+  * The dot products are built-in `zip_with`/`aggregate` column expressions
+  * (no UDFs). Queries are always the tiny side and are explicitly
+  * `broadcast()` — the candidate table streams by, so the plans hold when
+  * candidates are 100 TB: brute force reads each candidate exactly once per
+  * query batch; IVF first shrinks the candidate set by the coarse cell
+  * assignment (an equi-join on cell id), which is the standard ANN trade —
+  * recall for a ~nprobe/ncells scan fraction.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns, written as a strict
+    * left-to-right fold to stay bit-identical with the DuckDB twin:
+    * list_sum(list_transform(list_zip(a,b), x -> x[1]*x[2]))
+    *   / (SQRT(list_sum(...a..)) * SQRT(list_sum(...b...))). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(u: Column, v: Column) =
+      aggregate(zip_with(u, v, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def queriesOf(emb: DataFrame, nQueries: Int): DataFrame =
+    broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qv")))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest other vectors by cosine. Output (qid, nid, rank, cos). */
+  def annBruteForce(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val scored = emb.select(col("vec_id").as("nid"), col("emb").as("nv"))
+      .crossJoin(queriesOf(emb, nQueries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-style ANN: coarse centroids are the vectors with vec_id % 100 == 0
+    * (deterministic stand-in for trained k-means centroids); every vector is
+    * assigned to its nearest centroid (cell); a query probes its `nprobe`
+    * nearest cells and ranks only their members. Output (qid, nid, rank). */
+  def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val centroids = broadcast(emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("emb").as("cv")))
+    val byCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    val assign = emb.select(col("vec_id"), col("emb"))
+      .crossJoin(centroids)
+      .select(col("vec_id"), col("emb"), col("cid"), cosine(col("emb"), col("cv")).as("ccos"))
+      .withColumn("crank", row_number().over(byCell))
+    val cells = assign.filter(col("crank") === 1)
+      .select(col("vec_id").as("nid"), col("emb").as("nv"), col("cid"))
+    val probes = assign.filter(col("vec_id") < nQueries && col("crank") <= nprobe)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cells.join(broadcast(probes), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .groupBy("qid", "nid").agg(max(col("cos")).as("cos")) // a nid may sit in 2 probed cells
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
+    * Brute force here (the fixture corpus has no high-cosine mass); the scale
+    * path for a real near-dup sweep is [[annIvf]]'s cell join or the
+    * sign-bucket LSH of [[Dedup.simhashPairs]] applied to embedding signs. */
+  def neardupCosine(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val x = emb.select(col("vec_id").as("a"), col("emb").as("av"))
+    val y = emb.select(col("vec_id").as("b"), col("emb").as("bv"))
+    x.join(y, col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("av"), col("bv")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("a", "b")
+  }
+}

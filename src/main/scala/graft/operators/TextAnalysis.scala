@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Text-analysis operators for a training-data pipeline (north-star extension,
+  * SURVEY.md §7.1 M7): tokenization, token counting, language ID, quality
+  * scoring, document fingerprinting. Everything is built-in column algebra
+  * (codegen'd, no UDFs) and has a DuckDB oracle twin; all shuffles are
+  * per-document aggregations keyed by doc_id, so the operators scale linearly
+  * and partition-locally at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with multiplicity: (doc_id, tok). The testdata is
+    * single-space separated; for general corpora swap the delimiter for a
+    * regex split at the source boundary. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** Distinct character k-gram shingles: (doc_id, s). The basis for Jaccard /
+    * MinHash dedup and fingerprinting. */
+  def charShingles(docs: DataFrame, k: Int = 9): DataFrame =
+    docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, pos, $k)").as("s"))
+      .distinct()
+
+  /** Token counts: whitespace tokens + a chars/4 BPE-style estimate (the
+    * published rule-of-thumb for English BPE vocabularies). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_ws"),
+      length(col("text")).cast("long").as("n_chars"),
+      ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
+  /** Occurrences of `term` in `text` via the replace-length identity —
+    * branch-free, codegen'd, and byte-identical across engines. */
+  private def occPlain(text: Column, term: String): Column =
+    (length(text) - length(replace(text, lit(term), lit("")))) / lit(term.length)
+
+  /** Stopword marker lists per language for the n-gram language heuristic.
+    * Padded with spaces so they only match whole tokens mid-string. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "es" -> Seq(" el ", " los ", " y "))
+
+  /** Language ID by stopword-marker counting (n-gram heuristic): the language
+    * with the highest marker count wins, earlier entry winning ties;
+    * `und` (undetermined) when no marker fires. */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val counts = LangMarkers.map { case (lang, terms) =>
+      lang -> terms.map(t => occPlain(padded, t)).reduce(_ + _)
+    }
+    val best = counts.tail.foldLeft(counts.head._2)((acc, c) => greatest(acc, c._2))
+    val pred = counts.foldRight(lit("und")) { case ((lang, c), els) =>
+      when(c === best && best > 0, lang).otherwise(els)
+    }
+    // foldRight gives earlier languages precedence on ties
+    val cols = col("doc_id") +:
+      (counts.map { case (l, c) => c.cast("long").as(s"c_$l") } :+ pred.as("lang_pred"))
+    docs.select(cols: _*).orderBy("doc_id")
+  }
+
+  /** Quality score from surface statistics (length, lexical diversity,
+    * stopword rate): the standard cheap pre-filter in front of model-based
+    * quality classifiers. Components exposed for inspection; the composite is
+    * a fixed linear blend computed in a mirrored operation order. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(when(col("tok").isin("the", "a", "of", "and"), 1L).otherwise(0L)).as("n_stop"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(toks, "doc_id")
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"), col("n_stop"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"))
+      .withColumn("quality",
+        lit(0.5) * col("ttr") +
+          lit(0.3) * least(col("stop_ratio") * lit(10.0), lit(1.0)) +
+          lit(0.2) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: min 60-bit hash over the distinct character
+    * 9-gram shingles — the single-hash case of MinHash, the winnowing-style
+    * content id used for fast near-dup prefiltering. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    charShingles(docs)
+      .groupBy("doc_id")
+      .agg(min(Hashes.h60(col("s"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Per-(lang, source) corpus statistics over the document table. */
+  def docStats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      .orderBy("lang", "source")
+
+  private[operators] def h60(c: Column): Column = Hashes.h60(c)
+}
