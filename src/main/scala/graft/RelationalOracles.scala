@@ -1,0 +1,56 @@
+package graft
+
+/** DuckDB oracle SQL for the relational showcase queries ([[graft.operators.Relational]]).
+  * Decimal-sum discipline mirrored: CAST each row value to DECIMAL(18,4),
+  * SUM exactly, CAST the result to DOUBLE. */
+object RelationalOracles {
+
+  private def dec(e: String) = s"CAST($e AS DECIMAL(18,2))"
+  private val one = "CAST(1 AS DECIMAL(18,2))"
+  private def dsum(e: String) = s"CAST(SUM($e) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${dsum(dec("l_quantity"))} AS sum_qty,
+         |       ${dsum(dec("l_extendedprice"))} AS sum_base_price,
+         |       ${dsum(s"${dec("l_extendedprice")} * ($one - ${dec("l_discount")})")} AS sum_disc_price,
+         |       ${dsum(s"${dec("l_extendedprice")} * ($one - ${dec("l_discount")}) * ($one + ${dec("l_tax")})")} AS sum_charge,
+         |       CAST(COUNT(*) AS BIGINT) AS count_order
+         |  FROM '<sfDir>/lineitem.parquet'
+         | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         | GROUP BY l_returnflag, l_linestatus
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue" ->
+      s"""SELECT n.n_name,
+         |       ${dsum(s"${dec("l.l_extendedprice")} * ($one - ${dec("l.l_discount")})")} AS revenue,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+         |  FROM '<sfDir>/lineitem.parquet' l
+         |  JOIN '<sfDir>/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+         |  JOIN '<sfDir>/customer.parquet' c ON o.o_custkey = c.c_custkey
+         |  JOIN '<sfDir>/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+         | GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q_top_orders" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+         |    FROM '<sfDir>/orders.parquet')
+         | WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_events_daily" ->
+      s"""SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       ${dsum("CAST(value AS DECIMAL(18,6))")} AS total_value,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM '<sfDir>/events.parquet'
+         | GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "q_events_json" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(k) AS BIGINT) AS sum_k,
+         |       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+         |  FROM (SELECT event_type,
+         |               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |          FROM '<sfDir>/events.parquet')
+         | GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
 import graft.operators.{Clustering, Dedup, ExactOutliers, GridOutliers,
-  Multimodal, Similarity, TextAnalysis}
+  Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -114,6 +114,12 @@ object SparkEntry {
     "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
     // ---- M7 extensions: multimodal plumbing (stub decode) ----
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(Sources.documents(s, dir))),
+    // ---- general relational surface (Catalyst showcase) ----
+    "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q_join_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "q_top_orders" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
+    "q_events_daily" -> ((s, dir) => Relational.eventsDaily(s, dir)),
+    "q_events_json" -> ((s, dir) => Relational.eventsJsonStats(s, dir)),
   )
 
   // ---------------------------------------------------------------------------
@@ -232,5 +238,5 @@ object SparkEntry {
          |SELECT item, cnt FROM cnts
          | WHERE cnt > (CAST(${SP.phi} AS DOUBLE) - CAST(${SP.eps} AS DOUBLE)) * CAST(${SP.n} AS DOUBLE)
          | ORDER BY item""".stripMargin,
-  ) ++ ExtensionOracles.sql
+  ) ++ ExtensionOracles.sql ++ RelationalOracles.sql
 }

@@ -39,12 +39,23 @@ object Dedup {
   /** MinHash signatures: for each of `h` hash functions k, the min 60-bit
     * hash of `k:shingle` over the doc's distinct 9-gram shingles.
     * Output: (doc_id, k, mh). */
-  def minhashSignatures(docs: DataFrame, h: Int = 16): DataFrame = {
-    val ks = (0 until h).map(k => (k, ())).map(_._1)
-    TextAnalysis.charShingles(docs)
-      .select(col("doc_id"), col("s"), explode(typedlit(ks)).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(min(Hashes.h60(concat(col("k").cast("string"), lit(":"), col("s")))).as("mh"))
+  def minhashSignatures(docs: DataFrame, h: Int = 16): DataFrame =
+    minhashSignaturesFrom(TextAnalysis.charShingles(docs), h)
+
+  private def minhashSignaturesFrom(sh: DataFrame, h: Int): DataFrame = {
+    // Hash each DISTINCT shingle once per k (corpus-wide shingle vocabularies
+    // are far smaller than the doc x shingle incidence — ~27k at sf0.1, so the
+    // hash table always broadcasts), then take the h mins as h parallel
+    // aggregates in ONE partial+final hash aggregation — no h-fold row
+    // explosion ever materializes. The tiny (doc, h-array) result unfolds to
+    // the (doc_id, k, mh) contract afterwards.
+    val hashed = sh.select("s").distinct().select(col("s"),
+      array((0 until h).map(k =>
+        Hashes.h60(concat(lit(k.toString), lit(":"), col("s")))): _*).as("hs"))
+    sh.join(broadcast(hashed), "s")
+      .groupBy("doc_id")
+      .agg(array((0 until h).map(k => min(col("hs").getItem(k))): _*).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "mh")))
   }
 
   /** MinHash LSH near-dup pairs: band the signature (bands of `rows` hashes),
@@ -53,7 +64,8 @@ object Dedup {
     * (a, b, jaccard) for verified pairs with jaccard ≥ threshold. */
   def minhashLshPairs(docs: DataFrame, h: Int = 16, rows: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val bands = minhashSignatures(docs, h)
+    val sh = TextAnalysis.charShingles(docs).cache()
+    val bands = minhashSignaturesFrom(sh, h)
       .withColumn("band", floor(col("k") / lit(rows.toDouble)).cast("int"))
       .groupBy("doc_id", "band")
       .agg(concat_ws("-",
@@ -64,12 +76,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifiedJaccard(docs, cand, threshold)
+    verifiedJaccard(sh, cand, threshold)
   }
 
-  /** Exact Jaccard over distinct 9-gram shingle sets for given (a,b) pairs. */
-  private def verifiedJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sh = TextAnalysis.charShingles(docs).cache()
+  /** Exact Jaccard over a (cached) distinct-shingle table for given (a,b) pairs. */
+  private def verifiedJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
@@ -91,7 +102,7 @@ object Dedup {
     * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
   def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
                         threshold: Double = 0.3): DataFrame = {
-    val sh = TextAnalysis.charShingles(docs)
+    val sh = TextAnalysis.charShingles(docs).cache()
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
     val rsh = sh.join(rare, "s").cache()
@@ -113,12 +124,15 @@ object Dedup {
   /** 32-bit SimHash over whitespace tokens (with multiplicity): per bit b,
     * sign-sum of token-hash bits; simhash bit b set iff the sum is positive. */
   def simhash(docs: DataFrame): DataFrame = {
-    val bits = (0 until 32).toList
+    // 32 sign-sums as 32 parallel aggregates in one hash aggregation (no
+    // 32-fold token-row explosion); the bit fold over the tiny per-doc array
+    // happens after.
     TextAnalysis.tokens(docs)
-      .select(col("doc_id"), Hashes.h32(col("tok")).as("th"),
-        explode(typedlit(bits)).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("(shiftright(th, b) & 1) * 2 - 1")).as("sgn"))
+      .select(col("doc_id"), Hashes.h32(col("tok")).as("th"))
+      .groupBy("doc_id")
+      .agg(array((0 until 32).map(b =>
+        sum(expr(s"(shiftright(th, $b) & 1) * 2 - 1"))): _*).as("sgns"))
+      .select(col("doc_id"), posexplode(col("sgns")).as(Seq("b", "sgn")))
       .groupBy("doc_id")
       .agg(sum(when(col("sgn") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
@@ -134,11 +148,16 @@ object Dedup {
     * never a cartesian. The oracle can therefore use the naive quadratic SQL:
     * both produce identical pair sets. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
-    require(maxHamming < 8, "band trick is exact only below the band count")
+    // maxHamming+1 bands: ≤ maxHamming flips touch at most maxHamming bands,
+    // so one band is always intact. Fewer, wider bands = exponentially fewer
+    // spurious bucket collisions (width 11 → 2048 buckets vs width 4 → 16).
+    val nBands = maxHamming + 1
+    val width = (32 + nBands - 1) / nBands
+    val mask = (1 << width) - 1
     val sh = simhash(docs).cache()
     val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(typedlit((0 until 8).toList)).as("bd"))
-      .withColumn("bv", expr("shiftright(simhash, bd * 4) & 15"))
+        explode(typedlit((0 until nBands).toList)).as("bd"))
+      .withColumn("bv", expr(s"shiftright(simhash, bd * $width) & $mask"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bd") === col("y.bd") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -40,8 +40,12 @@ object ExactOutliers {
     val other = bucketed.select(
       col("id").as("oid"), col("x").as("ox"), col("y").as("oy"),
       col("bi"), col("bj"))
+    // shuffle-hash, not broadcast: at scale neither side fits an executor, and
+    // even at sf0.1 broadcasting the 600k-row point table thrashes memory;
+    // partitioning both sides by cell key is the plan that survives 100x.
     probes
-      .join(other, probes("pi") === other("bi") && probes("pj") === other("bj"))
+      .join(other.hint("shuffle_hash"),
+        probes("pi") === other("bi") && probes("pj") === other("bj"))
       .filter(
         (col("x") - col("ox")) * (col("x") - col("ox")) +
         (col("y") - col("oy")) * (col("y") - col("oy")) <= lit(d) * lit(d))

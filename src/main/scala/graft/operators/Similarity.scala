@@ -75,15 +75,43 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
-    * Brute force here (the fixture corpus has no high-cosine mass); the scale
-    * path for a real near-dup sweep is [[annIvf]]'s cell join or the
-    * sign-bucket LSH of [[Dedup.simhashPairs]] applied to embedding signs. */
+    *
+    * The pair loop runs as a typed `mapPartitions` kernel against a broadcast
+    * copy of the vector table: each partition streams its vectors and scans
+    * the broadcast side with tight primitive loops. Catalyst's higher-order
+    * `aggregate`/`zip_with` fold is interpreted (no codegen) and ~100x slower
+    * on an n²d workload; the kernel computes the SAME left-to-right fold, so
+    * results stay bit-identical with the SQL oracle. The broadcast side is
+    * vectors-only (n·d doubles) — at corpus sizes past executor memory, block
+    * the pair space first (IVF cells of [[annIvf]] or sign-bucket LSH) and
+    * apply this kernel per block. */
   def neardupCosine(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val x = emb.select(col("vec_id").as("a"), col("emb").as("av"))
-    val y = emb.select(col("vec_id").as("b"), col("emb").as("bv"))
-    x.join(y, col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("av"), col("bv")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .orderBy("a", "b")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"), col("emb").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val all = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    val out = vecs.mapPartitions { it =>
+      val bs = all.value
+      it.flatMap { case (a, av) =>
+        val na = math.sqrt(dotArr(av, av))
+        bs.iterator
+          .filter(_._1 > a)
+          .map { case (b, bv) =>
+            (a, b, dotArr(av, bv) / (na * math.sqrt(dotArr(bv, bv))))
+          }
+          .filter(_._3 >= threshold)
+      }
+    }.toDF("a", "b", "cos")
+    out.orderBy("a", "b")
+  }
+
+  /** Strict left-to-right dot product — the same fold order as the
+    * `aggregate(zip_with(...))` column expression and the DuckDB `list_sum`
+    * twin, so all three produce bit-identical doubles. */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 }
