@@ -57,9 +57,15 @@ object Clustering {
     * `repartition(l)` is pinned BEFORE the typed op — coreset size/quality
     * depends on the partition count (SURVEY.md §7.3.5). Each partition seeds
     * FFT at its min-id point so the whole computation is deterministic. */
-  def mrfftCenters(vecs: DataFrame, k: Int, l: Int): IndexedSeq[Array[Double]] = {
+  def mrfftCenters(vecs: DataFrame, k: Int, l: Int): IndexedSeq[Array[Double]] =
+    mrfftCentersTimed(vecs, k, l)._1
+
+  /** As [[mrfftCenters]], also reporting (R1, R2) wall-clock ms — the
+    * reference's per-round instrumentation (`big_data_computing_2.py:33-41`). */
+  def mrfftCentersTimed(vecs: DataFrame, k: Int, l: Int): (IndexedSeq[Array[Double]], Long, Long) = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val t0 = System.nanoTime()
     val coreset: Array[Array[Double]] = vecs
       .select(col("id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -73,7 +79,10 @@ object Clustering {
         }
       }
       .collect()
-    sequentialFFT(coreset.toIndexedSeq, k, firstIdx = 0)
+    val t1 = System.nanoTime()
+    val centers = sequentialFFT(coreset.toIndexedSeq, k, firstIdx = 0)
+    val t2 = System.nanoTime()
+    (centers, (t1 - t0) / 1000000L, (t2 - t1) / 1000000L)
   }
 
   /** Per-point distance to the nearest of `centers`, as a codegen'd column

@@ -144,7 +144,11 @@ object FrequentItemsStream {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val items = batch.orderBy("seq").select(col("item").cast("long"))
+        // arrival order: explicit seq column when present (test fixtures);
+        // a single socket receiver already yields rows in arrival order.
+        val ordered =
+          if (batch.columns.contains("seq")) batch.orderBy("seq") else batch
+        val items = ordered.select(col("item").cast("long"))
           .collect().map(_.getLong(0))
         val done = state.foldBatch(items)
         // stop-at-n (`big_data_computing_3.py:95-96,101-107`): signal from the
@@ -158,12 +162,11 @@ object FrequentItemsStream {
   }
 
   /** Socket source matching the reference's input (`big_data_computing_3.py:62`):
-    * text lines of integers. */
+    * text lines of integers, consumed in receiver arrival order. */
   def socketItems(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
-      .select(monotonically_increasing_id().as("seq"),
-        col("value").cast("long").as("item"))
+      .select(col("value").cast("long").as("item"))
 }
 
 /** Distributed, mergeable uniform reservoir (SURVEY.md §2.9 C5 scalable
