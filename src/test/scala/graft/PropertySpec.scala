@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ExactOutliers, GridOutliers}
+import graft.streaming.ReservoirBuf
+
+/** Property-based checks (SURVEY.md §5.2.3). Pure-Scala properties run at
+  * full ScalaCheck volume via Prop.forAll; the Spark-facing containment
+  * property samples a bounded number of generated point sets through the real
+  * pipeline. */
+class PropertySpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def check(p: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("floor-cell property: cellOf(-x) == -cellOf(x) - 1 off grid lines") {
+    // guards the floor-vs-truncate trap (SURVEY.md §7.3.1)
+    val lam = GridOutliers.lambda(1.0)
+    check(Prop.forAll(Gen.choose(0.001, 500.0)) { x =>
+      (x / lam == math.floor(x / lam)) ||
+        math.floor(-x / lam).toLong == -math.floor(x / lam).toLong - 1
+    }, "floor-cell")
+  }
+
+  test("reservoir buffer: bottom-m invariant under arbitrary insert orders") {
+    val gen = Gen.zip(Gen.listOf(Gen.zip(Gen.long, Gen.long)), Gen.chooseNum(1, 16))
+    check(Prop.forAll(gen) { case (entries, m) =>
+      val distinctKeys = entries.distinctBy(_._1)
+      val buf = distinctKeys.foldLeft(ReservoirBuf(Array.empty, Array.empty)) {
+        case (b, (k, v)) => b.insert(k, v, m)
+      }
+      val expect = distinctKeys.sortBy(_._1).take(m)
+      buf.keys.toList == expect.map(_._1) && buf.items.toList == expect.map(_._2)
+    }, "reservoir-bottom-m")
+  }
+
+  test("grid containment holds on random point sets (sure ⊆ exact ⊆ sure ∪ uncertain)") {
+    val rng = new scala.util.Random(4242)
+    for (d <- List(1.0, 2.0, 3.0, 1.5, 2.5)) {
+      val m = 3
+      val n = 30 + rng.nextInt(90)
+      val pts = List.fill(n)((rng.nextDouble() * 40 - 20, rng.nextDouble() * 40 - 20))
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+      val exact = ExactOutliers.ballCounts(df, d)
+        .filter(col("ball_size") <= m).select("id").as[Long].collect().toSet
+      val cellOf = GridOutliers.cellify(df, d).select("id", "i", "j")
+        .as[(Long, Long, Long)].collect().map { case (id, i, j) => id -> (i, j) }.toMap
+      val cls = GridOutliers.classifiedCells(df, d, m)
+      val sure = cls.filter(col("sure_outlier")).select("i", "j").as[(Long, Long)].collect().toSet
+      val unc = cls.filter(col("uncertain")).select("i", "j").as[(Long, Long)].collect().toSet
+      cellOf.foreach { case (id, c) =>
+        if (sure(c)) assert(exact.contains(id), s"sure-cell point $id must be a true outlier (d=$d)")
+      }
+      exact.foreach { id =>
+        assert(sure(cellOf(id)) || unc(cellOf(id)), s"true outlier $id must be sure or uncertain (d=$d)")
+      }
+    }
+  }
+}
