@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming beyond the reference surface (the reference is
+  * processing-time only, SURVEY.md §2.10): watermarked tumbling-window
+  * aggregation and custom keyed state via flatMapGroupsWithState — the two
+  * Structured Streaming primitives a production ingest pipeline needs for
+  * late-data handling and bespoke per-key state. Input shape mirrors the
+  * `events` table (ts, event_type) replayed as a stream.
+  */
+object EventTime {
+
+  /** Tumbling-window counts per event type with a watermark: late rows beyond
+    * `lateness` are dropped and their windows finalized (enabling append-mode
+    * sinks and bounded state at scale). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  final case class ItemEvent(item: Long, ts: java.sql.Timestamp)
+  final case class ItemRunning(item: Long, total: Long, batches: Long)
+
+  /** Custom keyed state: running per-item totals via flatMapGroupsWithState —
+    * the mergeable-state shape the reference's driver-side dicts
+    * (`big_data_computing_3.py:65-68`) take when state must shard across
+    * executors instead of living on one driver thread. Emits the updated
+    * running row for every key touched in a batch; state is per-key constant
+    * size, so it scales with distinct keys, not stream length. */
+  def runningCounts(items: Dataset[ItemEvent]): Dataset[ItemRunning] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .groupByKey(_.item)
+      .flatMapGroupsWithState[ItemRunning, ItemRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (item: Long, batch: Iterator[ItemEvent], state: GroupState[ItemRunning]) =>
+          val prev = state.getOption.getOrElse(ItemRunning(item, 0L, 0L))
+          val add = batch.size
+          val next = ItemRunning(item, prev.total + add, prev.batches + 1L)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}
