@@ -25,7 +25,15 @@ object ExactOutliers {
   private val offsets3x3: Seq[(Int, Int)] =
     for { di <- -1 to 1; dj <- -1 to 1 } yield (di, dj)
 
-  /** |B(p,D)| per point: (id, x, y, ball_size). */
+  /** |B(p,D)| per point: (id, ball_size), self-inclusive
+    * (`big_data_computing_1.py:33`).
+    *
+    * Note on a rejected optimization: materializing each unordered pair once
+    * (probe id < other id) and crediting both endpoints halves the distance
+    * evaluations — but the testdata's fixture id (`l_orderkey*10+l_linenumber`)
+    * is NOT unique, and the `<` filter silently drops close pairs that share
+    * an id, changing the merged-id ball counts the oracle computes. The
+    * one-directional probe form below is duplicate-id-safe. */
   def ballCounts(points: DataFrame, d: Double): DataFrame = {
     val bucketed = points.select(
       col("id"), col("x"), col("y"),

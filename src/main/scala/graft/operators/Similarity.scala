@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns, written as a strict
-    * left-to-right fold to stay bit-identical with the DuckDB twin:
+  /** Cosine similarity between two array<double> columns via the codegen'd
+    * [[graft.functions.DotProduct]] expression — a strict left-to-right fold,
+    * bit-identical with both the higher-order `aggregate(zip_with(...))`
+    * formulation and the DuckDB twin:
     * list_sum(list_transform(list_zip(a,b), x -> x[1]*x[2]))
     *   / (SQRT(list_sum(...a..)) * SQRT(list_sum(...b...))). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(u: Column, v: Column) =
-      aggregate(zip_with(u, v, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dot = graft.functions.DotProduct.dot _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
