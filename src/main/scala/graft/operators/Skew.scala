@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §M6 / the 100 TB posture).
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; explicit
+  * salting is still the tool of choice when a SHUFFLED HASH join or an
+  * aggregation keys on a power-law column (hot shingles, hot users): the hot
+  * key's rows land on one reducer regardless of partition count. Salting
+  * splits each key into `buckets` sub-keys deterministically, joins against a
+  * `buckets`-times replicated build side, and never changes the result set.
+  */
+object Skew {
+
+  /** Inner equi-join of a skewed probe side against a small build side with
+    * deterministic salting: probe rows scatter across `buckets` sub-keys via
+    * a hash of their whole row (`xxhash64` over all probe columns), the build
+    * side replicates `buckets` times, and the join key becomes
+    * (key, salt) — splitting every hot key across `buckets` reducers. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(probe.columns.map(col).toSeq: _*), lit(buckets.toLong)))
+    val replicated = build.withColumn("_salt",
+      explode(typedlit((0L until buckets.toLong).toList)))
+    salted
+      .join(replicated.hint("shuffle_hash"), Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
+  /** Two-phase aggregation for skewed count-style rollups: partial counts per
+    * (key, salt) — spreading a hot key over `buckets` reducers — then the
+    * final sum per key. Equivalent to groupBy(key).count(). */
+  def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame = {
+    require(buckets > 0)
+    df.withColumn("_salt",
+        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("count"))
+  }
+}
