@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the driver's smoke check: the flagship entry query must return
+  * rows on sf0.001, and every declared query must have matching oracle
+  * wiring (column-name parity is enforced by Verify + the DuckDB compare;
+  * here we check the static contract shape). */
+class EntrySpec extends AnyFunSuite with SharedSpark {
+
+  test("entry returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() >= 1)
+  }
+
+  test("every oracle key has a query; randomized queries are the known five") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
+    val rowsOnly = q.diff(o)
+    assert(rowsOnly == Set("q_mrfft_radius", "q_mrfft_embeddings",
+      "q_hw2_pipeline", "q_reservoir", "q_reservoir_merge"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("oracle SQL references only driver-provided tables via <sfDir>") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.contains("<sfDir>"), s"$name must read the testdata parquet")
+    }
+  }
+}
