@@ -44,6 +44,33 @@ object RelationalOracles {
          |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          |  FROM '<sfDir>/events.parquet'
          | GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "q_sessions" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+         |             FROM '<sfDir>/events.parquet'),
+         |marked AS (SELECT user_id, ts, event_id,
+         |                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         |                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |                       THEN 1 ELSE 0 END AS new_session
+         |             FROM e),
+         |numbered AS (SELECT user_id, ts,
+         |                    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |               FROM marked)
+         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(MIN(ts) AS BIGINT) AS session_start,
+         |       CAST(MAX(ts) - MIN(ts) AS BIGINT) AS duration_us
+         |  FROM numbered GROUP BY user_id, session_no
+         | ORDER BY user_id, session_no""".stripMargin,
+    "q_dedup_keep" ->
+      s"""SELECT doc_id FROM (SELECT MIN(doc_id) AS doc_id
+         |  FROM '<sfDir>/documents.parquet' GROUP BY text) ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      s"""SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(COUNT(*) AS BIGINT) AS cf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |          FROM '<sfDir>/documents.parquet')
+         | GROUP BY tok ORDER BY tok""".stripMargin,
     "q_events_json" ->
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          |       CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -120,6 +120,9 @@ object SparkEntry {
     "q_top_orders" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "q_events_daily" -> ((s, dir) => Relational.eventsDaily(s, dir)),
     "q_events_json" -> ((s, dir) => Relational.eventsJsonStats(s, dir)),
+    "q_sessions" -> ((s, dir) => Relational.sessionize(s, dir)),
+    "q_dedup_keep" -> ((s, dir) => Dedup.dedupedDocIds(Sources.documents(s, dir))),
+    "q_vocab" -> ((s, dir) => TextAnalysis.vocabulary(Sources.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------------

@@ -29,6 +29,15 @@ object Dedup {
       .filter(col("n_dups") > 1)
       .orderBy("h")
 
+  /** Deduplicated corpus: the `dropDuplicates`-style survivor set with a
+    * DETERMINISTIC keeper (min doc_id per distinct text — `dropDuplicates`
+    * itself keeps an arbitrary row, which would not be oracle-checkable). */
+  def dedupedDocIds(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
   /** Corpus-level dedup summary: total docs, distinct texts, redundant docs. */
   def dedupSummary(docs: DataFrame): DataFrame =
     docs.agg(

@@ -80,6 +80,32 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type", "day")
 
+  /** Gap-based sessionization: a user's events split into sessions wherever
+    * the gap to the previous event exceeds `gapMicros` (30 min default). The
+    * classic two-window formulation — lag to mark session starts, running sum
+    * to number them — shuffles once on user_id and is fully ANSI-portable.
+    * Times are in MICROseconds: the source carries nanos, but DuckDB's
+    * TIMESTAMP truncates to micros at read, so both engines work on
+    * `ts div 1000` for identical session boundaries and outputs. */
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gapMicros: Long = 30L * 60 * 1000000L): DataFrame = {
+    // event_id tie-break: equal timestamps would make lag order unstable
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Sources.table(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > gapMicros ||
+          lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (max(col("ts")) - min(col("ts"))).as("duration_us"))
+      .orderBy("user_id", "session_no")
+  }
+
   /** JSON property extraction + integer aggregation (exact long sums). */
   def eventsJsonStats(spark: SparkSession, sfDir: String): DataFrame =
     Sources.table(spark, sfDir, "events")

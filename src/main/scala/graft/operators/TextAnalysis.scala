@@ -120,6 +120,17 @@ object TextAnalysis {
       .agg(min(Hashes.h60(col("s"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary statistics: per token, document frequency and
+    * collection frequency — the inputs to stopword lists, IDF weights and
+    * tokenizer audits. One shuffle on the token key. */
+  def vocabulary(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy("tok")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"))
+      .orderBy("tok")
+
   /** Per-(lang, source) corpus statistics over the document table. */
   def docStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang", "source")
