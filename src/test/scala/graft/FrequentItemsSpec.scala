@@ -85,6 +85,22 @@ class FrequentItemsSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty)
   }
 
+  test("idiomatic streaming exact counts: groupBy.count in update mode (A8)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val counts = ms.toDF().select(col("_2").as("item"))
+      .groupBy("item").count()
+    val q = counts.writeStream.format("memory").queryName("t_counts")
+      .outputMode("update").start()
+    stream.take(600).grouped(200).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    // the latest update per item must equal the batch count
+    val latest = spark.table("t_counts").groupBy("item")
+      .agg(max("count").as("count")).as[(Long, Long)].collect().toMap
+    val brute = stream.take(600).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(latest == brute)
+  }
+
   test("batch frequent-item queries agree with brute force") {
     val df = stream.toDF("seq", "item")
     val brute = stream.take(1000).groupBy(_._2).view.mapValues(_.size.toLong).toMap
