@@ -169,13 +169,18 @@ object ExtensionOracles {
          |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
          |        FROM e x JOIN e y ON x.vec_id < y.vec_id)
          |SELECT a, b, cos FROM s WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
-    // ---- multimodal (stub decode arithmetic mirrored on length(text)) ----
+    // ---- multimodal (stub decode arithmetic mirrored on the UTF-8 BYTE
+    // length — octet_length(encode(text)) — matching the Spark side's
+    // encode(text,'UTF-8') payload even for non-ASCII documents) ----
     "q_media_meta" ->
-      s"""SELECT doc_id AS media_id, source AS kind,
-         |       CAST(length(text) AS BIGINT) AS n_bytes,
-         |       CAST(64 + (length(text) % 576) AS BIGINT) AS width,
-         |       CAST(48 + ((length(text) * 7) % 432) AS BIGINT) AS height,
-         |       CAST(1 + (length(text) % 16) AS BIGINT) AS n_frames
-         |  FROM $DOCS ORDER BY media_id""".stripMargin,
+      s"""WITH m AS (SELECT doc_id, source,
+         |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |             FROM $DOCS)
+         |SELECT doc_id AS media_id, source AS kind,
+         |       n AS n_bytes,
+         |       CAST(64 + (n % 576) AS BIGINT) AS width,
+         |       CAST(48 + ((n * 7) % 432) AS BIGINT) AS height,
+         |       CAST(1 + (n % 16) AS BIGINT) AS n_frames
+         |  FROM m ORDER BY media_id""".stripMargin,
   )
 }

@@ -53,15 +53,17 @@ object Dedup {
 
   private def minhashSignaturesFrom(sh: DataFrame, h: Int): DataFrame = {
     // Hash each DISTINCT shingle once per k (corpus-wide shingle vocabularies
-    // are far smaller than the doc x shingle incidence — ~27k at sf0.1, so the
-    // hash table always broadcasts), then take the h mins as h parallel
-    // aggregates in ONE partial+final hash aggregation — no h-fold row
-    // explosion ever materializes. The tiny (doc, h-array) result unfolds to
-    // the (doc_id, k, mh) contract afterwards.
+    // are far smaller than the doc x shingle incidence), then take the h mins
+    // as h parallel aggregates in ONE partial+final hash aggregation — no
+    // h-fold row explosion ever materializes. The tiny (doc, h-array) result
+    // unfolds to the (doc_id, k, mh) contract afterwards.
+    // No broadcast hint: the distinct-shingle vocabulary grows with corpus
+    // size (no fixed bound at 100 TB), so let Catalyst/AQE pick broadcast vs
+    // shuffled hash join from the measured build-side size at runtime.
     val hashed = sh.select("s").distinct().select(col("s"),
       array((0 until h).map(k =>
         Hashes.h60(concat(lit(k.toString), lit(":"), col("s")))): _*).as("hs"))
-    sh.join(broadcast(hashed), "s")
+    sh.join(hashed, "s")
       .groupBy("doc_id")
       .agg(array((0 until h).map(k => min(col("hs").getItem(k))): _*).as("sig"))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "mh")))

@@ -139,6 +139,7 @@ object FrequentItemsStream {
           queryName: String = "freq_items"): (SamplerState, StreamingQuery) = {
     val state = new SamplerState(p, seed)
     val ref = new java.util.concurrent.atomic.AtomicReference[StreamingQuery]()
+    val stopRequested = new java.util.concurrent.atomic.AtomicBoolean(false)
     val query = stream.writeStream
       .queryName(queryName)
       .outputMode("append")
@@ -152,9 +153,15 @@ object FrequentItemsStream {
           .collect().map(_.getLong(0))
         val done = state.foldBatch(items)
         // stop-at-n (`big_data_computing_3.py:95-96,101-107`): signal from the
-        // batch thread, stop from a separate thread (stop() joins the batch).
-        if (done && ref.get() != null)
-          new Thread(() => ref.get().stop()).start()
+        // batch thread, stop from a watcher thread (stop() joins the batch).
+        // The watcher spin-waits for `ref` so a first micro-batch that already
+        // reaches n (e.g. a file-source replay) cannot race past ref.set().
+        if (done && stopRequested.compareAndSet(false, true))
+          new Thread(() => {
+            var q = ref.get()
+            while (q == null) { Thread.sleep(1L); q = ref.get() }
+            q.stop()
+          }).start()
       }
       .start()
     ref.set(query)

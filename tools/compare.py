@@ -23,14 +23,14 @@ for name, sql in sorted(oracle.items()):
     o = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
     if list(s.columns) != list(o.columns):
         print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}"); fail += 1; continue
+    if list(s.dtypes) != list(o.dtypes):
+        print(f"FAIL {name}: dtypes {s.dtypes.to_dict()} vs {o.dtypes.to_dict()}")
+        fail += 1; continue
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     if len(s) != len(o):
         print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); fail += 1; continue
-    try:
-        o2 = o.astype(s.dtypes.to_dict())
-    except Exception:
-        o2 = o
+    o2 = o
     eq = s.equals(o2)
     if not eq:
         # exact cell compare with report
@@ -43,6 +43,13 @@ for name, sql in sorted(oracle.items()):
         fail += 1
     else:
         print(f"OK   {name} ({len(s)} rows)")
-missing = [q for q in oracle if q not in oracle]  # placeholder
+# coverage: every dumped query dir should either have an oracle (hash gate)
+# or be a known rows-only query; surface the uncovered set explicitly
+import os
+dumped = sorted(d for d in os.listdir(outdir)
+                if os.path.isdir(os.path.join(outdir, d)))
+rows_only = [q for q in dumped if q not in oracle]
+if rows_only:
+    print(f"\nrows-only (no oracle): {rows_only}")
 print(f"\n{len(oracle)-fail}/{len(oracle)} queries match")
 sys.exit(1 if fail else 0)
