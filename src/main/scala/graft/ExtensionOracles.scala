@@ -90,10 +90,13 @@ object ExtensionOracles {
          |  FROM $DOCS""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH $SH,
-         |ks AS (SELECT k FROM generate_series(0, 15) g(k)),
+         |ks AS (SELECT k, (k*7+3)%60 AS r,
+         |              CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS c
+         |         FROM generate_series(0, 15) g(k)),
+         |bh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS b FROM sh),
          |mh AS (SELECT doc_id, k,
-         |              MIN(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
-         |         FROM sh, ks GROUP BY doc_id, k),
+         |              MIN(xor(((b) >> (r)) | (((b) & ((CAST(1 AS BIGINT) << (r)) - 1)) << (60 - (r))), c)) AS mh
+         |         FROM bh, ks GROUP BY doc_id, k),
          |bands AS (SELECT doc_id, CAST(FLOOR(k / CAST(4 AS DOUBLE)) AS INT) AS band,
          |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
          |            FROM mh GROUP BY 1, 2),

@@ -28,4 +28,31 @@ object Hashes {
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
   def h32Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** k-th 60-bit variant of a base [[h60]] hash: rotate right by
+    * r = (7k+3) mod 60, then XOR a k-derived md5 constant. One md5 per input
+    * row buys h variants in pure codegen'd integer ops — the MinHash trick
+    * that keeps signature cost O(rows), not O(rows * h) md5 calls. The left
+    * shift masks low bits first so engines that ERROR on BIGINT overflow
+    * (DuckDB) and engines that wrap (Spark) compute identical values. */
+  def mix60(base: Column, k: Int): Column = {
+    val r = (k * 7 + 3) % 60
+    val rot = shiftright(base, r).bitwiseOR(
+      shiftleft(base.bitwiseAND(lit((1L << r) - 1)), 60 - r))
+    rot.bitwiseXOR(lit(mixConst60(k)))
+  }
+
+  /** 60-bit XOR constant for variant k — first 15 hex chars of md5(k),
+    * numerically identical to the SQL twin's md5(CAST(k AS VARCHAR)). */
+  def mixConst60(k: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** SQL twin of [[mix60]] with k as a column: base/k/r/c are SQL expressions
+    * (r = (k*7+3)%60, c = the md5-of-k constant). */
+  def mix60Sql(b: String, r: String, c: String): String =
+    s"xor((($b) >> ($r)) | ((($b) & ((CAST(1 AS BIGINT) << ($r)) - 1)) << (60 - ($r))), $c)"
 }

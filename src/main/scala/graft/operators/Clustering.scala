@@ -86,12 +86,19 @@ object Clustering {
   }
 
   /** Per-point distance to the nearest of `centers`, as a codegen'd column
-    * expression over a (d-dim) array column: least(sqrt(Σ(vᵢ−cᵢ)²), …). */
+    * expression over a (d-dim) array column: least(sqrt(Σ(vᵢ−cᵢ)²), …).
+    * The dimension is known from the literal centers, so the Σ unrolls into
+    * plain element_at arithmetic that stays inside whole-stage codegen — the
+    * higher-order `aggregate(zip_with(...))` formulation is interpreted and
+    * an order of magnitude slower on n·k·d workloads. The left-to-right
+    * `reduce(_ + _)` accumulates in the same order as the HOF fold
+    * (0.0 + t₀ = t₀ exactly), so radii are bit-identical. */
   def minDistToCenters(vecCol: Column, centers: Seq[Array[Double]]): Column = {
     val dists = centers.map { c =>
-      sqrt(aggregate(
-        zip_with(vecCol, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      sqrt(c.indices.map { i =>
+        val d = element_at(vecCol, i + 1) - lit(c(i))
+        d * d
+      }.reduce(_ + _))
     }
     if (dists.length == 1) dists.head else least(dists: _*)
   }

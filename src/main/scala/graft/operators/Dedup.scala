@@ -45,27 +45,23 @@ object Dedup {
       countDistinct(col("text")).as("n_distinct"),
       (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
 
-  /** MinHash signatures: for each of `h` hash functions k, the min 60-bit
-    * hash of `k:shingle` over the doc's distinct 9-gram shingles.
+  /** MinHash signatures: for each of `h` hash variants k, the min 60-bit
+    * mixed hash over the doc's distinct 9-gram shingles.
     * Output: (doc_id, k, mh). */
   def minhashSignatures(docs: DataFrame, h: Int = 16): DataFrame =
     minhashSignaturesFrom(TextAnalysis.charShingles(docs), h)
 
   private def minhashSignaturesFrom(sh: DataFrame, h: Int): DataFrame = {
-    // Hash each DISTINCT shingle once per k (corpus-wide shingle vocabularies
-    // are far smaller than the doc x shingle incidence), then take the h mins
-    // as h parallel aggregates in ONE partial+final hash aggregation — no
-    // h-fold row explosion ever materializes. The tiny (doc, h-array) result
-    // unfolds to the (doc_id, k, mh) contract afterwards.
-    // No broadcast hint: the distinct-shingle vocabulary grows with corpus
-    // size (no fixed bound at 100 TB), so let Catalyst/AQE pick broadcast vs
-    // shuffled hash join from the measured build-side size at runtime.
-    val hashed = sh.select("s").distinct().select(col("s"),
-      array((0 until h).map(k =>
-        Hashes.h60(concat(lit(k.toString), lit(":"), col("s")))): _*).as("hs"))
-    sh.join(hashed, "s")
-      .groupBy("doc_id")
-      .agg(array((0 until h).map(k => min(col("hs").getItem(k))): _*).as("sig"))
+    // ONE md5 per shingle row (the expensive part), then h cheap bit-mixed
+    // variants (rotate+xor, [[Hashes.mix60]], pure codegen'd integer ops)
+    // taken as h parallel min-aggregates in a single partial+final hash
+    // aggregation. No distinct-vocabulary join: at 100 TB there is no
+    // bounded build side to broadcast, and map-side partial aggregation
+    // keeps the shuffle at |docs|·1 rows regardless of corpus size. The
+    // tiny (doc, h-array) result unfolds to the (doc_id, k, mh) contract.
+    val based = sh.select(col("doc_id"), Hashes.h60(col("s")).as("b"))
+    based.groupBy("doc_id")
+      .agg(array((0 until h).map(k => min(Hashes.mix60(col("b"), k))): _*).as("sig"))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "mh")))
   }
 
@@ -90,16 +86,21 @@ object Dedup {
     verifiedJaccard(sh, cand, threshold)
   }
 
-  /** Exact Jaccard over a (cached) distinct-shingle table for given (a,b) pairs. */
+  /** Exact Jaccard over a (cached) distinct-shingle table for given (a,b)
+    * pairs. The shingle sets are folded to one array row per doc first, so
+    * the candidate pairs join two doc-level tables (tiny vs |docs| — AQE
+    * broadcasts) instead of re-shuffling the full doc x shingle incidence;
+    * |A∩B| is then a per-row `array_intersect` over two distinct sets —
+    * integer counts, so the jaccard double divides identically to the
+    * oracle's join-count formulation. */
   private def verifiedJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("ca"), col("a") === col("ca.doc_id"))
-      .join(sizes.as("cb"), col("b") === col("cb.doc_id"))
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("c"))
+    cand
+      .join(sets.as("ca"), col("a") === col("ca.doc_id"))
+      .join(sets.as("cb"), col("b") === col("cb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ca.ss"), col("cb.ss"))).cast("long"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
@@ -113,7 +114,12 @@ object Dedup {
     * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
   def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
                         threshold: Double = 0.3): DataFrame = {
-    val sh = TextAnalysis.charShingles(docs).cache()
+    // One explicit hash-repartition on the shingle key, cached: the DF
+    // aggregation, the df-cap semi-filter join and the inverted-index
+    // self-join below are all keyed by `s`, so they reuse this partitioning
+    // (InMemoryRelation preserves outputPartitioning) instead of three
+    // separate exchanges of the full doc x shingle incidence.
+    val sh = TextAnalysis.charShingles(docs).repartition(col("s")).cache()
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
     val rsh = sh.join(rare, "s").cache()
