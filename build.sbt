@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] shuffle-heavy queries need real heap headroom; 8g caused
   // GC-bound 2x run-to-run variance on the bench
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // whole-stage codegen emits hundreds of classes per multi-query run; the
+  // default 240m code cache fills mid-run and silently disables the JIT,
+  // which showed up as intermittent 2-10x per-stage slowdowns
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", SparkLocal.localDir)
       // testdata events.parquet carries TIMESTAMP(NANOS); read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
