@@ -71,6 +71,73 @@ object RelationalOracles {
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |          FROM '<sfDir>/documents.parquet')
          | GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       ${dsum(dec("l_quantity"))} AS sum_qty
+         |  FROM '<sfDir>/lineitem.parquet'
+         | GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q_semi_anti" ->
+      s"""SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/customer.parquet' c
+         |    WHERE EXISTS (SELECT 1 FROM '<sfDir>/orders.parquet' o
+         |                   WHERE o.o_custkey = c.c_custkey)) AS n_with,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/customer.parquet' c
+         |    WHERE NOT EXISTS (SELECT 1 FROM '<sfDir>/orders.parquet' o
+         |                       WHERE o.o_custkey = c.c_custkey)) AS n_without""".stripMargin,
+    "q_pivot" ->
+      s"""SELECT source,
+         |       CAST(SUM(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+         |       CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+         |       CAST(SUM(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+         |       CAST(SUM(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+         |       CAST(SUM(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+         |  FROM '<sfDir>/documents.parquet'
+         | GROUP BY source ORDER BY source""".stripMargin,
+    "q_rolling" ->
+      s"""SELECT event_id, user_id,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+         |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+         |       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n
+         |  FROM '<sfDir>/events.parquet'
+         | ORDER BY event_id""".stripMargin,
+    "q_setops" ->
+      s"""WITH d AS (SELECT * FROM '<sfDir>/documents.parquet')
+         |(SELECT doc_id FROM d WHERE lang = 'en'
+         | UNION
+         | SELECT doc_id FROM d WHERE source = 'src1')
+         |INTERSECT
+         |SELECT doc_id FROM d WHERE n_chars > 100
+         |EXCEPT
+         |SELECT doc_id FROM d WHERE source = 'src0'
+         |ORDER BY doc_id""".stripMargin,
+    "q_asof" ->
+      s"""WITH od AS (SELECT o_custkey, o_orderdate,
+         |                   MAX(o_orderkey) AS o_orderkey
+         |              FROM '<sfDir>/orders.parquet' GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ev_us,
+         |       od.o_orderkey, epoch_us(od.o_orderdate) AS ord_us
+         |  FROM '<sfDir>/events.parquet' e
+         |  ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+         | ORDER BY event_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM '<sfDir>/documents.parquet'),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |             CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS weight,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |                  ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+         |                           tf.tok) AS BIGINT) AS rank
+         |        FROM tf JOIN df ON tf.tok = df.tok)
+         |SELECT doc_id, tok, tf, df, weight, rank FROM r
+         | WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_events_json" ->
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          |       CAST(SUM(k) AS BIGINT) AS sum_k,

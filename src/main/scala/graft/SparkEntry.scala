@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
-import graft.operators.{Clustering, Dedup, ExactOutliers, GridOutliers,
-  Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Clustering, Dedup, ExactOutliers,
+  GridOutliers, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -123,6 +123,16 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_dedup_keep" -> ((s, dir) => Dedup.dedupedDocIds(Sources.documents(s, dir))),
     "q_vocab" -> ((s, dir) => TextAnalysis.vocabulary(Sources.documents(s, dir))),
+    // ---- round-2 relational widening ----
+    "q_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
+    "q_semi_anti" -> ((s, dir) => Relational.customersSemiAnti(s, dir)),
+    "q_pivot" -> ((s, dir) => Relational.docsPivot(s, dir)),
+    "q_rolling" -> ((s, dir) => Relational.eventsRolling(s, dir)),
+    "q_setops" -> ((s, dir) => Relational.docsSetOps(s, dir)),
+    "q_asof" -> ((s, dir) => AsOfJoin.eventsAsOfOrders(s, dir)),
+    "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Sources.documents(s, dir))),
+    // Approximate sketches (HLL++/quantile): rows-only by design.
+    "q_sketch_stats" -> ((s, dir) => Relational.sketchStats(s, dir)),
   )
 
   // ---------------------------------------------------------------------------

@@ -106,6 +106,81 @@ object Relational {
       .orderBy("user_id", "session_no")
   }
 
+  /** ROLLUP over (returnflag, linestatus) with explicit grouping flags —
+    * grouping-sets surface. The flags disambiguate subtotal rows from data
+    * NULLs and give every row a deterministic sort position. */
+  def pricingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n_rows"),
+        dsum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Semi/anti join surface: customers with at least one order vs none,
+    * as one summary row (left_semi + left_anti counts). */
+  def customersSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Sources.table(spark, sfDir, "customer")
+    val o = Sources.table(spark, sfDir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without"))
+    withOrders.crossJoin(without)
+  }
+
+  /** Pivot surface: documents per (source, lang) with lang pivoted to
+    * columns. Explicit value list — at scale an unbounded pivot would force
+    * a discovery pass; a declared vocabulary keeps it one aggregation. */
+  def docsPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = Sources.table(spark, sfDir, "documents")
+      .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+    p.select(col("source") +: langs.map(l =>
+      coalesce(col(l), lit(0L)).cast("long").as(l)): _*)
+      .orderBy("source")
+  }
+
+  /** Rolling window frame: per-user 3-event moving sum of `value`
+    * (2 preceding + current, (ts, event_id) order), summed in exact decimal
+    * then cast to double so the frame fold is order-independent. */
+  def eventsRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Sources.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("roll_sum",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select("event_id", "user_id", "roll_sum", "roll_n")
+      .orderBy("event_id")
+  }
+
+  /** Set-operation surface (UNION / INTERSECT / EXCEPT, all distinct
+    * semantics): English or src1 docs, that are longer than 100 chars,
+    * excluding src0. */
+  def docsSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Sources.table(spark, sfDir, "documents")
+    val en = d.filter(col("lang") === "en").select("doc_id")
+    val s1 = d.filter(col("source") === "src1").select("doc_id")
+    val long_ = d.filter(col("n_chars") > 100).select("doc_id")
+    val s0 = d.filter(col("source") === "src0").select("doc_id")
+    en.union(s1).distinct().intersect(long_).except(s0).orderBy("doc_id")
+  }
+
+  /** Sketch surface (rows-only; approximate by design, no exact oracle):
+    * HyperLogLog++ distinct counts and quantile sketches over lineitem,
+    * with the exact count alongside for scale reference. */
+  def sketchStats(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_extendedprice")).as("approx_prices"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty_approx"))
+
   /** JSON property extraction + integer aggregation (exact long sums). */
   def eventsJsonStats(spark: SparkSession, sfDir: String): DataFrame =
     Sources.table(spark, sfDir, "events")

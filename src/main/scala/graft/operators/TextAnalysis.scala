@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashes
@@ -130,6 +131,24 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("df"),
         count(lit(1)).as("cf"))
       .orderBy("tok")
+
+  /** Top-k terms per document by a tf·idf-style weight. The weight is
+    * tf/df — i.e. tf·idf with the linear idf = 1/df — chosen because the
+    * integer-over-integer double division is correctly rounded and therefore
+    * bit-identical across engines, where ln-based idf would hang the oracle
+    * hash on last-ulp libm differences. Rankings are tie-broken by token. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = tokens(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("weight", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tok", "tf", "df", "weight", "rank")
+      .orderBy("doc_id", "rank")
+  }
 
   /** Per-(lang, source) corpus statistics over the document table. */
   def docStats(docs: DataFrame): DataFrame =

@@ -24,6 +24,29 @@ object EventTime {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Session windows per user: gap-based sessionization as a STREAMING
+    * operator (`session_window`), the event-time twin of the batch
+    * [[graft.operators.Relational.sessionize]]. Watermark bounds session
+    * state; a session closes `gap` after its last event. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming dedup with bounded state: drop duplicate event ids where the
+    * duplicate arrives within the watermark delay of the original —
+    * `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    * horizon instead of forever (the only dedup that survives an unbounded
+    * stream). */
+  def dedupWithinWatermark(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class ItemEvent(item: Long, ts: java.sql.Timestamp)
   final case class ItemRunning(item: Long, total: Long, batches: Long)
 

@@ -13,13 +13,15 @@ class EntrySpec extends AnyFunSuite with SharedSpark {
     assert(df.count() >= 1)
   }
 
-  test("every oracle key has a query; randomized queries are the known five") {
+  test("every oracle key has a query; rows-only queries are the known set") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
+    // seeded-iterative (mrfft/hw2), seeded-randomized (reservoir) and
+    // approximate-by-design (sketches) — everything else must hash-match
     assert(rowsOnly == Set("q_mrfft_radius", "q_mrfft_embeddings",
-      "q_hw2_pipeline", "q_reservoir", "q_reservoir_merge"),
+      "q_hw2_pipeline", "q_reservoir", "q_reservoir_merge", "q_sketch_stats"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventTime
+
+class StreamingWideningSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(3600000L * 24 * 19723 + minute * 60000L)
+
+  test("session_window groups events by gap and closes sessions past the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+    val q = EventTime.sessionCounts(df, gap = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: events at 0,5 (one session); at 30 (new session, gap > 10)
+    ms.addData((ts(0), 1L), (ts(5), 1L), (ts(30), 1L))
+    q.processAllAvailable()
+    // advance watermark far enough to finalize both sessions
+    ms.addData((ts(120), 2L))
+    q.processAllAvailable()
+    ms.addData((ts(240), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_sessions")
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toList.sorted
+    assert(rows.contains((1L, 2L)), s"first session of user 1 must hold 2 events, got $rows")
+    assert(rows.contains((1L, 1L)), s"second session of user 1 must hold 1 event, got $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-horizon duplicate event ids") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().select(col("_1").as("ts"), col("_2").as("event_id"))
+    val q = EventTime.dedupWithinWatermark(df, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    ms.addData((ts(0), 100L), (ts(1), 100L), (ts(2), 101L))
+    q.processAllAvailable()
+    // same id again within the watermark horizon -> dropped
+    ms.addData((ts(3), 100L))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("t_dedup").select("event_id").as[Long].collect().toList
+    assert(ids.sorted == List(100L, 101L), s"duplicates must collapse, got $ids")
+  }
+}
