@@ -172,6 +172,46 @@ object ExtensionOracles {
          |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
          |        FROM e x JOIN e y ON x.vec_id < y.vec_id)
          |SELECT a, b, cos FROM s WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    "q_neardup_blocked" ->
+      s"""WITH $EMB,
+         |cent AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id % 100 = 0),
+         |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
+         |cells AS (SELECT vec_id, emb, cid FROM rk WHERE crank = 1),
+         |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
+         |        FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+         |SELECT a, b, cos FROM s WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    // ---- composed training pipeline: dedup keepers + quality + length
+    // gates (expression shapes identical to q_quality + q_dedup_keep) ----
+    "q_clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+         |             CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM t GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |             g.n_tokens,
+         |             CAST(g.n_distinct AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS ttr,
+         |             CAST(g.n_stop AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS stop_ratio
+         |        FROM $DOCS d JOIN g ON d.doc_id = g.doc_id),
+         |q AS (SELECT doc_id, n_chars, n_tokens,
+         |             CAST(0.5 AS DOUBLE)*ttr
+         |               + CAST(0.3 AS DOUBLE)*LEAST(stop_ratio*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |               + CAST(0.2 AS DOUBLE)*LEAST(CAST(n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+         |        FROM j),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM $DOCS GROUP BY text)
+         |SELECT q.doc_id AS doc_id, q.n_tokens, q.quality
+         |  FROM q JOIN k ON q.doc_id = k.doc_id
+         | WHERE q.quality >= CAST(0.4 AS DOUBLE) AND q.n_chars >= 50
+         | ORDER BY q.doc_id""".stripMargin,
+    // ---- frame sampling index (stride 64, frame 32, over UTF-8 bytes) ----
+    "q_frames" ->
+      s"""WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM $DOCS)
+         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
+         |       CAST(LEAST(32, n - i*64) AS BIGINT) AS frame_len
+         |  FROM m, generate_series(0, 1000) t(i)
+         | WHERE i*64 < n
+         | ORDER BY media_id, frame_no""".stripMargin,
     // ---- multimodal (stub decode arithmetic mirrored on the UTF-8 BYTE
     // length — octet_length(encode(text)) — matching the Spark side's
     // encode(text,'UTF-8') payload even for non-ASCII documents) ----

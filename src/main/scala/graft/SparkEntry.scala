@@ -133,6 +133,12 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Sources.documents(s, dir))),
     // Approximate sketches (HLL++/quantile): rows-only by design.
     "q_sketch_stats" -> ((s, dir) => Relational.sketchStats(s, dir)),
+    // ---- round-2 training-pipeline depth ----
+    "q_neardup_blocked" -> ((s, dir) =>
+      Similarity.neardupCosineBlocked(Sources.embeddings(s, dir))),
+    "q_clean_corpus" -> ((s, dir) =>
+      TextAnalysis.cleanCorpus(Sources.documents(s, dir))),
+    "q_frames" -> ((s, dir) => Multimodal.frameIndex(Sources.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------------

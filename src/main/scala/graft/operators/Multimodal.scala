@@ -69,4 +69,14 @@ object Multimodal {
     decodeMeta(fromDocuments(docs)).toDF()
       .select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
       .orderBy("media_id")
+
+  /** Frame-sampling view for the driver contract: frame index + byte length
+    * per sampled frame (lengths, not payloads, so the arithmetic is
+    * oracle-checkable; the binary frames themselves flow in
+    * [[sampleFrames]]). */
+  def frameIndex(docs: DataFrame, stride: Int = 64, frameBytes: Int = 32): DataFrame =
+    sampleFrames(fromDocuments(docs), stride, frameBytes).toDF()
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame")).cast("long").as("frame_len"))
+      .orderBy("media_id", "frame_no")
 }

@@ -107,6 +107,34 @@ object Similarity {
     out.orderBy("a", "b")
   }
 
+  /** Blocked near-duplicate pairs — the 100 TB scale path for
+    * [[neardupCosine]]: vectors are first assigned to their nearest coarse
+    * cell (the [[annIvf]] quantizer — deterministic centroids vec_id%100==0),
+    * and only pairs sharing a cell are scored. The pair space shrinks from
+    * n² to Σ|cell|², each cell's block fits one task, and the equi-join on
+    * cell id shuffles instead of broadcasting the corpus. Trade: pairs
+    * straddling a cell boundary are missed (recall < 1, the standard
+    * LSH/IVF-blocking trade); the DuckDB oracle mirrors the same blocking so
+    * the output is still hash-verified. */
+  def neardupCosineBlocked(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val centroids = broadcast(emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("emb").as("cv")))
+    val byCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    val cells = emb.select(col("vec_id"), col("emb"))
+      .crossJoin(centroids)
+      .select(col("vec_id"), col("emb"), col("cid"),
+        cosine(col("emb"), col("cv")).as("ccos"))
+      .withColumn("crank", row_number().over(byCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("cid"))
+    cells.as("x").join(cells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.emb"), col("y.emb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("a", "b")
+  }
+
   /** Strict left-to-right dot product — the same fold order as the
     * `aggregate(zip_with(...))` column expression and the DuckDB `list_sum`
     * twin, so all three produce bit-identical doubles. */

@@ -160,5 +160,22 @@ object TextAnalysis {
         max(col("n_chars")).cast("long").as("max_chars"))
       .orderBy("lang", "source")
 
+  /** End-to-end corpus cleaning — the composed pipeline a training-data run
+    * executes as one job: exact-dedup to min-id keepers, then surface-quality
+    * and length gates. Output: surviving (doc_id, n_tokens, quality). Each
+    * stage is one of the operators above; composing them keeps everything in
+    * a single Catalyst plan (shared scan, pipelined filters) instead of
+    * materializing between stages. */
+  def cleanCorpus(docs: DataFrame, minQuality: Double = 0.4,
+                  minChars: Long = 50L): DataFrame = {
+    val keepers = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    qualityScore(docs)
+      .join(keepers, "doc_id")
+      .filter(col("quality") >= minQuality && col("n_chars") >= minChars)
+      .select("doc_id", "n_tokens", "quality")
+      .orderBy("doc_id")
+  }
+
   private[operators] def h60(c: Column): Column = Hashes.h60(c)
 }
