@@ -28,12 +28,15 @@ object ExactOutliers {
   /** |B(p,D)| per point: (id, ball_size), self-inclusive
     * (`big_data_computing_1.py:33`).
     *
-    * Note on a rejected optimization: materializing each unordered pair once
-    * (probe id < other id) and crediting both endpoints halves the distance
-    * evaluations — but the testdata's fixture id (`l_orderkey*10+l_linenumber`)
-    * is NOT unique, and the `<` filter silently drops close pairs that share
-    * an id, changing the merged-id ball counts the oracle computes. The
-    * one-directional probe form below is duplicate-id-safe. */
+    * Note on a rejected optimization (measured, not assumed): materializing
+    * each unordered pair once — half-space cell offsets + lexicographic
+    * same-cell dedup over multiplicity-grouped rows, crediting both
+    * endpoints — halves the distance evaluations, but benched 2-4x SLOWER
+    * than this directional form at sf0.1/local[32]: the credit fan-out
+    * (a Generate of two structs per surviving pair) doubles the aggregation
+    * input back to the directional volume, and the disjunctive same-cell
+    * predicate rides the join's hot loop. (A naive `id <` pair dedup is also
+    * semantically wrong here: fixture ids are not unique.) */
   def ballCounts(points: DataFrame, d: Double): DataFrame = {
     val bucketed = points.select(
       col("id"), col("x"), col("y"),
