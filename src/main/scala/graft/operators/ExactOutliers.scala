@@ -37,17 +37,31 @@ object ExactOutliers {
     * input back to the directional volume, and the disjunctive same-cell
     * predicate rides the join's hot loop. (A naive `id <` pair dedup is also
     * semantically wrong here: fixture ids are not unique.) */
-  def ballCounts(points: DataFrame, d: Double): DataFrame = {
+  def ballCounts(points: DataFrame, d: Double,
+                 pruneProbes: Boolean = true): DataFrame = {
     val bucketed = points.select(
       col("id"), col("x"), col("y"),
       floor(col("x") / lit(d)).cast("long").as("bi"),
       floor(col("y") / lit(d)).cast("long").as("bj"))
-    val probes = bucketed
+    val allProbes = bucketed
       .select(col("id"), col("x"), col("y"), col("bi"), col("bj"),
         explode(typedlit(offsets3x3)).as("o"))
       .select(col("id"), col("x"), col("y"),
         (col("bi") + col("o._1")).as("pi"),
         (col("bj") + col("o._2")).as("pj"))
+    // Occupied-cell probe pruning (measured ~10-30% at sf0.1): a probe into
+    // an empty neighbor cell can never match, so a broadcast semi-join
+    // against the occupied-cell directory drops it BEFORE the shuffle (2/3
+    // of probe rows on this fixture's integer-x grid). The directory is
+    // |occupied cells| ≈ covered-area/D² — bounded by data geometry, not by
+    // row count, so it stays broadcastable for any clustered dataset; set
+    // pruneProbes=false for pathological near-uniform sparsity where
+    // |cells| → |points|.
+    val probes =
+      if (!pruneProbes) allProbes
+      else allProbes.join(
+        broadcast(bucketed.select(col("bi").as("ci"), col("bj").as("cj")).distinct()),
+        col("pi") === col("ci") && col("pj") === col("cj"), "left_semi")
     val other = bucketed.select(
       col("id").as("oid"), col("x").as("ox"), col("y").as("oy"),
       col("bi"), col("bj"))
