@@ -138,6 +138,15 @@ object RelationalOracles {
          |        FROM tf JOIN df ON tf.tok = df.tok)
          |SELECT doc_id, tok, tf, df, weight, rank FROM r
          | WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_interval_join" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id
+         |             FROM '<sfDir>/events.parquet')
+         |SELECT a.user_id, a.event_id AS a, b.event_id AS b,
+         |       CAST(b.t - a.t AS BIGINT) AS gap_us
+         |  FROM e a JOIN e b
+         |    ON a.user_id = b.user_id AND a.event_id < b.event_id
+         |   AND abs(b.t - a.t) <= 300000000
+         | ORDER BY a, b""".stripMargin,
     "q_events_json" ->
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          |       CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
 import graft.operators.{AsOfJoin, Clustering, Dedup, ExactOutliers,
-  GridOutliers, Multimodal, Relational, Similarity, TextAnalysis}
+  GridOutliers, IntervalJoin, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -139,6 +139,7 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, dir) =>
       TextAnalysis.cleanCorpus(Sources.documents(s, dir))),
     "q_frames" -> ((s, dir) => Multimodal.frameIndex(Sources.documents(s, dir))),
+    "q_interval_join" -> ((s, dir) => IntervalJoin.eventPairs(s, dir)),
   )
 
   // ---------------------------------------------------------------------------

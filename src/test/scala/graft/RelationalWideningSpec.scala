@@ -76,6 +76,21 @@ class RelationalWideningSpec extends AnyFunSuite with SharedSpark {
     assert(out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq == Seq("a", "b"))
   }
 
+  test("interval join matches a brute-force band theta-join, each pair once") {
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 300L).map(i => (rng.nextInt(4).toLong, rng.nextInt(1000).toLong, i))
+      .toDF("key", "t", "rowId")
+    val got = graft.operators.IntervalJoin.within(rows, delta = 37L)
+      .select("a", "b").as[(Long, Long)].collect().sorted.toSeq
+    val data = (rows.as[(Long, Long, Long)].collect()): Array[(Long, Long, Long)]
+    val want = (for {
+      (ka, ta, ia) <- data; (kb, tb, ib) <- data
+      if ka == kb && ia < ib && math.abs(tb - ta) <= 37L
+    } yield (ia, ib)).sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("set-ops query equals the set-algebra on collected sets") {
     val dir = "/root/testdata/sf0.001"
     val d = graft.sources.Sources.documents(spark, dir)
