@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan posture gates for the 100 TB design point: every contract
+  * query must plan without an unbounded pair space, and scans must receive
+  * pushed filters where the query is selective. These run on sf0.001 (plan
+  * shape is scale-invariant; only the data volume differs). */
+class PlanPostureSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Nested-loop joins that are deliberate and bounded: ANN scoring
+    * crossJoins against an explicitly broadcast tiny side (query vectors /
+    * coarse centroids); summary queries combine two SINGLE-ROW aggregates
+    * (n_points x classified-cell sums, semi x anti counts) — a 1x1 join by
+    * construction. Every other query must stay free of nested-loop pair
+    * spaces. */
+  private val deliberateNestedLoop = Set("q_ann_topk", "q_ann_ivf",
+    "q_neardup_blocked", "q_semi_anti", "q_outlier_summary", "q_hw2_pipeline")
+
+  test("no contract query plans a CartesianProduct") {
+    for (name <- SparkEntry.queries.keys) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("nested-loop joins appear only where a tiny side is deliberately broadcast") {
+    for (name <- SparkEntry.queries.keys if !deliberateNestedLoop(name)) {
+      val plan = planOf(name)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unexpected nested-loop join:\n$plan")
+    }
+  }
+
+  test("selective scans push their filters into the parquet reader") {
+    val plan = planOf("q1_pricing")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q1_pricing must push the shipdate predicate to the scan:\n$plan")
+  }
+
+  test("pruned column sets reach the scan (no full-width reads for narrow queries)") {
+    val plan = planOf("q_token_counts")
+    // documents has (doc_id, text, lang, source, n_chars, ...); token counting
+    // needs only (doc_id, text)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q_token_counts must read only doc_id+text:\n$plan")
+  }
+}
