@@ -138,6 +138,24 @@ object RelationalOracles {
          |        FROM tf JOIN df ON tf.tok = df.tok)
          |SELECT doc_id, tok, tf, df, weight, rank FROM r
          | WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q5_region" ->
+      s"""SELECT r.r_name,
+         |       ${dsum(s"${dec("l.l_extendedprice")} * ($one - ${dec("l.l_discount")})")} AS revenue,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+         |  FROM '<sfDir>/lineitem.parquet' l
+         |  JOIN '<sfDir>/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+         |  JOIN '<sfDir>/customer.parquet' c ON o.o_custkey = c.c_custkey
+         |  JOIN '<sfDir>/supplier.parquet' s
+         |    ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |  JOIN '<sfDir>/nation.parquet' n ON s.s_nationkey = n.n_nationkey
+         |  JOIN '<sfDir>/region.parquet' r ON n.n_regionkey = r.r_regionkey
+         | GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    "q_split" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+         |            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+         |            ELSE 'test' END AS split
+         |  FROM '<sfDir>/documents.parquet' ORDER BY doc_id""".stripMargin,
     "q_interval_join" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id
          |             FROM '<sfDir>/events.parquet')

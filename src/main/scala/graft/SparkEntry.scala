@@ -140,6 +140,9 @@ object SparkEntry {
       TextAnalysis.cleanCorpus(Sources.documents(s, dir))),
     "q_frames" -> ((s, dir) => Multimodal.frameIndex(Sources.documents(s, dir))),
     "q_interval_join" -> ((s, dir) => IntervalJoin.eventPairs(s, dir)),
+    "q5_region" -> ((s, dir) => Relational.revenueByRegion(s, dir)),
+    "q_split" -> ((s, dir) =>
+      TextAnalysis.deterministicSplit(Sources.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------------

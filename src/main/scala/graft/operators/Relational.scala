@@ -106,6 +106,31 @@ object Relational {
       .orderBy("user_id", "session_no")
   }
 
+  /** TPC-H Q5-shaped 6-way join: revenue per region where the supplier and
+    * the customer share a nation — lineitem drives, orders/customer/supplier
+    * carry keys, nation/region are broadcast dims. Catalyst orders the joins;
+    * the two tiny dims auto-broadcast, the key-carrying joins shuffle on
+    * their keys. */
+  def revenueByRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Sources.table(spark, sfDir, "lineitem")
+    val o = Sources.table(spark, sfDir, "orders")
+    val c = Sources.table(spark, sfDir, "customer")
+    val s = Sources.table(spark, sfDir, "supplier")
+    val n = Sources.table(spark, sfDir, "nation")
+    val r = Sources.table(spark, sfDir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with explicit grouping flags —
     * grouping-sets surface. The flags disambiguate subtotal rows from data
     * NULLs and give every row a deterministic sort position. */

@@ -160,6 +160,20 @@ object TextAnalysis {
         max(col("n_chars")).cast("long").as("max_chars"))
       .orderBy("lang", "source")
 
+  /** Deterministic train/val/test split: a doc's bucket is a pure function
+    * of its id (md5-derived, mirrored in SQL), so the split is reproducible
+    * across runs, engines and re-partitioning — the property a training
+    * pipeline needs that `randomSplit` (plan-and-partitioning-dependent)
+    * does not give. 80/10/10 by hash mod 10. */
+  def deterministicSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        (Hashes.h60(col("doc_id").cast("string")) % 10).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   /** End-to-end corpus cleaning — the composed pipeline a training-data run
     * executes as one job: exact-dedup to min-id keepers, then surface-quality
     * and length gates. Output: surviving (doc_id, n_tokens, quality). Each
