@@ -33,8 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m code cache fills mid-run and silently disables the JIT,
   // which showed up as intermittent 2-10x per-stage slowdowns
   "-XX:ReservedCodeCacheSize=1g",
-  // cached columnar batches and shuffle buffers are multi-MB objects; with
-  // default-sized G1 regions they allocate as humongous and trigger
-  // multi-second mixed/full collections on cache-heavy queries
-  "-XX:G1HeapRegionSize=32m", "-XX:+ParallelRefProcEnabled",
 )

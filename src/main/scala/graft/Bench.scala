@@ -20,16 +20,17 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    // Best-of-N per query (default 2), run as N full PASSES over the suite
-    // rather than back-to-back reps: the first execution pays one-time
-    // codegen/JIT compilation (a fixed cost that amortizes to zero at
-    // scale), and a transient whole-machine slow phase lands on different
-    // queries in each pass, so the per-query min rejects it. BASELINE.md
-    // records numbers measured the same way.
+    // Best-of-N per query (default 2), reps back-to-back: the first
+    // execution pays one-time codegen/JIT compilation (a fixed cost that
+    // amortizes to zero at scale); the immediate second rep hits the codegen
+    // class cache and measures steady state. (Interleaving full passes was
+    // tried and reverted: the codegen cache is a ~100-entry LRU, so with 50+
+    // queries between a query's reps the second pass recompiles everything
+    // and the min degrades to min(cold, cold) — a ~2x total regression.)
+    // BASELINE.md records numbers measured the same way.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to reps).map { _ =>
-      ordered.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed query is recorded (and fails the run) — a silent catch
         // would make breakage read as a speedup
@@ -38,12 +39,9 @@ object Bench {
                    System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
         // drop per-query caches so queries don't squeeze each other's memory
         spark.catalog.clearCache()
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-    }
-    val results = ordered.map { case (name, _) =>
-      val runs = passes.map(_.find(_._1 == name).get)
-      (name, runs.map(_._2).min, runs.forall(_._3))
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

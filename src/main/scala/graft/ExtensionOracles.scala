@@ -28,6 +28,31 @@ object ExtensionOracles {
       |       CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) AS jaccard
       |  FROM inter i JOIN sz ca ON i.a = ca.doc_id JOIN sz cb ON i.b = cb.doc_id""".stripMargin
 
+  /** The full MinHash-LSH candidate+verify CTE chain (shared by
+    * q_minhash_lsh and q_dedup_clusters); mirrors [[graft.operators.Dedup]]
+    * bit-for-bit — base h60 per shingle, rotate+xor variant k, 4-row bands,
+    * exact Jaccard via shingle intersection. */
+  private def minhashCtes: String =
+    s"""$SH,
+       |ks AS (SELECT k, (k*7+3)%60 AS r,
+       |              CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS c
+       |         FROM generate_series(0, 15) g(k)),
+       |bh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS b FROM sh),
+       |mh AS (SELECT doc_id, k,
+       |              MIN(xor(((b) >> (r)) | (((b) & ((CAST(1 AS BIGINT) << (r)) - 1)) << (60 - (r))), c)) AS mh
+       |         FROM bh, ks GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, CAST(FLOOR(k / CAST(4 AS DOUBLE)) AS INT) AS band,
+       |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
+       |            FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |           FROM bands x JOIN bands y
+       |             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+       |inter AS (SELECT cand.a, cand.b, CAST(COUNT(*) AS BIGINT) AS inter
+       |            FROM cand JOIN sh sa ON cand.a = sa.doc_id
+       |                      JOIN sh sb ON cand.b = sb.doc_id AND sa.s = sb.s
+       |           GROUP BY cand.a, cand.b)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // ---- text analysis ----
     "q_token_counts" ->
@@ -89,28 +114,25 @@ object ExtensionOracles {
          |       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_docs
          |  FROM $DOCS""".stripMargin,
     "q_minhash_lsh" ->
-      s"""WITH $SH,
-         |ks AS (SELECT k, (k*7+3)%60 AS r,
-         |              CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS c
-         |         FROM generate_series(0, 15) g(k)),
-         |bh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS b FROM sh),
-         |mh AS (SELECT doc_id, k,
-         |              MIN(xor(((b) >> (r)) | (((b) & ((CAST(1 AS BIGINT) << (r)) - 1)) << (60 - (r))), c)) AS mh
-         |         FROM bh, ks GROUP BY doc_id, k),
-         |bands AS (SELECT doc_id, CAST(FLOOR(k / CAST(4 AS DOUBLE)) AS INT) AS band,
-         |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
-         |            FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |           FROM bands x JOIN bands y
-         |             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
-         |inter AS (SELECT cand.a, cand.b, CAST(COUNT(*) AS BIGINT) AS inter
-         |            FROM cand JOIN sh sa ON cand.a = sa.doc_id
-         |                      JOIN sh sb ON cand.b = sb.doc_id AND sa.s = sb.s
-         |           GROUP BY cand.a, cand.b)
+      s"""WITH $minhashCtes
          |$jaccardSelect
          | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5
          | ORDER BY a, b""".stripMargin,
+    // clusters = connected components over the verified LSH pairs, via a
+    // recursive transitive closure (cluster id = min reachable doc_id) —
+    // the engine's iterative min-label propagation must land on the same
+    // fixpoint
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS ($jaccardSelect
+         |           WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b AS u, a AS w FROM pairs),
+         |verts AS (SELECT DISTINCT u AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.w = rc.v)
+         |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $SH,
          |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) WHERE df <= 20),

@@ -138,6 +138,77 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Connected components over an undirected pair list — the cluster-merge
+    * step after near-dup pair generation (two docs 0.4-similar to a common
+    * third belong to one dedup group even if not directly paired).
+    *
+    * Min-label propagation to fixpoint: every vertex repeatedly adopts the
+    * smallest label among itself and its neighbors. Each round is one
+    * shuffled join + aggregation over the EDGE list (never a transitive
+    * closure materialization), and the round count is the component
+    * diameter — near-dup clusters are short chains, so this converges in a
+    * handful of rounds at any corpus size; the driver only ever sees the
+    * single convergence counter. Output: (doc_id, cluster_id = min doc_id
+    * in the component), for every doc incident to a pair. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 100,
+                          driverThreshold: Long = 4_000_000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("a").cast("long"), col("b").cast("long")).cache()
+    // Size-gated strategy (the same explicit switch the reference applies to
+    // its exact-outlier path): a near-dup pair graph is a vanishing fraction
+    // of the corpus — when it fits the driver comfortably, a local
+    // union-find in one collect beats rounds of distributed joins whose
+    // per-round job overhead dominates tiny data. Past the threshold, the
+    // distributed min-label loop below takes over.
+    if (p.count() <= driverThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val px = parent.getOrElseUpdate(x, x)
+        if (px == x) x else { val r = find(px); parent(x) = r; r }
+      }
+      p.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      p.unpersist()
+      parent.keys.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    } else {
+      val edges = p.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(p.select(col("b").as("u"), col("a").as("v")))
+        .cache()
+      var labels = edges.select(col("u").as("id"))
+        .distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint()
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val neighborMin = edges
+          .join(labels, edges("v") === labels("id"))
+          .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nlbl"))
+        // localCheckpoint (eager) truncates the per-round lineage — without
+        // it each iteration's plan nests the previous one and analysis time
+        // grows quadratically with the round count
+        val next = labels.join(neighborMin, "id")
+          .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).isEmpty
+        labels.unpersist()
+        labels = next
+        round += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Driver-contract instance: clusters over the MinHash-LSH verified pairs. */
+  def nearDupClusters(docs: DataFrame): DataFrame =
+    connectedComponents(minhashLshPairs(docs))
+
   /** 32-bit SimHash over whitespace tokens (with multiplicity): per bit b,
     * sign-sum of token-hash bits; simhash bit b set iff the sum is positive. */
   def simhash(docs: DataFrame): DataFrame = {

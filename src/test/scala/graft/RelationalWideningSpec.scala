@@ -91,6 +91,36 @@ class RelationalWideningSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty)
   }
 
+  test("connectedComponents matches union-find on random pair graphs") {
+    val rng = new scala.util.Random(13)
+    // a chain + random edges: exercises multi-hop label propagation
+    val pairs = ((1L to 8L).map(i => (i, i + 1)) ++
+      (1 to 20).map(_ => (rng.nextInt(100).toLong + 100L, rng.nextInt(100).toLong + 100L)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val got = graft.operators.Dedup.connectedComponents(pairs.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    // distributed min-label propagation must reach the same fixpoint as the
+    // driver-side union-find the size gate normally picks here
+    val gotDistributed = graft.operators.Dedup
+      .connectedComponents(pairs.toDF("a", "b"), driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDistributed == got)
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    assert(got == want)
+    assert(got.values.toSet.size > 1, "fixture should have several components")
+  }
+
   test("set-ops query equals the set-algebra on collected sets") {
     val dir = "/root/testdata/sf0.001"
     val d = graft.sources.Sources.documents(spark, dir)
