@@ -33,4 +33,24 @@ class FileStreamReplaySpec extends AnyFunSuite with SharedSpark {
     assert(state.trueFrequent.nonEmpty)
     assert(state.exact.values.sum == state.processed)
   }
+
+  test("stop fires even when the FIRST micro-batch already reaches n (stop-signal race)") {
+    // regression for the ref.set-after-start race: one file, no
+    // maxFilesPerTrigger -> the whole replay lands in micro-batch 0, whose
+    // foreachBatch may run before run() publishes the query handle
+    val p = StreamParams(200L, 0.025, 0.01, 0.1)
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay1").toString
+    src.select(col("event_id").as("seq"), (col("user_id") % 50).as("item"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("seq BIGINT, item BIGINT")
+      .parquet(dir)
+    val (state, query) = FrequentItemsStream.run(stream, p, seed = 3L,
+      queryName = "t_replay_one_batch")
+    val stopped = query.awaitTermination(60000)
+    assert(stopped, "query must stop itself after the single covering batch")
+    assert(state.processed >= p.n)
+  }
 }
