@@ -138,6 +138,19 @@ object RelationalOracles {
          |        FROM tf JOIN df ON tf.tok = df.tok)
          |SELECT doc_id, tok, tf, df, weight, rank FROM r
          | WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // identical oracle as q1_pricing — the query IS q1 via the string-SQL
+    // surface, so both engines' SQL must agree with the DataFrame plan too
+    "q_sql_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${dsum(dec("l_quantity"))} AS sum_qty,
+         |       ${dsum(dec("l_extendedprice"))} AS sum_base_price,
+         |       ${dsum(s"${dec("l_extendedprice")} * ($one - ${dec("l_discount")})")} AS sum_disc_price,
+         |       ${dsum(s"${dec("l_extendedprice")} * ($one - ${dec("l_discount")}) * ($one + ${dec("l_tax")})")} AS sum_charge,
+         |       CAST(COUNT(*) AS BIGINT) AS count_order
+         |  FROM '<sfDir>/lineitem.parquet'
+         | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         | GROUP BY l_returnflag, l_linestatus
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q5_region" ->
       s"""SELECT r.r_name,
          |       ${dsum(s"${dec("l.l_extendedprice")} * ($one - ${dec("l.l_discount")})")} AS revenue,

@@ -142,6 +142,7 @@ object SparkEntry {
     "q_frames" -> ((s, dir) => Multimodal.frameIndex(Sources.documents(s, dir))),
     "q_interval_join" -> ((s, dir) => IntervalJoin.eventPairs(s, dir)),
     "q5_region" -> ((s, dir) => Relational.revenueByRegion(s, dir)),
+    "q_sql_pricing" -> ((s, dir) => Relational.pricingSummarySql(s, dir)),
     "q_split" -> ((s, dir) =>
       TextAnalysis.deterministicSplit(Sources.documents(s, dir))),
   )

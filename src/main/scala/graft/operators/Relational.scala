@@ -106,6 +106,24 @@ object Relational {
       .orderBy("user_id", "session_no")
   }
 
+  /** The Q1 pricing summary through the string-SQL surface (temp view +
+    * spark.sql): a user can run ANSI SQL against the engine and get the
+    * same Catalyst plan — and the same bytes — as the DataFrame API. */
+  def pricingSummarySql(spark: SparkSession, sfDir: String): DataFrame = {
+    Sources.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |       COUNT(*) AS count_order
+        |  FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** TPC-H Q5-shaped 6-way join: revenue per region where the supplier and
     * the customer share a nation — lineitem drives, orders/customer/supplier
     * carry keys, nation/region are broadcast dims. Catalyst orders the joins;

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sink surface: partitioned columnar writes and partition-pruned reads —
+  * the layout decisions that matter at 100 TB (a scan that reads every
+  * partition for a single-lang query is wrong regardless of operator
+  * quality). The reference writes only to stdout (SURVEY.md §2.1 S5); this
+  * is the beyond-ref storage surface. */
+class SinkSpec extends AnyFunSuite with SharedSpark {
+
+  test("partitionBy write + partition-pruned read (PartitionFilters in the scan)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+
+    val en = back.filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions, not scan+filter:\n$plan")
+    assert(en.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("csv and json round-trips preserve rows and schema-on-read works") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    src.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    src.write.mode("overwrite").json(s"$dir/json")
+
+    val csv = spark.read.option("header", "true")
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT").csv(s"$dir/csv")
+    val json = spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .json(s"$dir/json")
+    assert(csv.count() == src.count() && json.count() == src.count())
+    assert(csv.agg(sum("n_chars")).head().getLong(0) ==
+      src.agg(sum("n_chars")).head().getLong(0))
+    assert(json.agg(sum("n_chars")).head().getLong(0) ==
+      src.agg(sum("n_chars")).head().getLong(0))
+  }
+}
