@@ -68,11 +68,28 @@ object Dedup {
   /** MinHash LSH near-dup pairs: band the signature (bands of `rows` hashes),
     * join docs whose band signature collides, then verify candidates with the
     * exact Jaccard over their distinct shingle sets. Output:
-    * (a, b, jaccard) for verified pairs with jaccard ≥ threshold. */
+    * (a, b, jaccard) for verified pairs with jaccard ≥ threshold.
+    *
+    * ONE pass over the shingle incidence: a single doc_id aggregation folds
+    * the h signature mins, the shingle set and its size together, so the
+    * 2.8M-row (at sf0.1) incidence table is never cached or re-scanned —
+    * only the tiny per-doc table (|docs| rows) persists. Bands derive from
+    * the sig array; verification joins the candidate pairs back to the same
+    * per-doc table (AQE broadcasts it) and intersects the two distinct sets
+    * per row — integer counts, so the jaccard double divides identically to
+    * the oracle's join-count formulation. */
   def minhashLshPairs(docs: DataFrame, h: Int = 16, rows: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = TextAnalysis.charShingles(docs).cache()
-    val bands = minhashSignaturesFrom(sh, h)
+    val based = TextAnalysis.charShingles(docs)
+      .select(col("doc_id"), col("s"), Hashes.h60(col("s")).as("b"))
+    val docAgg = based.groupBy("doc_id")
+      .agg(
+        array((0 until h).map(k => min(Hashes.mix60(col("b"), k))): _*).as("sig"),
+        collect_list(col("s")).as("ss"),
+        count(lit(1)).as("c"))
+      .cache()
+    val bands = docAgg
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "mh")))
       .withColumn("band", floor(col("k") / lit(rows.toDouble)).cast("int"))
       .groupBy("doc_id", "band")
       .agg(concat_ws("-",
@@ -83,22 +100,9 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifiedJaccard(sh, cand, threshold)
-  }
-
-  /** Exact Jaccard over a (cached) distinct-shingle table for given (a,b)
-    * pairs. The shingle sets are folded to one array row per doc first, so
-    * the candidate pairs join two doc-level tables (tiny vs |docs| — AQE
-    * broadcasts) instead of re-shuffling the full doc x shingle incidence;
-    * |A∩B| is then a per-row `array_intersect` over two distinct sets —
-    * integer counts, so the jaccard double divides identically to the
-    * oracle's join-count formulation. */
-  private def verifiedJaccard(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("c"))
     cand
-      .join(sets.as("ca"), col("a") === col("ca.doc_id"))
-      .join(sets.as("cb"), col("b") === col("cb.doc_id"))
+      .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
+      .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .withColumn("inter",
         size(array_intersect(col("ca.ss"), col("cb.ss"))).cast("long"))
       .select(col("a"), col("b"),
