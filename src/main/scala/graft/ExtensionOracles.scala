@@ -8,12 +8,13 @@ object ExtensionOracles {
 
   private val DOCS = "'<sfDir>/documents.parquet'"
 
-  /** Distinct char 9-gram shingles; uncorrelated series + filter (this
-    * DuckDB build lacks lateral generate_series; text max len is 577). */
+  /** Distinct char 9-gram shingles; per-doc ranges via scalar
+    * range()+unnest (no fixed series bound — any document length works). */
   private val SH =
-    s"""sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS s
-       |         FROM $DOCS, generate_series(1, 1000) t(i)
-       |        WHERE i <= length(text) - 8)""".stripMargin
+    s"""sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 9) AS s
+       |         FROM (SELECT doc_id, text,
+       |                      unnest(range(1, length(text) - 7)) AS i
+       |                 FROM $DOCS))""".stripMargin
 
   private val EMB =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM '<sfDir>/embeddings.parquet')"
@@ -226,14 +227,17 @@ object ExtensionOracles {
          |  FROM q JOIN k ON q.doc_id = k.doc_id
          | WHERE q.quality >= CAST(0.4 AS DOUBLE) AND q.n_chars >= 50
          | ORDER BY q.doc_id""".stripMargin,
-    // ---- frame sampling index (stride 64, frame 32, over UTF-8 bytes) ----
+    // ---- frame sampling index (stride 64, frame 32, over UTF-8 bytes;
+    // per-doc frame ranges via scalar range()+unnest — i*64 < n ⟺
+    // i < ceil(n/64) for integer i, so no fixed series bound) ----
     "q_frames" ->
-      s"""WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM $DOCS)
+      s"""WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM $DOCS),
+         |f AS (SELECT doc_id, n,
+         |             unnest(range(0, CAST(CEIL(n / CAST(64 AS DOUBLE)) AS BIGINT))) AS i
+         |        FROM m)
          |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
          |       CAST(LEAST(32, n - i*64) AS BIGINT) AS frame_len
-         |  FROM m, generate_series(0, 1000) t(i)
-         | WHERE i*64 < n
-         | ORDER BY media_id, frame_no""".stripMargin,
+         |  FROM f ORDER BY media_id, frame_no""".stripMargin,
     // ---- multimodal (stub decode arithmetic mirrored on the UTF-8 BYTE
     // length — octet_length(encode(text)) — matching the Spark side's
     // encode(text,'UTF-8') payload even for non-ASCII documents) ----

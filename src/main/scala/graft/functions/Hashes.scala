@@ -55,4 +55,34 @@ object Hashes {
     * (r = (k*7+3)%60, c = the md5-of-k constant). */
   def mix60Sql(b: String, r: String, c: String): String =
     s"xor((($b) >> ($r)) | ((($b) & ((CAST(1 AS BIGINT) << ($r)) - 1)) << (60 - ($r))), $c)"
+
+  // -------------------------------------------------------------------------
+  // JVM twins of the Column hashes, for per-partition kernels that fold a
+  // whole document's shingles/tokens in one narrow pass (see
+  // operators.Dedup.docSignatures). Bit-equality with the Column forms is
+  // asserted by HashesSpec; both reduce to "md5 hex prefix parsed base-16".
+  // -------------------------------------------------------------------------
+
+  /** JVM twin of [[h60]]: first 15 hex chars of md5 = the big-endian value of
+    * the first 8 digest bytes with the low nibble dropped. The caller passes
+    * (and reuses) one MessageDigest per partition; `digest()` resets it. */
+  def h60Jvm(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** JVM twin of [[h32]]: first 8 hex chars of md5 = the big-endian value of
+    * the first 4 digest bytes, zero-extended to a long. */
+  def h32Jvm(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** JVM twin of [[mix60]] (base < 2^60, so >>> and >> agree). */
+  def mix60Jvm(base: Long, r: Int, c: Long): Long =
+    ((base >>> r) | ((base & ((1L << r) - 1)) << (60 - r))) ^ c
 }

@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Hashes
 
+/** Per-document shingle digest produced by [[Dedup.docSignatures]]:
+  * `sig(k)` = MinHash variant k (min of [[Hashes.mix60]] over the distinct
+  * shingle hashes), `hs` = the distinct 60-bit shingle hashes themselves,
+  * `c = hs.length`. */
+private[graft] case class DocSig(doc_id: Long, sig: Array[Long],
+                                 hs: Array[Long], c: Long)
+
 /** Deduplication operators for a training-data pipeline (north-star
   * extension, SURVEY.md §7.1 M7): exact hash dedup, MinHash+LSH, SimHash and
   * DF-capped n-gram Jaccard near-dup detection.
@@ -45,58 +52,96 @@ object Dedup {
       countDistinct(col("text")).as("n_distinct"),
       (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
 
+  /** Per-document shingle/MinHash kernel: ONE narrow pass over the document
+    * table computes, per doc, the distinct 9-gram shingle hashes, their count
+    * and all `h` MinHash variant minima — no explode, no shuffle, nothing
+    * wider than |docs| rows ever exists.
+    *
+    * This is the genuine per-partition-imperative case: a document's shingles
+    * all live in its own row, so the declarative alternative (explode to a
+    * |docs|·|len| incidence table, hash-aggregate h mins + collect_list back
+    * per doc) manufactures a 2.8M-row (sf0.1) intermediate and a wide shuffle
+    * only to rebuild exactly this per-doc state. At 100 TB the kernel stays
+    * embarrassingly parallel (per-doc work, zero exchange); hashes are
+    * [[Hashes.h60Jvm]]/[[Hashes.mix60Jvm]], bit-identical to the Column/SQL
+    * twins (HashesSpec), so the DuckDB oracles are unchanged.
+    * Output: (doc_id, sig[h], hs[], c); docs shorter than k emit nothing
+    * (matching the explode form, where they produce no shingle rows). */
+  private[graft] def docSignatures(docs: DataFrame, h: Int = 16,
+                                   k: Int = 9): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rs = (0 until h).map(v => (v * 7 + 3) % 60).toArray
+    val cs = (0 until h).map(Hashes.mixConst60).toArray
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          if (t == null || t.length < k) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String](1 << 11)
+            val hs = scala.collection.mutable.ArrayBuilder.make[Long]
+            val sig = Array.fill(h)(Long.MaxValue)
+            var i = 0
+            while (i <= t.length - k) {
+              val s = t.substring(i, i + k)
+              if (seen.add(s)) {
+                val b = Hashes.h60Jvm(md, s)
+                hs += b
+                var j = 0
+                while (j < h) {
+                  val m = Hashes.mix60Jvm(b, rs(j), cs(j))
+                  if (m < sig(j)) sig(j) = m
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            Iterator.single(DocSig(id, sig, hs.result(), seen.size.toLong))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** MinHash signatures: for each of `h` hash variants k, the min 60-bit
     * mixed hash over the doc's distinct 9-gram shingles.
-    * Output: (doc_id, k, mh). */
+    * Output: (doc_id, k, mh). Unfolds the [[docSignatures]] kernel. */
   def minhashSignatures(docs: DataFrame, h: Int = 16): DataFrame =
-    minhashSignaturesFrom(TextAnalysis.charShingles(docs), h)
-
-  private def minhashSignaturesFrom(sh: DataFrame, h: Int): DataFrame = {
-    // ONE md5 per shingle row (the expensive part), then h cheap bit-mixed
-    // variants (rotate+xor, [[Hashes.mix60]], pure codegen'd integer ops)
-    // taken as h parallel min-aggregates in a single partial+final hash
-    // aggregation. No distinct-vocabulary join: at 100 TB there is no
-    // bounded build side to broadcast, and map-side partial aggregation
-    // keeps the shuffle at |docs|·1 rows regardless of corpus size. The
-    // tiny (doc, h-array) result unfolds to the (doc_id, k, mh) contract.
-    val based = sh.select(col("doc_id"), Hashes.h60(col("s")).as("b"))
-    based.groupBy("doc_id")
-      .agg(array((0 until h).map(k => min(Hashes.mix60(col("b"), k))): _*).as("sig"))
+    docSignatures(docs, h)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "mh")))
-  }
 
   /** MinHash LSH near-dup pairs: band the signature (bands of `rows` hashes),
     * join docs whose band signature collides, then verify candidates with the
     * exact Jaccard over their distinct shingle sets. Output:
-    * (a, b, jaccard) for verified pairs with jaccard ≥ threshold.
-    *
-    * ONE pass over the shingle incidence: a single doc_id aggregation folds
-    * the h signature mins, the shingle set and its size together, so the
-    * 2.8M-row (at sf0.1) incidence table is never cached or re-scanned —
-    * only the tiny per-doc table (|docs| rows) persists. Bands derive from
-    * the sig array; verification joins the candidate pairs back to the same
-    * per-doc table (AQE broadcasts it) and intersects the two distinct sets
-    * per row — integer counts, so the jaccard double divides identically to
-    * the oracle's join-count formulation. */
+    * (a, b, jaccard) for verified pairs with jaccard ≥ threshold. */
   def minhashLshPairs(docs: DataFrame, h: Int = 16, rows: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
-    val based = TextAnalysis.charShingles(docs)
-      .select(col("doc_id"), col("s"), Hashes.h60(col("s")).as("b"))
-    val docAgg = based.groupBy("doc_id")
-      .agg(
-        array((0 until h).map(k => min(Hashes.mix60(col("b"), k))): _*).as("sig"),
-        collect_list(col("s")).as("ss"),
-        count(lit(1)).as("c"))
-      .cache()
-    val bands = docAgg
-      .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "mh")))
-      .withColumn("band", floor(col("k") / lit(rows.toDouble)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws("-",
-        transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-          x => x.getField("mh").cast("string"))).as("sig"))
+                      threshold: Double = 0.5): DataFrame =
+    lshPairs(docs, h, rows, threshold).orderBy("a", "b")
+
+  /** [[minhashLshPairs]] without the presentation sort (cluster-merge input).
+    *
+    * Everything per-doc comes from the [[docSignatures]] kernel (cached:
+    * |docs| rows of long arrays); the only exchanges left are the band
+    * equi-join over |docs|·(h/rows) short rows and the candidate verification
+    * joins back to the per-doc table (AQE broadcasts it). Band signatures are
+    * slices of the sig array; verification intersects the two distinct
+    * hash SETS per candidate row — integer counts, so the jaccard double
+    * divides identically to the oracle's string-join-count formulation. */
+  private def lshPairs(docs: DataFrame, h: Int, rows: Int,
+                       threshold: Double): DataFrame = {
+    val docAgg = docSignatures(docs, h).cache()
+    val nBands = (h + rows - 1) / rows
+    val bandCols = array((0 until nBands).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws("-", transform(slice(col("sig"), bd * rows + 1, rows),
+          _.cast("string"))).as("bsig"))
+    }: _*)
+    val bands = docAgg.select(col("doc_id"), explode(bandCols).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
@@ -104,12 +149,11 @@ object Dedup {
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .withColumn("inter",
-        size(array_intersect(col("ca.ss"), col("cb.ss"))).cast("long"))
+        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("a", "b")
   }
 
   /** DF-capped n-gram Jaccard near-dup pairs: inverted index over shingles
@@ -123,7 +167,15 @@ object Dedup {
     // self-join below are all keyed by `s`, so they reuse this partitioning
     // (InMemoryRelation preserves outputPartitioning) instead of three
     // separate exchanges of the full doc x shingle incidence.
-    val sh = TextAnalysis.charShingles(docs).repartition(col("s")).cache()
+    // The incidence carries the 60-bit shingle HASH ([[docSignatures]]
+    // kernel), not the raw 9-char string: the md5 work happens once,
+    // partition-locally, and every exchange moves fixed 8-byte longs. DF
+    // counts, intersections and jaccard values are identical to the string
+    // form (the oracle keeps it) — distinct shingles keep distinct hashes at
+    // any realistic corpus size (60-bit birthday bound).
+    val sh = docSignatures(docs, h = 0)
+      .select(col("doc_id"), explode(col("hs")).as("s"))
+      .repartition(col("s")).cache()
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
     val rsh = sh.join(rare, "s").cache()
@@ -164,18 +216,28 @@ object Dedup {
     // of the corpus — when it fits the driver comfortably, a local
     // union-find in one collect beats rounds of distributed joins whose
     // per-round job overhead dominates tiny data. Past the threshold, the
-    // distributed min-label loop below takes over.
-    if (p.count() <= driverThreshold) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val px = parent.getOrElseUpdate(x, x)
-        if (px == x) x else { val r = find(px); parent(x) = r; r }
+    // distributed min-label loop below takes over. The gate is a single
+    // limit(threshold+1) job: if fewer rows arrive, they ARE the whole edge
+    // list (no separate count pass over the upstream pair pipeline).
+    val lim = math.min(driverThreshold, Int.MaxValue - 1L).toInt + 1
+    val head = p.as[(Long, Long)].limit(lim).collect()
+    if (head.length <= driverThreshold) {
+      p.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // iterative find: walk to the root, then compress in a second pass
+      // (recursion would overflow on chain-shaped graphs near the threshold)
+      def find(x0: Long): Long = {
+        parent.getOrElseUpdate(x0, x0)
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var x = x0
+        while (parent(x) != r) { val nx = parent(x); parent(x) = r; x = nx }
+        r
       }
-      p.as[(Long, Long)].collect().foreach { case (a, b) =>
+      head.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      p.unpersist()
       parent.keys.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
         .orderBy("doc_id")
     } else {
@@ -204,30 +266,63 @@ object Dedup {
         labels = next
         round += 1
       }
+      edges.unpersist()
+      p.unpersist()
+      // a silent exit here would hand the caller plausible but WRONG labels
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: not converged after $maxRounds rounds " +
+            "(component diameter exceeds maxRounds) — raise maxRounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     }
   }
 
-  /** Driver-contract instance: clusters over the MinHash-LSH verified pairs. */
+  /** Driver-contract instance: clusters over the MinHash-LSH verified pairs
+    * (the unsorted pair stream — cluster merge needs no presentation sort). */
   def nearDupClusters(docs: DataFrame): DataFrame =
-    connectedComponents(minhashLshPairs(docs))
+    connectedComponents(lshPairs(docs, 16, 4, 0.5))
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): per bit b,
-    * sign-sum of token-hash bits; simhash bit b set iff the sum is positive. */
+    * sign-sum of token-hash bits; simhash bit b set iff the sum is positive.
+    *
+    * Per-document kernel, same rationale as [[docSignatures]]: a doc's tokens
+    * live in its own row, so the declarative form (explode tokens, 32
+    * parallel sign-sums, re-aggregate) shuffles a |docs|·|tokens| incidence
+    * to rebuild per-doc state this narrow pass computes in place. Token split
+    * is `split(" ", -1)` — identical to Spark's `split(text, " ")` (regex,
+    * trailing empties kept); hash is [[Hashes.h32Jvm]] = the h32 Column twin;
+    * null texts emit nothing (explode-of-null semantics). */
   def simhash(docs: DataFrame): DataFrame = {
-    // 32 sign-sums as 32 parallel aggregates in one hash aggregation (no
-    // 32-fold token-row explosion); the bit fold over the tiny per-doc array
-    // happens after.
-    TextAnalysis.tokens(docs)
-      .select(col("doc_id"), Hashes.h32(col("tok")).as("th"))
-      .groupBy("doc_id")
-      .agg(array((0 until 32).map(b =>
-        sum(expr(s"(shiftright(th, $b) & 1) * 2 - 1"))): _*).as("sgns"))
-      .select(col("doc_id"), posexplode(col("sgns")).as(Seq("b", "sgn")))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sgn") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else {
+            val cnt = new Array[Int](32)
+            val toks = t.split(" ", -1)
+            var ti = 0
+            while (ti < toks.length) {
+              val th = Hashes.h32Jvm(md, toks(ti))
+              var b = 0
+              while (b < 32) {
+                if (((th >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+                b += 1
+              }
+              ti += 1
+            }
+            var sh = 0L
+            var b = 0
+            while (b < 32) { if (cnt(b) > 0) sh |= 1L << b; b += 1 }
+            Iterator.single((id, sh))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
       .orderBy("doc_id")
   }
 

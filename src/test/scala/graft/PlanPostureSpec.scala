@@ -10,8 +10,18 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  private def planOf(name: String): String = name match {
+    // q_dedup_clusters materializes eagerly at construction (the CC size
+    // gate collects the pair list), so its final plan is just the trivial
+    // driver-local labels. Gate the REAL join pipeline instead: the
+    // MinHash-LSH pair generation it consumes.
+    case "q_dedup_clusters" =>
+      graft.operators.Dedup.minhashLshPairs(
+        graft.sources.Sources.documents(spark, dir))
+        .queryExecution.executedPlan.toString
+    case _ =>
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   /** Nested-loop joins that are deliberate and bounded: ANN scoring
     * crossJoins against an explicitly broadcast tiny side (query vectors /
