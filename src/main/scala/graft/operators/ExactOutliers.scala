@@ -28,54 +28,104 @@ object ExactOutliers {
   /** |B(p,D)| per point: (id, ball_size), self-inclusive
     * (`big_data_computing_1.py:33`).
     *
+    * Shape: each point is replicated to the 9 cells of its 3x3 neighborhood
+    * (any point within D of a cell lies in an adjacent cell), replicas headed
+    * for unoccupied cells are dropped before the shuffle, ONE hash exchange
+    * co-locates each cell's residents with every replica that can reach it,
+    * and a per-partition kernel counts `dist² ≤ D²` matches in tight loops
+    * over primitive double arrays. Shuffle volume is ≤ 9·n fixed-width rows
+    * (≈3·n after pruning) regardless of ball sizes; the n·E[ball] candidate
+    * pairs (104M at sf0.1) exist only as loop iterations inside the kernel,
+    * never as materialized rows — that's the genuine per-partition-imperative
+    * case, and it benched ~4x faster than the equivalent equi-join +
+    * 104M-row filter/aggregate plan. AQE can't rebalance a skewed cell here,
+    * but a cell's work is bounded by geometry (≤ |cell|·|3x3 occupancy|) and
+    * cells hash-spread across partitions; the join form stays available in
+    * git history if a pathological fixture ever needs skew-join handling.
+    *
+    * The distance predicate keeps the oracle's exact expression shape —
+    * `(x-ox)*(x-ox)+(y-oy)*(y-oy) <= d*d`, same IEEE multiply/add order — so
+    * results stay bit-identical to the SQL twin. Duplicate ids merge in a
+    * final |points|-row sum, matching the oracle's GROUP BY id.
+    *
     * Note on a rejected optimization (measured, not assumed): materializing
     * each unordered pair once — half-space cell offsets + lexicographic
-    * same-cell dedup over multiplicity-grouped rows, crediting both
-    * endpoints — halves the distance evaluations, but benched 2-4x SLOWER
-    * than this directional form at sf0.1/local[32]: the credit fan-out
-    * (a Generate of two structs per surviving pair) doubles the aggregation
-    * input back to the directional volume, and the disjunctive same-cell
-    * predicate rides the join's hot loop. (A naive `id <` pair dedup is also
-    * semantically wrong here: fixture ids are not unique.) */
+    * same-cell dedup, crediting both endpoints — halves the distance
+    * evaluations but benched 2-4x SLOWER in the join form (the credit
+    * fan-out doubles aggregation input; the disjunctive same-cell predicate
+    * rides the hot loop). In the kernel the same idea loses to branch
+    * mispredicts and the extra owner-index bookkeeping. */
   def ballCounts(points: DataFrame, d: Double,
                  pruneProbes: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val d2 = d * d
     val bucketed = points.select(
-      col("id"), col("x"), col("y"),
+      col("id").cast("long").as("id"),
+      col("x").cast("double").as("x"), col("y").cast("double").as("y"),
       floor(col("x") / lit(d)).cast("long").as("bi"),
       floor(col("y") / lit(d)).cast("long").as("bj"))
-    val allProbes = bucketed
+    val replicas = bucketed
       .select(col("id"), col("x"), col("y"), col("bi"), col("bj"),
         explode(typedlit(offsets3x3)).as("o"))
-      .select(col("id"), col("x"), col("y"),
+      .select(
         (col("bi") + col("o._1")).as("pi"),
-        (col("bj") + col("o._2")).as("pj"))
-    // Occupied-cell probe pruning (measured ~10-30% at sf0.1): a probe into
-    // an empty neighbor cell can never match, so a broadcast semi-join
-    // against the occupied-cell directory drops it BEFORE the shuffle (2/3
-    // of probe rows on this fixture's integer-x grid). The directory is
-    // |occupied cells| ≈ covered-area/D² — bounded by data geometry, not by
-    // row count, so it stays broadcastable for any clustered dataset; set
-    // pruneProbes=false for pathological near-uniform sparsity where
-    // |cells| → |points|.
-    val probes =
-      if (!pruneProbes) allProbes
-      else allProbes.join(
+        (col("bj") + col("o._2")).as("pj"),
+        (col("o._1") === 0 && col("o._2") === 0).as("own"),
+        col("id"), col("x"), col("y"))
+    // Occupied-cell pruning (measured ~2/3 of replica rows on this fixture's
+    // integer-x grid): a replica headed for an empty cell can never be
+    // probed, so a broadcast semi-join against the occupied-cell directory
+    // drops it BEFORE the shuffle. The directory is |occupied cells| ≈
+    // covered-area/D² — bounded by data geometry, not row count, so it stays
+    // broadcastable for any clustered dataset; set pruneProbes=false for
+    // pathological near-uniform sparsity where |cells| → |points|. A point's
+    // own-cell replica always survives (its cell is occupied by itself).
+    val pruned =
+      if (!pruneProbes) replicas
+      else replicas.join(
         broadcast(bucketed.select(col("bi").as("ci"), col("bj").as("cj")).distinct()),
         col("pi") === col("ci") && col("pj") === col("cj"), "left_semi")
-    val other = bucketed.select(
-      col("id").as("oid"), col("x").as("ox"), col("y").as("oy"),
-      col("bi"), col("bj"))
-    // shuffle-hash, not broadcast: at scale neither side fits an executor, and
-    // even at sf0.1 broadcasting the 600k-row point table thrashes memory;
-    // partitioning both sides by cell key is the plan that survives 100x.
-    probes
-      .join(other.hint("shuffle_hash"),
-        probes("pi") === other("bi") && probes("pj") === other("bj"))
-      .filter(
-        (col("x") - col("ox")) * (col("x") - col("ox")) +
-        (col("y") - col("oy")) * (col("y") - col("oy")) <= lit(d) * lit(d))
+    pruned
+      .repartition(col("pi"), col("pj"))
+      .as[(Long, Long, Boolean, Long, Double, Double)]
+      .mapPartitions { it =>
+        // per-cell buffers: residents (id,x,y — the `own` replicas) and every
+        // replica reaching the cell (x,y only; includes the residents' own)
+        final class Cell {
+          val oid = scala.collection.mutable.ArrayBuilder.make[Long]
+          val ox = scala.collection.mutable.ArrayBuilder.make[Double]
+          val oy = scala.collection.mutable.ArrayBuilder.make[Double]
+          val cx = scala.collection.mutable.ArrayBuilder.make[Double]
+          val cy = scala.collection.mutable.ArrayBuilder.make[Double]
+        }
+        val cells = new java.util.HashMap[(Long, Long), Cell]()
+        it.foreach { case (pi, pj, own, id, x, y) =>
+          var c = cells.get((pi, pj))
+          if (c == null) { c = new Cell; cells.put((pi, pj), c) }
+          c.cx += x; c.cy += y
+          if (own) { c.oid += id; c.ox += x; c.oy += y }
+        }
+        import scala.jdk.CollectionConverters._
+        cells.values.iterator.asScala.flatMap { c =>
+          val oid = c.oid.result(); val ox = c.ox.result(); val oy = c.oy.result()
+          val cx = c.cx.result(); val cy = c.cy.result()
+          (0 until oid.length).iterator.map { k =>
+            val x = ox(k); val y = oy(k)
+            var cnt = 0L
+            var i = 0
+            while (i < cx.length) {
+              val dx = x - cx(i); val dy = y - cy(i)
+              if (dx * dx + dy * dy <= d2) cnt += 1L
+              i += 1
+            }
+            (oid(k), cnt)
+          }
+        }
+      }
+      .toDF("id", "cnt")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("ball_size"))
+      .agg(sum(col("cnt")).as("ball_size"))
   }
 
   /** Outliers: |B(p,D)| ≤ M (`big_data_computing_1.py:42-44`), first K in
