@@ -134,6 +134,57 @@ object ExtensionOracles {
          |  UNION
          |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.w = rc.v)
          |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // survivors = all docs minus non-representative cluster members
+    // (representative = min doc_id = the cluster label) — same recursive
+    // closure as q_dedup_clusters, then an anti-join against the corpus
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS ($jaccardSelect
+         |           WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b AS u, a AS w FROM pairs),
+         |verts AS (SELECT DISTINCT u AS v FROM edges),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.w = rc.v),
+         |lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+         |SELECT d.doc_id FROM $DOCS d
+         | WHERE NOT EXISTS (SELECT 1 FROM lab
+         |                    WHERE lab.doc_id = d.doc_id AND lab.cluster_id <> lab.doc_id)
+         | ORDER BY doc_id""".stripMargin,
+    // ---- repetition metrics (bigrams via per-doc index ranges; 1-based
+    // list subscripts pair token i with i+1, mirroring element_at) ----
+    "q_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM $DOCS
+         |            WHERE length(string_split(text, ' ')) >= 2),
+         |t AS (SELECT doc_id, unnest(arr) AS tok FROM d),
+         |ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |              CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+         |         FROM t GROUP BY doc_id),
+         |b AS (SELECT doc_id,
+         |             arr[CAST(i AS INT)] || ' ' || arr[CAST(i+1 AS INT)] AS bg
+         |        FROM (SELECT doc_id, arr, unnest(range(1, length(arr))) AS i FROM d)),
+         |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |              CAST(MAX(c) AS BIGINT) AS top_bigram FROM bc GROUP BY doc_id)
+         |SELECT ts.doc_id, ts.n_tokens,
+         |       CAST(ts.n_distinct AS DOUBLE)/CAST(ts.n_tokens AS DOUBLE) AS distinct_ratio,
+         |       CAST(bs.top_bigram AS DOUBLE)/CAST(bs.n_bigrams AS DOUBLE) AS top_bigram_frac
+         |  FROM ts JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin,
+    // ---- exact order-independent centroids: float coords scaled by 2^30
+    // and floored to exact BIGINTs (float·2^k is exact in double; FLOOR
+    // sidesteps the engines' different double→int rounding), integer-summed,
+    // divided back out in two identical IEEE ops ----
+    "q_emb_centroids" ->
+      s"""WITH x AS (SELECT CAST(label AS BIGINT) AS label, embedding AS emb,
+         |                  unnest(range(0, length(embedding))) AS dim
+         |             FROM '<sfDir>/embeddings.parquet'),
+         |q AS (SELECT label, dim,
+         |             CAST(FLOOR(CAST(emb[CAST(dim+1 AS INT)] AS DOUBLE) * 1073741824.0) AS BIGINT) AS qe
+         |        FROM x)
+         |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |       (CAST(SUM(qe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1073741824.0 AS centroid
+         |  FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $SH,
          |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) WHERE df <= 20),

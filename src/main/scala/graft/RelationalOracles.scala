@@ -178,6 +178,53 @@ object RelationalOracles {
          |    ON a.user_id = b.user_id AND a.event_id < b.event_id
          |   AND abs(b.t - a.t) <= 300000000
          | ORDER BY a, b""".stripMargin,
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       ${dsum(dec("l_quantity"))} AS sum_qty
+         |  FROM '<sfDir>/lineitem.parquet'
+         | GROUP BY CUBE (l_returnflag, l_linestatus)
+         | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q_lag_delta" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+         |             FROM '<sfDir>/events.parquet'),
+         |x AS (SELECT event_id, user_id,
+         |             LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+         |             ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |        FROM e)
+         |SELECT event_id, user_id, prev_event_id, CAST(gap_us AS BIGINT) AS gap_us
+         |  FROM x WHERE prev_event_id IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q_percentiles" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |       quantile_disc(value, 0.5) AS p50,
+         |       quantile_disc(value, 0.9) AS p90,
+         |       MIN(value) AS vmin, MAX(value) AS vmax
+         |  FROM '<sfDir>/events.parquet'
+         | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_weekly" ->
+      s"""SELECT epoch_us(date_trunc('week', o_orderdate)) AS week_us,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${dsum(dec("o_totalprice"))} AS revenue,
+         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+         |  FROM '<sfDir>/orders.parquet'
+         | GROUP BY 1 ORDER BY week_us""".stripMargin,
+    "q_string_agg" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+         |  FROM '<sfDir>/documents.parquet'
+         | GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_range_window" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts,
+         |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |             FROM '<sfDir>/events.parquet')
+         |SELECT event_id, user_id,
+         |       CAST(SUM(k) OVER (PARTITION BY user_id ORDER BY ts
+         |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_sum,
+         |       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+         |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_n
+         |  FROM e ORDER BY event_id""".stripMargin,
     "q_events_json" ->
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          |       CAST(SUM(k) AS BIGINT) AS sum_k,

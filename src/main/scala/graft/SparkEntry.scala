@@ -145,6 +145,20 @@ object SparkEntry {
     "q_sql_pricing" -> ((s, dir) => Relational.pricingSummarySql(s, dir)),
     "q_split" -> ((s, dir) =>
       TextAnalysis.deterministicSplit(Sources.documents(s, dir))),
+    // ---- round-3 relational widening ----
+    "q_cube" -> ((s, dir) => Relational.pricingCube(s, dir)),
+    "q_lag_delta" -> ((s, dir) => Relational.eventLagDeltas(s, dir)),
+    "q_percentiles" -> ((s, dir) => Relational.valuePercentiles(s, dir)),
+    "q_weekly" -> ((s, dir) => Relational.ordersWeekly(s, dir)),
+    "q_string_agg" -> ((s, dir) => Relational.langSources(s, dir)),
+    "q_range_window" -> ((s, dir) => Relational.eventsRangeWindow(s, dir)),
+    // ---- round-3 training-pipeline depth ----
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Sources.documents(s, dir))),
+    "q_emb_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Sources.embeddings(s, dir))),
+    "q_dedup_survivors" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(Sources.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------------

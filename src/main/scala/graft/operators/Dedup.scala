@@ -283,6 +283,19 @@ object Dedup {
   def nearDupClusters(docs: DataFrame): DataFrame =
     connectedComponents(lshPairs(docs, 16, 4, 0.5))
 
+  /** Near-dup dedup survivors: every document except the non-representative
+    * members of each near-dup cluster (representative = the cluster label =
+    * min doc_id in the component). Composes the LSH pair stream, the cluster
+    * merge and a left_anti join — the full "dedup a corpus" pipeline as one
+    * call; the anti join's right side is only the clustered docs (tiny next
+    * to the corpus), so AQE broadcasts it at any corpus size. */
+  def nearDupSurvivors(docs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(lshPairs(docs, 16, 4, 0.5))
+    docs.join(clusters.filter(col("doc_id") =!= col("cluster_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** 32-bit SimHash over whitespace tokens (with multiplicity): per bit b,
     * sign-sum of token-hash bits; simhash bit b set iff the sum is positive.
     *

@@ -162,6 +162,94 @@ object Relational {
         dsum(dec(col("l_quantity"))).as("sum_qty"))
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
 
+  /** CUBE over (returnflag, linestatus) with explicit grouping flags — the
+    * full grouping-sets lattice (rollup's sibling; adds the per-linestatus
+    * marginals rollup omits). */
+  def pricingCube(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n_rows"),
+        dsum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+
+  /** lead/lag surface: per-user gap to the previous event in microseconds
+    * plus the previous event id ((ts, event_id) order; first events are
+    * dropped so every emitted row's lag is defined — no nullable columns for
+    * the gate to disagree on). */
+  def eventLagDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Sources.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"))
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(byUser))
+      .withColumn("gap_us", col("ts") - lag(col("ts"), 1).over(byUser))
+      .filter(col("prev_event_id").isNotNull)
+      .select("event_id", "user_id", "prev_event_id", "gap_us")
+      .orderBy("event_id")
+  }
+
+  /** Inverse-distribution surface: exact discrete percentiles per event
+    * type. `percentile_disc` picks the smallest actual value whose
+    * cumulative distribution reaches p — a data value, not an interpolation,
+    * so there is no midpoint arithmetic for engines to disagree on. */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .orderBy("event_type")
+
+  /** Date-arithmetic surface: ISO-week (Monday-truncated) order rollup.
+    * Week keys leave the engine as epoch microseconds — engine-neutral,
+    * no timestamp rendering to disagree on; session TZ is pinned UTC so the
+    * NTZ source column truncates identically on both engines. */
+  def ordersWeekly(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "orders")
+      .select(
+        unix_micros(date_trunc("week", col("o_orderdate").cast("timestamp"))).as("week_us"),
+        col("o_totalprice"), col("o_custkey"))
+      .groupBy("week_us")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(dec(col("o_totalprice"))).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy("week_us")
+
+  /** Ordered string aggregation: per language, the sorted distinct source
+    * list as one CSV string. array_sort ∘ collect_set is deterministic under
+    * any partitioning — the portable form of ORDER BY inside an aggregate
+    * (bare collect_list order is partition-dependent). */
+  def langSources(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .orderBy("lang")
+
+  /** RANGE-frame window: per user, the trailing-1-hour sum/count of the
+    * integer JSON property k over event time (microseconds). A range frame
+    * includes ALL peers of the current timestamp, so ties need no tiebreak
+    * column to stay deterministic — the row-frame/rolling sibling can't say
+    * that. Exact long sums. */
+  def eventsRangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Sources.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("hr_sum", sum(col("k")).over(w))
+      .withColumn("hr_n", count(lit(1)).over(w))
+      .select("event_id", "user_id", "hr_sum", "hr_n")
+      .orderBy("event_id")
+  }
+
   /** Semi/anti join surface: customers with at least one order vs none,
     * as one summary row (left_semi + left_anti counts). */
   def customersSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {

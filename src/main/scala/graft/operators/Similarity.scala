@@ -30,6 +30,28 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Per-label centroid of the embedding column, exact and order-independent:
+    * each float coordinate is scaled by 2^30 and floored to a BIGINT (a
+    * float times a power of two is exactly representable in double, and
+    * floor is deterministic), summed in integer arithmetic, then divided
+    * back out in two IEEE ops both engines execute identically — the
+    * float-sum analogue of the money columns' decimal-first discipline.
+    * The 2^-30 quantization (~1e-9) is far below float32 resolution, so the
+    * centroid is as accurate as a double mean, without its order dependence.
+    * One partial+final hash aggregation over |labels|·dim cells at any
+    * scale. Output (label, dim, n, centroid). */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label").cast("long").as("label"),
+        posexplode(col("emb")).as(Seq("dim", "e")))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("e") * lit(1073741824.0)).cast("long")).as("qsum"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        ((col("qsum").cast("double") / col("n").cast("double")) /
+          lit(1073741824.0)).as("centroid"))
+      .orderBy("label", "dim")
+
   private def queriesOf(emb: DataFrame, nQueries: Int): DataFrame =
     broadcast(emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qv")))

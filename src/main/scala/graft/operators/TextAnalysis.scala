@@ -47,6 +47,35 @@ object TextAnalysis {
       .toDF("doc_id", "s")
   }
 
+  /** Repetition metrics per document (the Gopher-style repetition filters a
+    * training-data pipeline applies before dedup): distinct-token ratio and
+    * the fraction of bigram occurrences taken by the single most frequent
+    * bigram. Docs with fewer than 2 tokens carry no bigram and are dropped.
+    * Both ratios are single IEEE divisions of exact integer counts, so the
+    * doubles are bit-portable; everything partial-aggregates map-side. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val arr = docs
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val tokStats = arr.select(col("doc_id"), explode(col("arr")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+    val bgStats = arr
+      .select(col("doc_id"), col("arr"),
+        explode(sequence(lit(1), size(col("arr")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat(element_at(col("arr"), col("i")), lit(" "),
+          element_at(col("arr"), col("i") + 1)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    tokStats.join(bgStats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("distinct_ratio"),
+        (col("top_bigram").cast("double") / col("n_bigrams").cast("double")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Token counts: whitespace tokens + a chars/4 BPE-style estimate (the
     * published rule-of-thumb for English BPE vocabularies). */
   def tokenCounts(docs: DataFrame): DataFrame =

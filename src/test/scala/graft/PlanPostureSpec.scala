@@ -15,7 +15,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     // gate collects the pair list), so its final plan is just the trivial
     // driver-local labels. Gate the REAL join pipeline instead: the
     // MinHash-LSH pair generation it consumes.
-    case "q_dedup_clusters" =>
+    case "q_dedup_clusters" | "q_dedup_survivors" =>
       graft.operators.Dedup.minhashLshPairs(
         graft.sources.Sources.documents(spark, dir))
         .queryExecution.executedPlan.toString
