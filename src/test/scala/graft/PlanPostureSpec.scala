@@ -54,6 +54,20 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
       s"q1_pricing must push the shipdate predicate to the scan:\n$plan")
   }
 
+  test("q5_region broadcasts its tiny dimensions (no shuffle for nation/region)") {
+    val plan = planOf("q5_region")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"q5_region must broadcast nation and region (found $broadcasts):\n$plan")
+  }
+
+  test("q_emb_centroids aggregates with exactly one hash exchange (map-side partials)") {
+    val plan = planOf("q_emb_centroids")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"centroid agg must shuffle once, partial-aggregated (found $exchanges):\n$plan")
+  }
+
   test("pruned column sets reach the scan (no full-width reads for narrow queries)") {
     val plan = planOf("q_token_counts")
     // documents has (doc_id, text, lang, source, n_chars, ...); token counting
