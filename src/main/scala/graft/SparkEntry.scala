@@ -63,17 +63,21 @@ object SparkEntry {
     "q_radius_fixed_centers" -> ((s, dir) =>
       Sources.points2d(s, dir).agg(
         max(Clustering.minDistToCenters2d(col("x"), col("y"), FixedCenters)).as("radius"))),
-    // Randomized-by-nature ops (seeded deterministic here, but iterative —
-    // not SQL-expressible): rows-only driver check; covered by property specs.
+    // MRFFT is iterative (not SQL-expressible as a query), but the
+    // fixed-partitioning variant makes its centers DETERMINISTIC, so the
+    // radius gets a full hash-checked oracle: the sf0.01 centers are pinned
+    // as literals in the SQL (regenerate with `runMain graft.MrfftCenterPin`).
+    // If the pipeline ever produces different centers, the radius — and the
+    // hash — change, and the gate fails loudly.
     "q_mrfft_radius" -> ((s, dir) => {
       val pts = Sources.points2d(s, dir)
       val vecs = pts.select(col("id"), array(col("x"), col("y")).as("vec"))
-      Clustering.radius(vecs, Clustering.mrfftCenters(vecs, 8, 8))
+      Clustering.radius(vecs, Clustering.mrfftCentersDeterministic(vecs, 8, 8))
     }),
     "q_mrfft_embeddings" -> ((s, dir) => {
       val vecs = Sources.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("emb").as("vec"))
-      Clustering.radius(vecs, Clustering.mrfftCenters(vecs, 8, 4))
+      Clustering.radius(vecs, Clustering.mrfftCentersDeterministic(vecs, 8, 4))
     }),
     "q_hw2_pipeline" -> ((s, dir) =>
       Clustering.hw2Pipeline(Sources.points2d(s, dir), 8, 8, M)),
@@ -244,6 +248,30 @@ object SparkEntry {
         s"SQRT((x-$cx)*(x-$cx)+(y-$cy)*(y-$cy))"
       }
       s"WITH p AS ($P) SELECT MAX(LEAST(${dists.mkString(", ")})) AS radius FROM p"
+    },
+    // The MRFFT oracles verify the DETERMINISTIC pipeline end to end: the
+    // pinned sf0.01 centers ([[MrfftPins]]) are inlined as literals, so the
+    // hash matches iff the distributed pipeline reproduces those exact
+    // centers AND the radius fold is bit-identical. Literals are
+    // parenthesized: a negative center would otherwise make `x--0.5`,
+    // which SQL lexes as a comment.
+    "q_mrfft_radius" -> {
+      val dists = MrfftPins.points2dK8L8.map { c =>
+        s"SQRT((x-(${c(0)}))*(x-(${c(0)}))+(y-(${c(1)}))*(y-(${c(1)})))"
+      }
+      s"WITH p AS ($P) SELECT MAX(LEAST(${dists.mkString(", ")})) AS radius FROM p"
+    },
+    // list_sum(list_transform(list_zip(...))) is the verified bit-exact twin
+    // of the unrolled left-assoc element_at fold in minDistToCenters (same
+    // IEEE add order; see the ANN cosine oracles).
+    "q_mrfft_embeddings" -> {
+      val dists = MrfftPins.embeddingsK8L4.map { c =>
+        val lst = c.mkString("[", ", ", "]")
+        s"SQRT(list_sum(list_transform(list_zip(emb, $lst), z -> (z[1]-z[2])*(z[1]-z[2]))))"
+      }
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM '<sfDir>/embeddings.parquet') " +
+        s"SELECT MAX(LEAST(${dists.mkString(", ")})) AS radius FROM e"
     },
     "q_freq_exact" ->
       s"""WITH s AS ($S),

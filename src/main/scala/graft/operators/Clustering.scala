@@ -85,6 +85,39 @@ object Clustering {
     (centers, (t1 - t0) / 1000000L, (t2 - t1) / 1000000L)
   }
 
+  /** [[mrfftCenters]] with a FIXED partitioning and ordering, making the
+    * centers (and hence the radius) fully deterministic — the property the
+    * round-robin `repartition(l)` form cannot give (its partition contents
+    * depend on input split order), which kept the MRFFT queries out of the
+    * hash-checked oracle gate.
+    *
+    * Determinism argument, link by link: points land in partition
+    * `murmur3(pmod(id, l)) % l` (fixed-seed hash of the data, not of the
+    * arrival order); each partition SORTS its buffer by (id, vec) before FFT
+    * (a total order up to fully-identical rows, which FFT cannot
+    * distinguish); per-partition FFT seeds at index 0 and breaks argmax ties
+    * by that same order; `collect()` returns partitions in index order; the
+    * driver FFT seeds at index 0. Every link is independent of thread
+    * scheduling and shuffle arrival, so the same data yields the same
+    * centers on any machine. Coreset quality is unchanged: the 4-approx
+    * bound holds for ANY partitioning of the points. */
+  def mrfftCentersDeterministic(vecs: DataFrame, k: Int, l: Int): IndexedSeq[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val coreset: Array[Array[Double]] = vecs
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .repartition(l, pmod(col("id"), lit(l)))
+      .sortWithinPartitions(col("id"), col("vec"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val buf = it.toIndexedSeq
+        if (buf.isEmpty) Iterator.empty
+        else sequentialFFT(buf.map(_._2), k, firstIdx = 0).iterator
+      }
+      .collect()
+    sequentialFFT(coreset.toIndexedSeq, k, firstIdx = 0)
+  }
+
   /** Per-point distance to the nearest of `centers`, as a codegen'd column
     * expression over a (d-dim) array column: least(sqrt(Σ(vᵢ−cᵢ)²), …).
     * The dimension is known from the literal centers, so the Σ unrolls into
@@ -129,9 +162,16 @@ object Clustering {
     * clustering radius becomes the distance threshold D of MRApproxOutliers. */
   def hw2Pipeline(points: DataFrame, k: Int, l: Int, m: Int): DataFrame = {
     val cached = points.cache() // rescanned by R1, R3 and the grid pass
-    val (centers, r) = mrfft2d(cached, k, l)
-    GridOutliers.summary(cached, r, m)
-      .withColumn("radius", lit(r))
-      .withColumn("k", lit(k))
+    try {
+      val (centers, r) = mrfft2d(cached, k, l)
+      // localCheckpoint (eager) runs the grid pass NOW, while `points` is
+      // still cached, and hands the caller the materialized summary (a
+      // handful of rows) — so the cache can be dropped before returning
+      // instead of leaking into the caller's session.
+      GridOutliers.summary(cached, r, m)
+        .withColumn("radius", lit(r))
+        .withColumn("k", lit(k))
+        .localCheckpoint()
+    } finally { cached.unpersist(): Unit }
   }
 }

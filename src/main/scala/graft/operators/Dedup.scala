@@ -131,7 +131,13 @@ object Dedup {
     * divides identically to the oracle's string-join-count formulation. */
   private def lshPairs(docs: DataFrame, h: Int, rows: Int,
                        threshold: Double): DataFrame = {
-    val docAgg = docSignatures(docs, h).cache()
+    // localCheckpoint (eager), not cache(): the per-doc table is scanned by
+    // three consumers inside the RETURNED lazy plan, so a cache() here could
+    // never be unpersisted and would leak into the caller's session (the
+    // cache-hygiene contract, CacheHygieneSpec). The checkpoint runs the
+    // kernel once up front, stores |docs| rows, truncates lineage, and its
+    // blocks are freed by the ContextCleaner when the plan is GC'd.
+    val docAgg = docSignatures(docs, h).localCheckpoint()
     val nBands = (h + rows - 1) / rows
     val bandCols = array((0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
@@ -173,12 +179,16 @@ object Dedup {
     // counts, intersections and jaccard values are identical to the string
     // form (the oracle keeps it) — distinct shingles keep distinct hashes at
     // any realistic corpus size (60-bit birthday bound).
+    // localCheckpoint, not cache, for the same hygiene reason as in
+    // [[lshPairs]] — both tables are multiply scanned by the RETURNED plan.
+    // The checkpointed LogicalRDD keeps the physical plan's output
+    // partitioning, so the `s`-keyed consumers still reuse the one exchange.
     val sh = docSignatures(docs, h = 0)
       .select(col("doc_id"), explode(col("hs")).as("s"))
-      .repartition(col("s")).cache()
+      .repartition(col("s")).localCheckpoint()
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
-    val rsh = sh.join(rare, "s").cache()
+    val rsh = sh.join(rare, "s").localCheckpoint()
     val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = rsh.as("x").join(rsh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -354,7 +364,9 @@ object Dedup {
     val nBands = maxHamming + 1
     val width = (32 + nBands - 1) / nBands
     val mask = (1 << width) - 1
-    val sh = simhash(docs).cache()
+    // localCheckpoint, not cache — multiply scanned by the returned plan
+    // (bands + both verify joins); see the hygiene note in [[lshPairs]].
+    val sh = simhash(docs).localCheckpoint()
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(typedlit((0 until nBands).toList)).as("bd"))
       .withColumn("bv", expr(s"shiftright(simhash, bd * $width) & $mask"))

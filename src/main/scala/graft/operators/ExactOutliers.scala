@@ -99,15 +99,21 @@ object ExactOutliers {
           val cx = scala.collection.mutable.ArrayBuilder.make[Double]
           val cy = scala.collection.mutable.ArrayBuilder.make[Double]
         }
-        val cells = new java.util.HashMap[(Long, Long), Cell]()
+        // cell key packed into one primitive long (bi<<32 | bj) and an
+        // open-addressed LongMap: the earlier java.util.HashMap keyed on a
+        // boxed (Long, Long) allocated a tuple + two boxed longs per probed
+        // row on 32 threads — pure GC churn. Packing is collision-free while
+        // cell indices fit 32 bits (coordinate/D < 2^31, true for any
+        // realistic domain; the fixture grid is ~10^4 cells wide).
+        val cells = new scala.collection.mutable.LongMap[Cell](1 << 10)
         it.foreach { case (pi, pj, own, id, x, y) =>
-          var c = cells.get((pi, pj))
-          if (c == null) { c = new Cell; cells.put((pi, pj), c) }
+          val key = (pi << 32) | (pj & 0xffffffffL)
+          var c = cells.getOrNull(key)
+          if (c == null) { c = new Cell; cells.update(key, c) }
           c.cx += x; c.cy += y
           if (own) { c.oid += id; c.ox += x; c.oy += y }
         }
-        import scala.jdk.CollectionConverters._
-        cells.values.iterator.asScala.flatMap { c =>
+        cells.valuesIterator.flatMap { c =>
           val oid = c.oid.result(); val ox = c.ox.result(); val oy = c.oy.result()
           val cx = c.cx.result(); val cy = c.cy.result()
           (0 until oid.length).iterator.map { k =>

@@ -108,12 +108,24 @@ object Similarity {
     * vectors-only (n·d doubles) — at corpus sizes past executor memory, block
     * the pair space first (IVF cells of [[annIvf]] or sign-bucket LSH) and
     * apply this kernel per block. */
-  def neardupCosine(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+  def neardupCosine(emb: DataFrame, threshold: Double = 0.45,
+                    driverThreshold: Long = 500_000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id").cast("long"), col("emb").cast("array<double>"))
       .as[(Long, Array[Double])]
-    val all = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    // Size gate (same switch as Dedup.connectedComponents): the broadcast of
+    // the full vector table is only sane while it fits executor memory
+    // (500k x 64-dim doubles ≈ 256 MB). The gate is a single limit(n+1) job —
+    // if fewer rows arrive they ARE the whole table and feed the broadcast
+    // directly; past the threshold the exact all-pairs scan is off the table
+    // at any layout, so the call routes to the IVF-blocked kernel (the
+    // documented 100 TB path; recall < 1 is the standard blocking trade).
+    val lim = math.min(driverThreshold, Int.MaxValue - 1L).toInt + 1
+    val head = vecs.limit(lim).collect()
+    if (head.length > driverThreshold)
+      return neardupCosineBlocked(emb, threshold)
+    val all = spark.sparkContext.broadcast(head.sortBy(_._1))
     val out = vecs.mapPartitions { it =>
       val bs = all.value
       it.flatMap { case (a, av) =>
