@@ -54,6 +54,26 @@ class ClusteringSpec extends AnyFunSuite with SharedSpark {
       "Spark column-math radius must agree with the driver-side computation")
   }
 
+  test("deterministic MRFFT: identical centers across runs, radius inside the approximation bracket") {
+    val raw = graft.sources.Sources.points2d(spark, "/root/testdata/sf0.001")
+      .select(col("id"), array(col("x"), col("y")).as("vec"))
+    val c1 = Clustering.mrfftCentersDeterministic(raw, 8, 8)
+    val c2 = Clustering.mrfftCentersDeterministic(raw, 8, 8)
+    assert(c1.length == c2.length &&
+      c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "fixed-partitioning MRFFT must be bit-for-bit repeatable")
+    // bracket against full sequential FFT on the same data: r_seq is a
+    // 2-approx (OPT >= r_seq/2) and any k-center radius >= OPT, so
+    // r_seq/2 <= r_mrfft; the composable-coreset bound gives
+    // r_mrfft <= 4*OPT <= 4*r_seq.
+    val all = raw.select(col("vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray).toIndexedSeq
+    val rSeq = radiusOf(Clustering.sequentialFFT(all, 8), all)
+    val rMr = radiusOf(c1, all)
+    assert(rMr >= rSeq / 2 - 1e-9 && rMr <= 4 * rSeq + 1e-9,
+      s"mrfft radius $rMr outside [${rSeq / 2}, ${4 * rSeq}] (r_seq=$rSeq)")
+  }
+
   test("hw2 pipeline: radius feeds the grid-outlier summary") {
     val df = pts.zipWithIndex.map { case (p, i) => (i.toLong, p(0), p(1)) }.toDF("id", "x", "y")
     val row = Clustering.hw2Pipeline(df, 4, 4, 3).head()
