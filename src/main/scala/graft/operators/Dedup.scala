@@ -105,6 +105,34 @@ object Dedup {
       .toDF()
   }
 
+  /** Harness-side kernel sharing (system property `graft.sharedKernels`):
+    * Verify runs the whole contract-query suite in one JVM, and the dedup
+    * family (`q_minhash_lsh`, `q_dedup_clusters`, `q_dedup_survivors`,
+    * `q_ngram_jaccard`) each recompute the identical [[docSignatures]] pass
+    * over the same document table. With the property set, the checkpointed
+    * kernel is memoized per (session, analyzed-plan semanticHash, h, k) and
+    * reused — the checkpoint blocks then live until the JVM exits, which is
+    * why this is OPT-IN for one-shot harnesses only: Bench keeps it off so
+    * every query is timed self-contained, and library callers keep the
+    * cache-hygiene contract (CacheHygieneSpec) untouched.
+    * `hs` is h-independent, so any request is served by an h≥16 superset. */
+  private def sharedKernels: Boolean =
+    sys.props.get("graft.sharedKernels").contains("true")
+
+  private val kernelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), DataFrame]
+
+  private[graft] def sharedSignatures(docs: DataFrame, h: Int,
+                                      k: Int = 9): Option[DataFrame] =
+    if (!sharedKernels) None
+    else {
+      val hEff = math.max(h, 16)
+      val key = (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(), hEff, k)
+      Some(kernelMemo.computeIfAbsent(key,
+        _ => docSignatures(docs, hEff, k).localCheckpoint()))
+    }
+
   /** MinHash signatures: for each of `h` hash variants k, the min 60-bit
     * mixed hash over the doc's distinct 9-gram shingles.
     * Output: (doc_id, k, mh). Unfolds the [[docSignatures]] kernel. */
@@ -137,7 +165,8 @@ object Dedup {
     // cache-hygiene contract, CacheHygieneSpec). The checkpoint runs the
     // kernel once up front, stores |docs| rows, truncates lineage, and its
     // blocks are freed by the ContextCleaner when the plan is GC'd.
-    val docAgg = docSignatures(docs, h).localCheckpoint()
+    val docAgg = sharedSignatures(docs, h)
+      .getOrElse(docSignatures(docs, h).localCheckpoint())
     val nBands = (h + rows - 1) / rows
     val bandCols = array((0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
@@ -183,7 +212,8 @@ object Dedup {
     // [[lshPairs]] — both tables are multiply scanned by the RETURNED plan.
     // The checkpointed LogicalRDD keeps the physical plan's output
     // partitioning, so the `s`-keyed consumers still reuse the one exchange.
-    val sh = docSignatures(docs, h = 0)
+    val sh = sharedSignatures(docs, h = 0)
+      .getOrElse(docSignatures(docs, h = 0))
       .select(col("doc_id"), explode(col("hs")).as("s"))
       .repartition(col("s")).localCheckpoint()
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
