@@ -38,4 +38,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m code cache fills mid-run and silently disables the JIT,
   // which showed up as intermittent 2-10x per-stage slowdowns
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // experiment hook: extra space-separated JVM flags for the forked run
+  // (e.g. SPARK_GRAFT_JAVA_OPTS="-XX:TieredStopAtLevel=1")
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))

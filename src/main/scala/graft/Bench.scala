@@ -121,7 +121,7 @@ object Bench {
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val env =
-      s"""{"cores":${Runtime.getRuntime.availableProcessors},"heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
+      s"""{"cores":${Runtime.getRuntime.availableProcessors},"threads":$cpus,"heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
       s""""code_cache_mb":$codeCacheUsedMb,"jit_total_ms":$jitMillis,"gc_total_ms":$gcMillis,""" +
       s""""cpu_total_s":${fmt(processCpuSec)},"wall_total_s":${fmt((System.nanoTime() - suiteT0) / 1e9)},""" +
       s""""disk_mbps_before":${fmt(probeBefore)},"disk_mbps_after":${fmt(diskProbeMbps(SparkLocal.localDir))},""" +
