@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashes
@@ -197,33 +198,45 @@ object Dedup {
     * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
   def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
                         threshold: Double = 0.3): DataFrame = {
-    // One explicit hash-repartition on the shingle key, cached: the DF
-    // aggregation, the df-cap semi-filter join and the inverted-index
-    // self-join below are all keyed by `s`, so they reuse this partitioning
-    // (InMemoryRelation preserves outputPartitioning) instead of three
-    // separate exchanges of the full doc x shingle incidence.
+    // Posting-list form: ONE exchange keyed on the shingle hash builds, per
+    // shingle, the sorted doc list, and candidate pairs are generated in
+    // place from each list — never via an incidence self-join (the earlier
+    // form shuffled + checkpointed the 2.8M-row (sf0.1) incidence twice and
+    // hash-probed it against itself; this one moves it once).
     // The incidence carries the 60-bit shingle HASH ([[docSignatures]]
     // kernel), not the raw 9-char string: the md5 work happens once,
     // partition-locally, and every exchange moves fixed 8-byte longs. DF
     // counts, intersections and jaccard values are identical to the string
     // form (the oracle keeps it) — distinct shingles keep distinct hashes at
     // any realistic corpus size (60-bit birthday bound).
-    // localCheckpoint, not cache, for the same hygiene reason as in
-    // [[lshPairs]] — both tables are multiply scanned by the RETURNED plan.
-    // The checkpointed LogicalRDD keeps the physical plan's output
-    // partitioning, so the `s`-keyed consumers still reuse the one exchange.
+    // Stop-shingle safety at scale: [[graft.functions.BoundedCollectList]]
+    // saturates each posting buffer at dfCap+1 entries, so a df-10⁹ stop
+    // shingle at corpus scale costs one bounded buffer, not a df-sized list
+    // (and no per-key sort, unlike a row_number window). Lists that reach
+    // dfCap+1 are exactly the stop shingles; dropping them is the oracle's
+    // global-df filter, and any surviving list is complete (saturation can't
+    // truncate below the bound).
     val sh = sharedSignatures(docs, h = 0)
       .getOrElse(docSignatures(docs, h = 0))
       .select(col("doc_id"), explode(col("hs")).as("s"))
-      .repartition(col("s")).localCheckpoint()
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("s")
-    val rsh = sh.join(rare, "s").localCheckpoint()
-    val sizes = rsh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = rsh.as("x").join(rsh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+    val posts = sh
+      .groupBy("s")
+      .agg(graft.functions.BoundedCollectList
+        .boundedCollectList(col("doc_id"), dfCap + 1).as("ds"))
+      .filter(size(col("ds")) <= dfCap)
+      .select("ds")
+      // localCheckpoint, not cache (hygiene, see [[lshPairs]]): consumed by
+      // both the pair generator and the per-doc size aggregation below.
+      .localCheckpoint()
+    val sizes = posts.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // each list is ascending and duplicate-free (one row per doc per
+    // shingle), so slicing strictly past position i yields each unordered
+    // pair exactly once per shared shingle, already oriented a < b
+    val pairs = posts.filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("ds"), col("i") + lit(2), lit(dfCap))).as("b"))
+    val inter = pairs.groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("ca"), col("a") === col("ca.doc_id"))
       .join(sizes.as("cb"), col("b") === col("cb.doc_id"))
