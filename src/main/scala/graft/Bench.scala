@@ -93,7 +93,10 @@ object Bench {
     // queries between a query's reps the second pass recompiles everything
     // and the min degrades to min(cold, cold) — a ~2x total regression.)
     // BASELINE.md records numbers measured the same way.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 3 reps: the third is fully steady-state (rep 1 pays codegen compile,
+    // rep 2 still races the C2 compiler threads) and a min-of-3 is robust to
+    // one intermittent stall — measured 25.3 s vs 28.6 s total at sf0.1
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val probeBefore = diskProbeMbps(SparkLocal.localDir)
     val suiteT0 = System.nanoTime()
     val details = scala.collection.mutable.ArrayBuffer.empty[String]
