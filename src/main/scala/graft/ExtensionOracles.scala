@@ -302,5 +302,43 @@ object ExtensionOracles {
          |       CAST(48 + ((n * 7) % 432) AS BIGINT) AS height,
          |       CAST(1 + (n % 16) AS BIGINT) AS n_frames
          |  FROM m ORDER BY media_id""".stripMargin,
+    // ---- corpus curation (round 4): deterministic hash sampling/capping,
+    // sequence packing, benchmark decontamination ----
+    "q_stratified" ->
+      s"""SELECT doc_id, lang FROM $DOCS
+         | WHERE ${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR) || ':strat1'")} % 100 <
+         |       CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 80
+         |                 WHEN 'de' THEN 80 WHEN 'es' THEN 80 ELSE 20 END
+         | ORDER BY doc_id""".stripMargin,
+    "q_group_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |                       ORDER BY ${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR) || ':cap1'")}, doc_id)
+         |                    AS BIGINT) AS rk
+         |             FROM $DOCS)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin,
+    "q_packing" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |             FROM $DOCS)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
+         |  FROM t ORDER BY doc_id""".stripMargin,
+    "q_decontam" ->
+      s"""WITH $SH,
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+         |b AS (SELECT DISTINCT h FROM hh WHERE doc_id % 97 = 0),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |          FROM hh WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+         |hit AS (SELECT hh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |          FROM hh JOIN b ON hh.h = b.h
+         |         WHERE hh.doc_id % 97 <> 0 GROUP BY hh.doc_id)
+         |SELECT t.doc_id, t.n_shingles,
+         |       COALESCE(hit.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |       CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS overlap,
+         |       (CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)) >= 0.2 AS contaminated
+         |  FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
+         | ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
-import graft.operators.{AsOfJoin, Clustering, Dedup, ExactOutliers,
+import graft.operators.{AsOfJoin, Clustering, Curation, Dedup, ExactOutliers,
   GridOutliers, IntervalJoin, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
@@ -163,6 +163,11 @@ object SparkEntry {
       Similarity.labelCentroids(Sources.embeddings(s, dir))),
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.nearDupSurvivors(Sources.documents(s, dir))),
+    // ---- round-4 corpus curation ----
+    "q_stratified" -> ((s, dir) => Curation.stratifiedSample(Sources.documents(s, dir))),
+    "q_group_cap" -> ((s, dir) => Curation.groupCap(Sources.documents(s, dir))),
+    "q_packing" -> ((s, dir) => Curation.packSequences(Sources.documents(s, dir))),
+    "q_decontam" -> ((s, dir) => Curation.decontaminate(Sources.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Corpus-curation operators for a training-data pipeline (north-star
+  * extension, SURVEY.md §7.1 M7): deterministic stratified sampling,
+  * per-group balanced capping, sequence packing, and benchmark
+  * decontamination. Like the rest of M7, everything is reproducible by
+  * construction — sampling/ranking decisions are pure md5-derived functions
+  * of the data ([[Hashes]]), never `rand()` — so every operator carries an
+  * exact DuckDB oracle twin and is invariant to partitioning, retries and
+  * cluster size, the property an auditable data pipeline needs.
+  */
+object Curation {
+
+  /** Per-language sampling percentages (pct of 100) for
+    * [[stratifiedSample]] — the up/down-weighting step that rebalances a
+    * multilingual crawl before training. */
+  val DefaultRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "fr" -> 80, "de" -> 80, "es" -> 80)
+
+  private def keyHash(id: Column, salt: String): Column =
+    Hashes.h60(concat(id.cast("string"), lit(":" + salt)))
+
+  /** Deterministic stratified sample: a document survives iff
+    * `h60(doc_id:salt) mod 100 < pct(lang)` — an exact, reproducible
+    * Bernoulli sample per stratum. One narrow codegen'd filter (no shuffle,
+    * no RNG state), so it scales embarrassingly at 100 TB and the sample is
+    * stable across runs, engines and repartitioning — the property
+    * `df.sample()` (partition-seeded) does not give. */
+  def stratifiedSample(docs: DataFrame, rates: Seq[(String, Int)] = DefaultRates,
+                       defaultPct: Int = 20, salt: String = "strat1"): DataFrame = {
+    val pct = rates.foldRight(lit(defaultPct)) { case ((lang, p), els) =>
+      when(col("lang") === lang, p).otherwise(els)
+    }
+    docs.filter(keyHash(col("doc_id"), salt) % 100 < pct)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Balanced per-group cap: keep at most `cap` documents per source,
+    * chosen by deterministic hash order (a reproducible "random N per
+    * domain" — the standard anti-domination step against crawl-heavy
+    * sources). rank ties are impossible (rank includes doc_id).
+    *
+    * Scale shape: `row_number <= cap` over a window is planned as a
+    * WindowGroupLimit in Spark 4 — each map task pre-trims its partition to
+    * the top `cap` rows per group BEFORE the exchange, so a source with 10⁹
+    * docs ships ~cap rows per upstream partition, not its whole group. */
+  def groupCap(docs: DataFrame, cap: Int = 40, salt: String = "cap1"): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(keyHash(col("doc_id"), salt).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .orderBy("source", "rk")
+  }
+
+  /** Sequence packing (concat-and-chunk): documents are laid out per
+    * language in deterministic doc_id order and cut into training sequences
+    * of `budget` tokens; a document's bin is its exclusive running token
+    * count integer-divided by the budget. Output (doc_id, lang, n_tokens,
+    * bin).
+    *
+    * The running sum is order-serial BY DESIGN (packing is a sequential
+    * layout decision); at corpus scale the partition key grows a shard
+    * component — pack per (lang, shard) with shard = hash-range of doc_id —
+    * which this operator expresses unchanged via a composite partition
+    * column. Window input is one shuffle keyed by the partition column. */
+  def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_excl div ${budget}L").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: for every non-benchmark document, the
+    * fraction of its distinct 9-gram shingles that occur in ANY benchmark
+    * document ([[Dedup.docSignatures]] kernel provides the per-doc shingle
+    * hash sets in one narrow pass). The benchmark set here is the
+    * deterministic stand-in `doc_id % 97 == 0` — in production it is the
+    * eval/test corpora. Output (doc_id, n_shingles, n_hit, overlap,
+    * contaminated); documents shorter than the shingle width carry no
+    * shingles and are excluded, like every shingle-based operator.
+    *
+    * Scale shape: benchmark corpora are tiny next to training corpora, so
+    * the distinct benchmark-shingle set is explicitly `broadcast()` and the
+    * hit count is a map-side semi-join + per-doc aggregation — the training
+    * corpus is read once and never shuffled wider than |docs| rows. */
+  def decontaminate(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val sig = Dedup.docSignatures(docs, h = 0)
+      .withColumn("is_bench", col("doc_id") % 97 === 0)
+    val benchShingles = broadcast(
+      sig.filter(col("is_bench")).select(explode(col("hs")).as("s")).distinct())
+    val train = sig.filter(!col("is_bench"))
+    val hits = train.select(col("doc_id"), explode(col("hs")).as("s"))
+      .join(benchShingles, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    train.select(col("doc_id"), col("c").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+      .orderBy("doc_id")
+  }
+}
