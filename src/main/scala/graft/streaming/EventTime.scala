@@ -47,6 +47,24 @@ object EventTime {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join — the attribution shape (pair
+    * each click with the same user's conversions landing within `maxDelay`
+    * after it). Both sides carry watermarks and the join predicate bounds
+    * the event-time distance, so each side's buffered state is limited to
+    * the watermark + interval horizon — the only stream-stream join that
+    * runs unbounded at scale. Inner join: unmatched rows age out of state
+    * and emit nothing. */
+  def intervalJoin(clicks: DataFrame, convs: DataFrame,
+                   maxDelay: String = "30 minutes",
+                   lateness: String = "10 minutes"): DataFrame =
+    clicks.withWatermark("ts", lateness).alias("c")
+      .join(
+        convs.withWatermark("ts", lateness).alias("v"),
+        expr(s"""c.user_id = v.user_id AND
+                 v.ts >= c.ts AND v.ts <= c.ts + interval $maxDelay"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("v.ts").as("conv_ts"))
+
   final case class ItemEvent(item: Long, ts: java.sql.Timestamp)
   final case class ItemRunning(item: Long, total: Long, batches: Long)
 

@@ -39,6 +39,37 @@ class StreamingWideningSpec extends AnyFunSuite with SharedSpark {
     assert(rows.contains((1L, 1L)), s"second session of user 1 must hold 1 event, got $rows")
   }
 
+  test("stream-stream interval join pairs conversions within the delay bound") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val convs = MemoryStream[(Timestamp, Long)]
+    val cdf = clicks.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+    val vdf = convs.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+    val q = EventTime.intervalJoin(cdf, vdf, maxDelay = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1 clicks at 0; converts at 10 (in bound) and 50 (out of bound).
+    // user 2 converts at 5 with no click -> never emitted.
+    clicks.addData((ts(0), 1L))
+    convs.addData((ts(10), 1L), (ts(50), 1L), (ts(5), 2L))
+    q.processAllAvailable()
+    // advance both watermarks so in-bound results finalize
+    clicks.addData((ts(200), 9L))
+    convs.addData((ts(200), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_ssjoin")
+      .select(col("user_id"), col("click_ts"), col("conv_ts"))
+      .as[(Long, Timestamp, Timestamp)].collect().toList
+    assert(rows.map(r => (r._1, r._2, r._3)).contains((1L, ts(0), ts(10))),
+      s"in-bound conversion must pair, got $rows")
+    assert(!rows.exists(r => r._3 == ts(50)),
+      s"out-of-bound conversion must not pair, got $rows")
+    assert(!rows.exists(_._1 == 2L), s"conversion without click must not pair, got $rows")
+  }
+
   test("dropDuplicatesWithinWatermark drops in-horizon duplicate event ids") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long)]
