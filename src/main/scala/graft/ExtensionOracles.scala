@@ -302,6 +302,15 @@ object ExtensionOracles {
          |       CAST(48 + ((n * 7) % 432) AS BIGINT) AS height,
          |       CAST(1 + (n % 16) AS BIGINT) AS n_frames
          |  FROM m ORDER BY media_id""".stripMargin,
+    "q_minhash_est" ->
+      s"""WITH $minhashCtes,
+         |est AS (SELECT cand.a, cand.b,
+         |               CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |          FROM cand JOIN mh ma ON cand.a = ma.doc_id
+         |                    JOIN mh mb ON cand.b = mb.doc_id AND ma.k = mb.k
+         |         GROUP BY cand.a, cand.b)
+         |SELECT a, b, n_agree, CAST(n_agree AS DOUBLE) / 16.0 AS jaccard_est
+         |  FROM est ORDER BY a, b""".stripMargin,
     // ---- corpus curation (round 4): deterministic hash sampling/capping,
     // sequence packing, benchmark decontamination ----
     "q_stratified" ->

@@ -109,6 +109,7 @@ object SparkEntry {
     "q_dedup_groups" -> ((s, dir) => Dedup.exactGroups(Sources.documents(s, dir))),
     "q_dedup_summary" -> ((s, dir) => Dedup.dedupSummary(Sources.documents(s, dir))),
     "q_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(Sources.documents(s, dir))),
+    "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimates(Sources.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Sources.documents(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Sources.documents(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(Sources.documents(s, dir))),

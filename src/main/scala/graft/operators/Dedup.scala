@@ -158,6 +158,24 @@ object Dedup {
     * slices of the sig array; verification intersects the two distinct
     * hash SETS per candidate row — integer counts, so the jaccard double
     * divides identically to the oracle's string-join-count formulation. */
+  /** Banded LSH candidate pairs (a < b, distinct) over a [[docSignatures]]
+    * table — the shared front half of [[lshPairs]] and [[minhashEstimates]]. */
+  private def lshCandidates(docAgg: DataFrame, h: Int, rows: Int): DataFrame = {
+    val nBands = (h + rows - 1) / rows
+    val bandCols = array((0 until nBands).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws("-", transform(slice(col("sig"), bd * rows + 1, rows),
+          _.cast("string"))).as("bsig"))
+    }: _*)
+    val bands = docAgg.select(col("doc_id"), explode(bandCols).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   private def lshPairs(docs: DataFrame, h: Int, rows: Int,
                        threshold: Double): DataFrame = {
     // localCheckpoint (eager), not cache(): the per-doc table is scanned by
@@ -168,19 +186,7 @@ object Dedup {
     // blocks are freed by the ContextCleaner when the plan is GC'd.
     val docAgg = sharedSignatures(docs, h)
       .getOrElse(docSignatures(docs, h).localCheckpoint())
-    val nBands = (h + rows - 1) / rows
-    val bandCols = array((0 until nBands).map { bd =>
-      struct(lit(bd).as("band"),
-        concat_ws("-", transform(slice(col("sig"), bd * rows + 1, rows),
-          _.cast("string"))).as("bsig"))
-    }: _*)
-    val bands = docAgg.select(col("doc_id"), explode(bandCols).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val cand = lshCandidates(docAgg, h, rows)
     cand
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
@@ -190,6 +196,30 @@ object Dedup {
         (col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction of
+    * the `h` signature positions on which two documents agree — the unbiased
+    * MinHash estimator of their true Jaccard. This is the verification a
+    * 100 TB dedup run actually ships: the exact check ([[minhashLshPairs]])
+    * re-intersects the full shingle sets per candidate (join against two
+    * |doc|-sized arrays), while the estimate touches only the h-long
+    * signatures already in hand — candidate-verification cost drops from
+    * O(|doc|) to O(h) per pair, at the standard ±1/√h accuracy trade.
+    * Output (a, b, n_agree, jaccard_est). */
+  def minhashEstimates(docs: DataFrame, h: Int = 16, rows: Int = 4): DataFrame = {
+    val docAgg = sharedSignatures(docs, h)
+      .getOrElse(docSignatures(docs, h).localCheckpoint())
+    lshCandidates(docAgg, h, rows)
+      .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
+      .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        aggregate(zip_with(col("ca.sig"), col("cb.sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_agree"))
+      .select(col("a"), col("b"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(h.toDouble)).as("jaccard_est"))
+      .orderBy("a", "b")
   }
 
   /** DF-capped n-gram Jaccard near-dup pairs: inverted index over shingles
