@@ -66,6 +66,28 @@ object Bench {
 
   private def fmt(d: Double): String = "%.3f".format(d)
 
+  /** Accumulates task-level IO/shuffle/spill bytes across the whole app;
+    * Bench snapshots deltas per query. Attribution is approximate at query
+    * boundaries (listener events drain asynchronously) but exact in total —
+    * the point is to stamp how much engine WORK each query represents, so a
+    * slow driver-env reading can be split into "moved more bytes" vs
+    * "waited" alongside the cpu-vs-wall discriminator. */
+  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    val input = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        spill.addAndGet(m.diskBytesSpilled): Unit
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -97,12 +119,15 @@ object Bench {
     // rep 2 still races the C2 compiler threads) and a min-of-3 is robust to
     // one intermittent stall — measured 25.3 s vs 28.6 s total at sf0.1
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
     val probeBefore = diskProbeMbps(SparkLocal.localDir)
     val suiteT0 = System.nanoTime()
     val details = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val tq0 = (System.nanoTime() - suiteT0) / 1e9
       val (gc0, jit0, cpu0) = (gcMillis, jitMillis, processCpuSec)
+      val (sw0, sr0, in0, sp0) = (io.shufW.get, io.shufR.get, io.input.get, io.spill.get)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed query is recorded (and fails the run) — a silent catch
@@ -116,7 +141,9 @@ object Bench {
       }
       details += s""""$name":{"at":${fmt(tq0)},"reps":[${times.map(t => fmt(t._1)).mkString(",")}],""" +
         s""""cpu":${fmt(processCpuSec - cpu0)},"gc_ms":${gcMillis - gc0},""" +
-        s""""jit_ms":${jitMillis - jit0},"load":${fmt(loadAvg)}}"""
+        s""""jit_ms":${jitMillis - jit0},"load":${fmt(loadAvg)},""" +
+        s""""shuf_w_mb":${(io.shufW.get - sw0) >> 20},"shuf_r_mb":${(io.shufR.get - sr0) >> 20},""" +
+        s""""in_mb":${(io.input.get - in0) >> 20},"spill_mb":${(io.spill.get - sp0) >> 20}}"""
       (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
