@@ -87,8 +87,16 @@ object ExactOutliers {
         broadcast(bucketed.select(col("bi").as("ci"), col("bj").as("cj")).distinct()),
         col("pi") === col("ci") && col("pj") === col("cj"), "left_semi")
     pruned
-      .repartition(col("pi"), col("pj"))
-      .as[(Long, Long, Boolean, Long, Double, Double)]
+      // slim the shuffle row to (packed cell key, nullable id, x, y): the
+      // probe cell packs into one long (bi<<32 | bj — collision-free while
+      // cell indices fit 32 bits, i.e. coordinate/D < 2^31) and the `own`
+      // flag rides id's nullability (only own replicas carry an id at all),
+      // cutting ~1/3 of the exchange bytes of the suite's largest shuffle
+      .select(
+        shiftleft(col("pi"), 32).bitwiseOR(col("pj").bitwiseAND(lit(0xffffffffL))).as("k"),
+        when(col("own"), col("id")).as("oid"), col("x"), col("y"))
+      .repartition(col("k"))
+      .as[(Long, java.lang.Long, Double, Double)]
       .mapPartitions { it =>
         // per-cell buffers: residents (id,x,y — the `own` replicas) and every
         // replica reaching the cell (x,y only; includes the residents' own)
@@ -99,19 +107,15 @@ object ExactOutliers {
           val cx = scala.collection.mutable.ArrayBuilder.make[Double]
           val cy = scala.collection.mutable.ArrayBuilder.make[Double]
         }
-        // cell key packed into one primitive long (bi<<32 | bj) and an
-        // open-addressed LongMap: the earlier java.util.HashMap keyed on a
-        // boxed (Long, Long) allocated a tuple + two boxed longs per probed
-        // row on 32 threads — pure GC churn. Packing is collision-free while
-        // cell indices fit 32 bits (coordinate/D < 2^31, true for any
-        // realistic domain; the fixture grid is ~10^4 cells wide).
+        // open-addressed LongMap on the packed key: the earlier
+        // java.util.HashMap keyed on a boxed (Long, Long) allocated a tuple
+        // + two boxed longs per probed row on 32 threads — pure GC churn
         val cells = new scala.collection.mutable.LongMap[Cell](1 << 10)
-        it.foreach { case (pi, pj, own, id, x, y) =>
-          val key = (pi << 32) | (pj & 0xffffffffL)
+        it.foreach { case (key, boxedId, x, y) =>
           var c = cells.getOrNull(key)
           if (c == null) { c = new Cell; cells.update(key, c) }
           c.cx += x; c.cy += y
-          if (own) { c.oid += id; c.ox += x; c.oy += y }
+          if (boxedId != null) { c.oid += boxedId.longValue(); c.ox += x; c.oy += y }
         }
         cells.valuesIterator.flatMap { c =>
           val oid = c.oid.result(); val ox = c.ox.result(); val oy = c.oy.result()
