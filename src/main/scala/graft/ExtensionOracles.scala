@@ -334,6 +334,21 @@ object ExtensionOracles {
          |       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
          |  FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality_quantile" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+         |             CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM t GROUP BY doc_id),
+         |q AS (SELECT d.doc_id, d.lang,
+         |             CAST(0.5 AS DOUBLE)*(CAST(g.n_distinct AS DOUBLE)/CAST(g.n_tokens AS DOUBLE))
+         |               + CAST(0.3 AS DOUBLE)*LEAST((CAST(g.n_stop AS DOUBLE)/CAST(g.n_tokens AS DOUBLE))*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |               + CAST(0.2 AS DOUBLE)*LEAST(CAST(g.n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+         |        FROM $DOCS d JOIN g ON d.doc_id = g.doc_id),
+         |r AS (SELECT doc_id, lang, quality,
+         |             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality DESC) AS pct
+         |        FROM q)
+         |SELECT doc_id, lang, quality, pct FROM r WHERE pct <= 0.5 ORDER BY doc_id""".stripMargin,
     "q_decontam" ->
       s"""WITH $SH,
          |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),

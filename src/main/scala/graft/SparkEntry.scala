@@ -169,6 +169,8 @@ object SparkEntry {
     "q_group_cap" -> ((s, dir) => Curation.groupCap(Sources.documents(s, dir))),
     "q_packing" -> ((s, dir) => Curation.packSequences(Sources.documents(s, dir))),
     "q_decontam" -> ((s, dir) => Curation.decontaminate(Sources.documents(s, dir))),
+    "q_quality_quantile" -> ((s, dir) =>
+      Curation.qualityQuantileFilter(Sources.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------------------

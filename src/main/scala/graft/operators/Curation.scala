@@ -82,6 +82,24 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-language quality-quantile filter: keep each language's top
+    * `keepFrac` of documents by [[TextAnalysis.qualityScore]] — the relative
+    * (quantile) form of quality gating, which unlike a fixed threshold
+    * survives per-language score-distribution shifts. `percent_rank` depends
+    * only on the quality VALUES (ties share a rank), so the output is
+    * deterministic and oracle-checkable; the quality double itself is
+    * bit-portable (established by the q_quality gate). One window exchange
+    * keyed by lang; the quality inputs partial-aggregate map-side. */
+  def qualityQuantileFilter(docs: DataFrame, keepFrac: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc)
+    docs.select(col("doc_id"), col("lang"))
+      .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("pct", percent_rank().over(w))
+      .filter(col("pct") <= keepFrac)
+      .select(col("doc_id"), col("lang"), col("quality"), col("pct"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: for every non-benchmark document, the
     * fraction of its distinct 9-gram shingles that occur in ANY benchmark
     * document ([[Dedup.docSignatures]] kernel provides the per-doc shingle
