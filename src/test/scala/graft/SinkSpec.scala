@@ -25,6 +25,45 @@ class SinkSpec extends AnyFunSuite with SharedSpark {
     assert(en.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    src.write.mode("overwrite").orc(dir)
+
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      src.agg(sum("n_chars")).head().getLong(0))
+    val filtered = back.filter(col("doc_id") > 100L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id"),
+      s"doc_id predicate must reach the ORC scan:\n$plan")
+    assert(filtered.count() == src.filter(col("doc_id") > 100L).count())
+  }
+
+  test("permissive json ingest quarantines corrupt rows instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.json"),
+      Seq("""{"doc_id": 1, "lang": "en"}""",
+          """{"doc_id": 2, "lang": "fr"}""",
+          """{"doc_id": "NOT_A_NUMBER", "lang": "de"}""",
+          """{broken json""").map(_ + "\n").mkString.getBytes("UTF-8"))
+
+    val read = spark.read
+      .schema("doc_id BIGINT, lang STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      assert(read.count() == 4, "permissive mode must keep every input line")
+      assert(read.filter(col("_corrupt_record").isNotNull).count() == 2,
+        "both malformed lines must be quarantined, not dropped")
+      assert(read.filter(col("_corrupt_record").isNull).agg(sum("doc_id"))
+        .head().getLong(0) == 3L)
+    } finally { read.unpersist(): Unit }
+  }
+
   test("csv and json round-trips preserve rows and schema-on-read works") {
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "lang", "n_chars")
