@@ -41,4 +41,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // experiment hook: extra space-separated JVM flags for the forked run
   // (e.g. SPARK_GRAFT_JAVA_OPTS="-XX:TieredStopAtLevel=1")
-  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -64,7 +64,10 @@ object Bench {
     finally { f.delete(): Unit }
   }
 
-  private def fmt(d: Double): String = "%.3f".format(d)
+  // Locale.ROOT: a comma-decimal default locale would print 1,500 and
+  // corrupt both JSON lines (including the driver-contract total line)
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   /** Accumulates task-level IO/shuffle/spill bytes across the whole app;
     * Bench snapshots deltas per query. Attribution is approximate at query

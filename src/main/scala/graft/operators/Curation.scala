@@ -114,7 +114,11 @@ object Curation {
     * hit count is a map-side semi-join + per-doc aggregation — the training
     * corpus is read once and never shuffled wider than |docs| rows. */
   def decontaminate(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val sig = Dedup.docSignatures(docs, h = 0)
+    // checkpoint (or the shared-kernel memo): the signature table feeds three
+    // consumers below — without materialization each would re-run the md5
+    // shingle kernel (see the hygiene note in Dedup.lshPairs)
+    val sig = Dedup.sharedSignatures(docs, h = 0)
+      .getOrElse(Dedup.docSignatures(docs, h = 0).localCheckpoint())
       .withColumn("is_bench", col("doc_id") % 97 === 0)
     val benchShingles = broadcast(
       sig.filter(col("is_bench")).select(explode(col("hs")).as("s")).distinct())

@@ -130,8 +130,16 @@ object Dedup {
       val hEff = math.max(h, 16)
       val key = (System.identityHashCode(docs.sparkSession),
         docs.queryExecution.analyzed.semanticHash(), hEff, k)
-      Some(kernelMemo.computeIfAbsent(key,
-        _ => docSignatures(docs, hEff, k).localCheckpoint()))
+      // identityHashCode is not unique: on a hit, verify the cached frame
+      // belongs to THIS session (a stale entry from a stopped session would
+      // throw or misbehave when executed) and recompute if not
+      val cached = kernelMemo.get(key)
+      if (cached != null && (cached.sparkSession eq docs.sparkSession)) Some(cached)
+      else {
+        val fresh = docSignatures(docs, hEff, k).localCheckpoint()
+        kernelMemo.put(key, fresh)
+        Some(fresh)
+      }
     }
 
   /** MinHash signatures: for each of `h` hash variants k, the min 60-bit

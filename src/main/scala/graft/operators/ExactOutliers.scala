@@ -93,7 +93,13 @@ object ExactOutliers {
       // flag rides id's nullability (only own replicas carry an id at all),
       // cutting ~1/3 of the exchange bytes of the suite's largest shuffle
       .select(
-        shiftleft(col("pi"), 32).bitwiseOR(col("pj").bitwiseAND(lit(0xffffffffL))).as("k"),
+        // loud guard instead of a silent cell merge: packing is only
+        // collision-free while cell indices fit 32 bits (coordinate/D < 2^31)
+        when(abs(col("pi")) < lit(1L << 31) && abs(col("pj")) < lit(1L << 31),
+          shiftleft(col("pi"), 32).bitwiseOR(col("pj").bitwiseAND(lit(0xffffffffL))))
+          .otherwise(raise_error(lit(
+            "ExactOutliers: cell index exceeds 32 bits (coordinate/D >= 2^31) — " +
+              "the packed cell key would collide; use a larger D or rescale"))).as("k"),
         when(col("own"), col("id")).as("oid"), col("x"), col("y"))
       .repartition(col("k"))
       .as[(Long, java.lang.Long, Double, Double)]
