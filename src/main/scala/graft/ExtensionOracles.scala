@@ -95,6 +95,16 @@ object ExtensionOracles {
          |         + CAST(0.3 AS DOUBLE)*LEAST(stop_ratio*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
          |         + CAST(0.2 AS DOUBLE)*LEAST(CAST(n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
          |  FROM j ORDER BY doc_id""".stripMargin,
+    "q_char_classes" ->
+      s"""WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         |       CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space
+         |  FROM $DOCS)
+         |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+         |       n_chars - n_alpha - n_digit - n_space AS n_punct,
+         |       CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio
+         |  FROM c ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       s"""WITH $SH
          |SELECT doc_id, MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS fp

@@ -104,6 +104,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Sources.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(Sources.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Sources.documents(s, dir))),
+    "q_char_classes" -> ((s, dir) => TextAnalysis.charClasses(Sources.documents(s, dir))),
     "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Sources.documents(s, dir))),
     // ---- M7 extensions: dedup ----
     "q_dedup_groups" -> ((s, dir) => Dedup.exactGroups(Sources.documents(s, dir))),

@@ -141,6 +141,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-class histogram per document — the punctuation/digit surface
+    * statistics that complement [[qualityScore]] (a high punct or digit
+    * ratio flags boilerplate, code, tables and spam before any model-based
+    * filter). Counts use the regex replace-length identity (codegen'd,
+    * branch-free, identical in DuckDB with the 'g' flag); punct is the
+    * residual class, and the ratio is one IEEE division of exact integer
+    * counts. Purely per-row: no shuffle at any scale. */
+  def charClasses(docs: DataFrame): DataFrame = {
+    def nClass(re: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), re, ""))).cast("long")
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nClass("[A-Za-z]").as("n_alpha"),
+        nClass("[0-9]").as("n_digit"),
+        nClass(" ").as("n_space"))
+      .withColumn("n_punct",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: min 60-bit hash over the distinct character
     * 9-gram shingles — the single-hash case of MinHash, the winnowing-style
     * content id used for fast near-dup prefiltering. */
