@@ -75,4 +75,17 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"q_token_counts must read only doc_id+text:\n$plan")
   }
+
+  test("hash sampling and per-row stats stay narrow: no exchange but the presentation sort") {
+    // a sample/per-row-stat operator that shuffles before its final ORDER BY
+    // would serialize the corpus through the cluster for a row-local decision
+    for (name <- Seq("q_stratified", "q_char_classes", "q_split")) {
+      val plan = planOf(name)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+      assert(hashEx == 0 && rangeEx <= 1,
+        s"$name must plan as filter/project + one sort exchange " +
+          s"(found $hashEx hash + $rangeEx range):\n$plan")
+    }
+  }
 }
