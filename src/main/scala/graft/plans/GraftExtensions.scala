@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{BoundedCollectList, DotProduct}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions for
   * the SQL surface, so `spark.sql("SELECT dot_product(a, b)")` plans the
@@ -24,6 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product expects two array<double> arguments")
         DotProduct(args.head, args(1))
+      }))
+    // aggregate-function registration: the bounded posting-list collect
+    // (maxLen must be a foldable int literal, like any SQL agg parameter)
+    ext.injectFunction((
+      new FunctionIdentifier("bounded_collect_list"),
+      new ExpressionInfo(classOf[BoundedCollectList].getName, "bounded_collect_list"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bounded_collect_list expects (long column, int literal maxLen)")
+        val maxLen = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bounded_collect_list maxLen must be an int literal, got $other")
+        }
+        BoundedCollectList(args.head, maxLen)
       }))
   }
 }

@@ -83,6 +83,23 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("SQL surface resolves the registered custom functions") {
+    // GraftExtensions registers dot_product (scalar) and bounded_collect_list
+    // (aggregate) into the session's FunctionRegistry; SharedSpark boots with
+    // the extension installed, so plain SQL strings plan the native forms
+    docs.createOrReplaceTempView("ext_docs")
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(dp == 32.0)
+    val bcl = spark.sql(
+      """SELECT source, bounded_collect_list(doc_id, 2) AS ids
+        |  FROM ext_docs GROUP BY source ORDER BY source""".stripMargin)
+      .as[(String, Seq[Long])].collect()
+    assert(bcl.forall(_._2.length <= 2), "lists must saturate at maxLen")
+    assert(bcl.find(_._1 == "srcA").get._2 == Seq(1L, 2L))
+  }
+
   test("multimodal: stub decode metadata and frame sampling shapes") {
     val media = Multimodal.fromDocuments(docs)
     val meta = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
