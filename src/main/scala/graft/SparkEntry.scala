@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
 import graft.operators.{AsOfJoin, Clustering, Curation, Dedup, ExactOutliers,
-  GridOutliers, IntervalJoin, Multimodal, Relational, Similarity, TextAnalysis}
+  GridOutliers, IntervalJoin, Multimodal, Relational, Similarity, Skew,
+  TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -172,6 +173,21 @@ object SparkEntry {
     "q_decontam" -> ((s, dir) => Curation.decontaminate(Sources.documents(s, dir))),
     "q_quality_quantile" -> ((s, dir) =>
       Curation.qualityQuantileFilter(Sources.documents(s, dir))),
+    // ---- round-5 skew tools: salted plans must equal the unsalted answer ----
+    // the token stream is the power-law key (stopwords are the hot keys); the
+    // oracles are the PLAIN group-by / join — salting is result-identical
+    "q_skew_tokens" -> ((s, dir) =>
+      Skew.saltedCount(TextAnalysis.tokens(Sources.documents(s, dir)), "tok", 8)
+        .orderBy("tok")),
+    "q_skew_join" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(Sources.documents(s, dir))
+      val build = toks.filter(col("tok").isin("the", "a", "of", "and"))
+        .select(col("tok")).distinct()
+        .withColumn("w", length(col("tok")).cast("long"))
+      Skew.saltedJoin(toks, build, "tok", 8)
+        .select(col("doc_id"), col("tok"), col("w"))
+        .orderBy("doc_id", "tok")
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -281,6 +297,32 @@ object SparkEntry {
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
         "FROM '<sfDir>/embeddings.parquet') " +
         s"SELECT MAX(LEAST(${dists.mkString(", ")})) AS radius FROM e"
+    },
+    // End-to-end HW2 gate: the oracle recomputes the deterministic MRFFT
+    // radius from the SAME pinned centers as q_mrfft_radius, then mirrors the
+    // full grid classification with D = radius. Hash-matches iff the
+    // distributed pipeline reproduces the pinned centers, the radius fold is
+    // bit-identical AND the downstream grid pass buckets identically.
+    "q_hw2_pipeline" -> {
+      val dists = MrfftPins.points2dK8L8.map { c =>
+        s"SQRT((x-(${c(0)}))*(x-(${c(0)}))+(y-(${c(1)}))*(y-(${c(1)})))"
+      }
+      s"""WITH p AS ($P),
+         |rad AS (SELECT MAX(LEAST(${dists.mkString(", ")})) AS r FROM p),
+         |c AS (SELECT CAST(FLOOR(x / ((SELECT r FROM rad) / (2 * SQRT(2)))) AS BIGINT) AS i,
+         |             CAST(FLOOR(y / ((SELECT r FROM rad) / (2 * SQRT(2)))) AS BIGINT) AS j,
+         |             COUNT(*) AS size
+         |        FROM p GROUP BY 1, 2),
+         |$offs7, $contrib,
+         |st AS (SELECT c.i, c.j, c.size,
+         |              CAST(contrib.n3 AS BIGINT) AS n3, CAST(contrib.n7 AS BIGINT) AS n7
+         |         FROM c JOIN contrib ON c.i = contrib.ci AND c.j = contrib.cj)
+         |SELECT (SELECT COUNT(*) FROM p) AS n_points,
+         |       CAST(COALESCE(SUM(CASE WHEN n3 <= $M AND n7 <= $M THEN size END), 0) AS BIGINT) AS sure_outliers,
+         |       CAST(COALESCE(SUM(CASE WHEN n3 <= $M AND n7 > $M THEN size END), 0) AS BIGINT) AS uncertain_points,
+         |       (SELECT r FROM rad) AS radius,
+         |       CAST(8 AS INT) AS k
+         |  FROM st""".stripMargin
     },
     "q_freq_exact" ->
       s"""WITH s AS ($S),

@@ -164,11 +164,19 @@ object Clustering {
   }
 
   /** HW2 end-to-end composition (`big_data_computing_2.py:161-169`): the MRFFT
-    * clustering radius becomes the distance threshold D of MRApproxOutliers. */
+    * clustering radius becomes the distance threshold D of MRApproxOutliers.
+    *
+    * Centers come from [[mrfftCentersDeterministic]] (not the reference's
+    * round-robin repartition, which Apps.Hw2Main keeps): the 4-approx bound is
+    * partitioning-independent, and a deterministic radius makes the WHOLE
+    * pipeline — clustering through grid classification — hash-verifiable
+    * against an oracle that recomputes the radius from the pinned centers. */
   def hw2Pipeline(points: DataFrame, k: Int, l: Int, m: Int): DataFrame = {
     val cached = points.cache() // rescanned by R1, R3 and the grid pass
     try {
-      val (centers, r) = mrfft2d(cached, k, l)
+      val vecs = cached.select(col("id"), array(col("x"), col("y")).as("vec"))
+      val centers = mrfftCentersDeterministic(vecs, k, l)
+      val r = radius(vecs, centers).head().getDouble(0)
       // localCheckpoint (eager) runs the grid pass NOW, while `points` is
       // still cached, and hands the caller the materialized summary (a
       // handful of rows) — so the cache can be dropped before returning

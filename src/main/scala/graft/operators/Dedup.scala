@@ -235,6 +235,8 @@ object Dedup {
     * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
   def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
                         threshold: Double = 0.3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // Posting-list form: ONE exchange keyed on the shingle hash builds, per
     // shingle, the sorted doc list, and candidate pairs are generated in
     // place from each list — never via an incidence self-join (the earlier
@@ -268,11 +270,24 @@ object Dedup {
     val sizes = posts.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
     // each list is ascending and duplicate-free (one row per doc per
-    // shingle), so slicing strictly past position i yields each unordered
-    // pair exactly once per shared shingle, already oriented a < b
-    val pairs = posts.filter(size(col("ds")) >= 2)
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
-      .select(col("a"), explode(slice(col("ds"), col("i") + lit(2), lit(dfCap))).as("b"))
+    // shingle), so emitting (ds(i), ds(j)) for i < j yields each unordered
+    // pair exactly once per shared shingle, already oriented a < b. A narrow
+    // mapPartitions over the checkpointed lists, not posexplode+slice: the
+    // declarative form materialized O(L) sliced array copies per list (two
+    // generate stages); this emits the same tuple stream in place.
+    val pairs = posts
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        it.flatMap { ds =>
+          val n = ds.length
+          if (n < 2) Iterator.empty
+          else Iterator.range(0, n - 1).flatMap { i =>
+            val a = ds(i)
+            Iterator.range(i + 1, n).map(j => (a, ds(j)))
+          }
+        }
+      }
+      .toDF("a", "b")
     val inter = pairs.groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("ca"), col("a") === col("ca.doc_id"))

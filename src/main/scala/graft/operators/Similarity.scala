@@ -116,17 +116,28 @@ object Similarity {
       .as[(Long, Array[Double])]
     // Size gate (same switch as Dedup.connectedComponents): the broadcast of
     // the full vector table is only sane while it fits executor memory
-    // (500k x 64-dim doubles ≈ 256 MB). The gate is a single limit(n+1) job —
-    // if fewer rows arrive they ARE the whole table and feed the broadcast
-    // directly; past the threshold the exact all-pairs scan is off the table
-    // at any layout, so the call routes to the IVF-blocked kernel (the
-    // documented 100 TB path; recall < 1 is the standard blocking trade).
+    // (500k x 64-dim doubles ≈ 256 MB). The route is decided from STATISTICS
+    // when possible — the optimizer's rowCount (exact for local relations) or
+    // the parquet footer record counts (exact when the plan is row-preserving
+    // over the scan) — at zero jobs; only a statless source pays the
+    // limit(n+1) probe, whose incremental CollectLimit jobs cost a full extra
+    // serial pass (the measured r4 q_neardup_cos regression). Past the
+    // threshold the exact all-pairs scan is off the table at any layout, so
+    // the call routes to the IVF-blocked kernel (the documented 100 TB path;
+    // recall < 1 is the standard blocking trade).
     val lim = math.min(driverThreshold, Int.MaxValue - 1L).toInt + 1
-    val head = vecs.limit(lim).collect()
-    if (head.length > driverThreshold)
+    val head = PlanStats.exactRowCount(vecs.toDF()) match {
+      case Some(n) if n > driverThreshold => null
+      case Some(_) => vecs.collect()
+      case None => vecs.limit(lim).collect()
+    }
+    if (head == null || head.length > driverThreshold)
       return neardupCosineBlocked(emb, threshold)
     val all = spark.sparkContext.broadcast(head.sortBy(_._1))
-    val out = vecs.mapPartitions { it =>
+    // the collected head IS the whole table (the gate proved it): stream it
+    // back out of driver memory instead of re-scanning the source, so the
+    // query reads its input exactly once
+    val out = spark.sparkContext.parallelize(head.toSeq).toDS().mapPartitions { it =>
       val bs = all.value
       it.flatMap { case (a, av) =>
         val na = math.sqrt(dotArr(av, av))

@@ -24,28 +24,20 @@ object TextAnalysis {
   /** Distinct character k-gram shingles: (doc_id, s). The basis for Jaccard /
     * MinHash dedup and fingerprinting.
     *
-    * Deduplication is PARTITION-LOCAL (a per-document hash set inside one
-    * typed flatMap): a document's shingles all live in its own row, so a
-    * global `.distinct()` — a full shuffle of the |doc|·|len| incidence
-    * table — would do the same work with an extra wide stage. Output rows
-    * are identical to explode+distinct; only the plan is narrower. */
-  def charShingles(docs: DataFrame, k: Int = 9): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    * Declarative form — dedup stays PARTITION-LOCAL (`array_distinct` inside
+    * the row before explode): a document's shingles all live in its own row,
+    * so a global `.distinct()` — a full shuffle of the |doc|·|len| incidence
+    * table — would do the same work with an extra wide stage. The hashed
+    * analogue ([[Dedup.docSignatures]]) owns the only imperative shingle
+    * loop in the codebase; this column form is its independent cross-check
+    * (HashesSpec) and the string-level API. */
+  def charShingles(docs: DataFrame, k: Int = 9): DataFrame =
     docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        if (t == null || t.length < k) Iterator.empty
-        else {
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          (0 to t.length - k).iterator
-            .map(i => t.substring(i, i + k))
-            .filter(seen.add)
-            .map(s => (id, s))
-        }
-      }
-      .toDF("doc_id", "s")
-  }
+      .filter(col("text").isNotNull && length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => col("text").substr(i, lit(k))))).as("s"))
 
   /** Repetition metrics per document (the Gopher-style repetition filters a
     * training-data pipeline applies before dedup): distinct-token ratio and
@@ -166,11 +158,17 @@ object TextAnalysis {
 
   /** Document fingerprint: min 60-bit hash over the distinct character
     * 9-gram shingles — the single-hash case of MinHash, the winnowing-style
-    * content id used for fast near-dup prefiltering. */
+    * content id used for fast near-dup prefiltering.
+    *
+    * Served by the shared [[Dedup.docSignatures]] kernel: `hs` already holds
+    * the distinct shingle hashes ([[Hashes.h60Jvm]], bit-equal to the h60
+    * Column twin — HashesSpec), so the fingerprint is `array_min(hs)` with no
+    * second shingle pass; under `graft.sharedKernels` the whole dedup family
+    * and this query share ONE kernel execution. */
   def fingerprint(docs: DataFrame): DataFrame =
-    charShingles(docs)
-      .groupBy("doc_id")
-      .agg(min(Hashes.h60(col("s"))).as("fp"))
+    Dedup.sharedSignatures(docs, h = 0)
+      .getOrElse(Dedup.docSignatures(docs, h = 0))
+      .select(col("doc_id"), array_min(col("hs")).as("fp"))
       .orderBy("doc_id")
 
   /** Corpus vocabulary statistics: per token, document frequency and

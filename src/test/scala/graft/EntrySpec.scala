@@ -18,12 +18,11 @@ class EntrySpec extends AnyFunSuite with SharedSpark {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    // reference-faithful round-robin partitioning (hw2), seeded-randomized
-    // (reservoir) and approximate-by-design (sketches) — everything else,
-    // including the deterministic MRFFT radii (pinned-center oracles),
-    // must hash-match
+    // seeded-randomized (reservoir) and approximate-by-design (sketches) —
+    // everything else, including the deterministic MRFFT radii and the full
+    // hw2 pipeline (pinned-center oracles), must hash-match
     assert(rowsOnly == Set(
-      "q_hw2_pipeline", "q_reservoir", "q_reservoir_merge", "q_sketch_stats"),
+      "q_reservoir", "q_reservoir_merge", "q_sketch_stats"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -85,6 +85,59 @@ class FrequentItemsSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty)
   }
 
+  test("property: faithful seeded sticky and deterministic hash sticky agree on heavy items") {
+    // The two sticky implementations share one distributional contract: an
+    // item is admitted per occurrence with probability r/n (RNG draw vs
+    // 60-bit md5 coin) and counted from admission on. The sticky-sampling
+    // guarantee then makes any sufficiently heavy item (count ≥ 2φn, giving
+    // it ≥ (2φ-φ+ε)n coin flips of slack) land in BOTH tracked sets and both
+    // reports except with probability (1-r/n)^((2φ-φ+ε)n) ≈ e^-18 per item —
+    // deterministic in practice at ScalaCheck volume. Soundness (reported
+    // count ≤ true count, and > (φ-ε)n) holds with probability 1 on both.
+    // The Spark operator itself is tied to the hash-coin replay by the
+    // "deterministic sticky matches a sequential fold" test above.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pp = StreamParams(1000L, 0.05, 0.02, 0.1)
+    val thr = (pp.stickyRate / pp.n) * 1152921504606846976.0 // 2^60
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(seq: Long): Boolean = {
+      val d = md.digest(seq.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) < thr
+    }
+    val gen = Gen.zip(Gen.choose(0L, 1000000L), Gen.choose(5, 40))
+    val prop = Prop.forAll(gen) { case (seed, nItems) =>
+      // quadratic-skew stream: item = ⌊nItems·u²⌋ makes item 0 a guaranteed
+      // heavy hitter (count ≈ n/√nItems ≥ 2φn for nItems ≤ 40)
+      val rng = new scala.util.Random(seed)
+      val items = Vector.fill(pp.n.toInt) {
+        val u = rng.nextDouble(); (nItems * u * u).toLong
+      }
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val heavy = truth.filter(_._2 >= 2 * pp.phi * pp.n).keySet
+      // faithful: the seeded SamplerState RNG path
+      val st = new SamplerState(pp, seed)
+      st.fold(items)
+      val fReport = st.stickyFrequent.toMap
+      // deterministic: the hash-coin replay (≡ the Spark operator)
+      val tracked = scala.collection.mutable.Map.empty[Long, Long]
+      items.zipWithIndex.foreach { case (item, i) =>
+        if (tracked.contains(item)) tracked(item) += 1
+        else if (coin(i + 1L)) tracked(item) = 1
+      }
+      val dReport = tracked.filter(_._2 > (pp.phi - pp.eps) * pp.n).toMap
+      val inclusion = heavy.forall(h =>
+        st.sticky.contains(h) && tracked.contains(h) &&
+          fReport.contains(h) && dReport.contains(h))
+      val sound = (fReport ++ dReport).forall { case (item, cnt) =>
+        cnt <= truth(item) && cnt > (pp.phi - pp.eps) * pp.n
+      }
+      inclusion && sound
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"sticky-equivalence: $res")
+  }
+
   test("idiomatic streaming exact counts: groupBy.count in update mode (A8)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Long)]
