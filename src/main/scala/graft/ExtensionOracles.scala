@@ -195,6 +195,61 @@ object ExtensionOracles {
          |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
          |       (CAST(SUM(qe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1073741824.0 AS centroid
          |  FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // ---- k-means (Lloyd): the oracle recomputes the full iteration chain —
+    // init centers = k lowest vec_ids, one quantized-integer centroid update,
+    // final assignment — with the same fold/cast shapes as the engine, so the
+    // gate holds without any pinning ----
+    "q_kmeans" ->
+      s"""WITH $EMB,
+         |c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < 8),
+         |d1 AS (SELECT e.vec_id, c0.cid,
+         |              list_sum(list_transform(list_zip(e.emb, c0.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+         |         FROM e CROSS JOIN c0),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |           FROM d1) WHERE rn = 1),
+         |x1 AS (SELECT a1.cid, e.emb, unnest(range(0, length(e.emb))) AS dim
+         |         FROM a1 JOIN e ON a1.vec_id = e.vec_id),
+         |m1 AS (SELECT cid, dim, COUNT(*) AS n,
+         |              SUM(CAST(FLOOR(CAST(emb[CAST(dim+1 AS INT)] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS qsum
+         |         FROM x1 GROUP BY cid, dim),
+         |c1 AS (SELECT cid,
+         |              list((CAST(qsum AS DOUBLE)/CAST(n AS DOUBLE))/1073741824.0 ORDER BY dim) AS cv
+         |         FROM m1 GROUP BY cid),
+         |d2 AS (SELECT e.vec_id, c1.cid,
+         |              list_sum(list_transform(list_zip(e.emb, c1.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+         |         FROM e CROSS JOIN c1),
+         |a2 AS (SELECT vec_id, cid, d FROM (
+         |         SELECT vec_id, cid, d,
+         |                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |           FROM d2) WHERE rn = 1)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CAST(FLOOR(d * 1048576.0) AS BIGINT)) AS BIGINT) AS qcost
+         |  FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+    // degree of each doc in the verified LSH pair graph
+    "q_pair_degrees" ->
+      s"""WITH $minhashCtes,
+         |vp AS ($jaccardSelect
+         |        WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT a AS doc_id FROM vp UNION ALL SELECT b AS doc_id FROM vp)
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pattern scrub: RE2 and java.util.regex agree on this regex subset
+    "q_scrub" ->
+      s"""SELECT doc_id,
+         |       CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,
+         |       CAST(length(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_num,
+         |       CAST(length(regexp_extract_all(text, 'spark')) AS BIGINT) AS n_term,
+         |       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |            '[0-9]{3,}', '<NUM>', 'g'),
+         |            'spark', '<TERM>', 'g')) AS BIGINT) AS scrub_len
+         |  FROM $DOCS ORDER BY doc_id""".stripMargin,
+    // sink round trip: the oracle is the UNWRITTEN source — any loss in the
+    // partitioned write/read cycle breaks the hash
+    "q_parquet_roundtrip" ->
+      s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
     "q_ngram_jaccard" ->
       s"""WITH $SH,
          |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) WHERE df <= 20),

@@ -37,6 +37,11 @@ object RelationalOracles {
          |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
          |    FROM '<sfDir>/orders.parquet')
          | WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_value_histogram" ->
+      s"""SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS qsum
+         |  FROM '<sfDir>/events.parquet' GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_events_daily" ->
       s"""SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
          |       CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
 import graft.operators.{AsOfJoin, Clustering, Curation, Dedup, ExactOutliers,
-  GridOutliers, IntervalJoin, Multimodal, Relational, Similarity, Skew,
-  TextAnalysis}
+  GridOutliers, IntervalJoin, KMeans, Multimodal, Relational, Similarity,
+  Skew, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -107,6 +107,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Sources.documents(s, dir))),
     "q_char_classes" -> ((s, dir) => TextAnalysis.charClasses(Sources.documents(s, dir))),
     "q_doc_stats" -> ((s, dir) => TextAnalysis.docStats(Sources.documents(s, dir))),
+    "q_scrub" -> ((s, dir) => TextAnalysis.scrub(Sources.documents(s, dir))),
     // ---- M7 extensions: dedup ----
     "q_dedup_groups" -> ((s, dir) => Dedup.exactGroups(Sources.documents(s, dir))),
     "q_dedup_summary" -> ((s, dir) => Dedup.dedupSummary(Sources.documents(s, dir))),
@@ -116,10 +117,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Sources.documents(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(Sources.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Sources.documents(s, dir))),
+    "q_pair_degrees" -> ((s, dir) => Dedup.pairDegrees(Sources.documents(s, dir))),
     // ---- M7 extensions: similarity search ----
     "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),
     "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
+    "q_kmeans" -> ((s, dir) => KMeans.kmeans(Sources.embeddings(s, dir))),
     // ---- M7 extensions: multimodal plumbing (stub decode) ----
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(Sources.documents(s, dir))),
     // ---- general relational surface (Catalyst showcase) ----
@@ -127,6 +130,8 @@ object SparkEntry {
     "q_join_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_top_orders" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "q_events_daily" -> ((s, dir) => Relational.eventsDaily(s, dir)),
+    "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
+    "q_parquet_roundtrip" -> ((s, dir) => Sources.parquetRoundTrip(s, dir)),
     "q_events_json" -> ((s, dir) => Relational.eventsJsonStats(s, dir)),
     "q_sessions" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_dedup_keep" -> ((s, dir) => Dedup.dedupedDocIds(Sources.documents(s, dir))),

@@ -156,6 +156,24 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame =
     lshPairs(docs, h, rows, threshold).orderBy("a", "b")
 
+  /** Degree of each document in the verified near-dup pair graph — the
+    * standard triage view before cluster merge (hub documents = boilerplate
+    * templates). One unionAll of the two endpoint columns + one hash
+    * aggregation over |pairs| rows, nothing wider than the pair list itself.
+    * Output (doc_id, degree) for every doc incident to ≥1 verified pair. */
+  def pairDegrees(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                  threshold: Double = 0.5): DataFrame = {
+    // both endpoint projections consume the pair list; eager-checkpoint it so
+    // the LSH pipeline runs once (|pairs| rows, tiny — same rationale as the
+    // docAgg checkpoint in lshPairs)
+    val p = lshPairs(docs, h, rows, threshold).localCheckpoint()
+    p.select(col("a").as("doc_id"))
+      .unionAll(p.select(col("b").as("doc_id")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("doc_id")
+  }
+
   /** [[minhashLshPairs]] without the presentation sort (cluster-merge input).
     *
     * Everything per-doc comes from the [[docSignatures]] kernel (cached:

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over the embedding table — the trained-centroid
+  * counterpart of [[Similarity.annIvf]]'s deterministic coarse quantizer
+  * (an LLM-data pipeline uses exactly this to build IVF cells / topic
+  * buckets at corpus scale).
+  *
+  * Execution shape per iteration — the canonical scalable Lloyd step:
+  *   1. centers live on the driver (k·d doubles, tiny at any corpus size)
+  *      and are embedded as LITERALS in a single narrow projection — the
+  *      assignment pass is one codegen'd scan, zero shuffles: per row,
+  *      `array_min` over k (dist, cid) structs is the argmin with the
+  *      (dist asc, cid asc) tie-break.
+  *   2. the centroid update is one partial+final hash aggregation over
+  *      |clusters|·dim cells (map-side combine does the heavy lifting), and
+  *      only k·d aggregated rows ever reach the driver.
+  * Nothing wider than the input ever shuffles, so the plan holds unchanged
+  * on a 1000-executor cluster: broadcast-literal centers + one agg per
+  * round IS distributed k-means.
+  *
+  * Determinism (full hash gate vs DuckDB, no pinning needed): init centers
+  * are the k lowest vec_ids; distances are the same unrolled left-fold
+  * `Σ(vᵢ−cᵢ)²` both engines execute identically (the
+  * [[Clustering.minDistToCenters]] discipline); centroids are exact
+  * order-independent quantized-integer means (the [[Similarity.labelCentroids]]
+  * discipline — floor(e·2³⁰) sums in int64, two IEEE divisions back out);
+  * the reported cost is likewise an int64 sum of floor(dist·2²⁰). Every
+  * driver→literal round trip preserves the exact double, so the oracle can
+  * recompute the whole iteration chain from scratch.
+  */
+object KMeans {
+
+  private val Q30 = 1073741824.0 // 2^30 — centroid quantization
+  private val Q20 = 1048576.0 // 2^20 — cost quantization
+
+  /** Squared distance to a literal center, unrolled per dimension so it
+    * stays inside whole-stage codegen; `reduce(_ + _)` is the same
+    * left-to-right fold as the oracle's `list_sum`. */
+  private def sqDist(vecCol: Column, c: Array[Double]): Column =
+    c.indices.map { i =>
+      val d = element_at(vecCol, i + 1) - lit(c(i))
+      d * d
+    }.reduce(_ + _)
+
+  /** Argmin assignment against literal centers: one narrow codegen'd pass,
+    * ties broken toward the lowest cid (struct ordering compares dist
+    * first). Output (vec_id, emb, cid, d). */
+  def assign(vecs: DataFrame, centers: Seq[(Long, Array[Double])]): DataFrame = {
+    val structs = centers.map { case (cid, cv) =>
+      struct(sqDist(col("emb"), cv).as("d"), lit(cid).as("cid"))
+    }
+    vecs.select(col("vec_id"), col("emb"),
+        array_min(array(structs: _*)).as("m"))
+      .select(col("vec_id"), col("emb"),
+        col("m.cid").as("cid"), col("m.d").as("d"))
+  }
+
+  /** Exact order-independent centroid update: per (cid, dim), int64 sums of
+    * floor(e·2³⁰), divided back out on the driver — k·d rows collected. */
+  private def updateCenters(assigned: DataFrame): Seq[(Long, Array[Double])] = {
+    val rows = assigned
+      .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "e")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("e") * lit(Q30)).cast("long")).as("qsum"))
+      .select(col("cid"), col("dim"),
+        ((col("qsum").cast("double") / col("n").cast("double")) / lit(Q30))
+          .as("c"))
+      .collect()
+    rows.groupBy(_.getLong(0)).map { case (cid, rs) =>
+      val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      (cid, arr)
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** `iters` Lloyd rounds (assignment counted as a round: iters=1 is the
+    * pure init-center assignment, iters=2 adds one centroid update) over a
+    * (vec_id, emb) table; init centers are the k lowest vec_ids. Output
+    * (cid, n, qcost) — cluster sizes and the int64-quantized within-cluster
+    * cost, both order-independent. */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("emb"))
+    var centers: Seq[(Long, Array[Double])] =
+      vecs.filter(col("vec_id") < k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    var round = 1
+    while (round < iters) {
+      centers = updateCenters(assign(vecs, centers))
+      round += 1
+    }
+    assign(vecs, centers)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("d") * lit(Q20)).cast("long")).as("qcost"))
+      .orderBy("cid")
+  }
+}

@@ -67,6 +67,19 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Equi-width histogram over the event values (width 25): the standard
+    * distribution-profiling primitive. One partial+final hash aggregation over
+    * |bins| cells; the per-bin mass is an int64 sum of floor(value·100) (the
+    * source carries 2 decimals), so the result is order-independent and
+    * hash-gateable. Scale posture: map-side combine reduces each partition to
+    * |bins| rows before the single tiny exchange. */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "events")
+      .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0).cast("long")).as("qsum"))
+      .orderBy("bin")
+
   /** Daily event rollup. `ts` arrives as long nanoseconds (nanosAsLong read);
     * the day key is exact integer division — no double rounding at 1e18. */
   def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =

@@ -109,6 +109,29 @@ object TextAnalysis {
     docs.select(cols: _*).orderBy("doc_id")
   }
 
+  /** Pattern scrubbing (PII-redaction shape): count and redact emails,
+    * long digit runs, and a configurable forbidden term in one narrow
+    * codegen'd projection — the standard pre-training privacy pass. The
+    * patterns are written in the regex subset Java and RE2 interpret
+    * identically (character classes + bounded repetition, no backrefs or
+    * lookaround), so the DuckDB oracle matches byte-for-byte. Per-row
+    * work only — no shuffle at any corpus size. */
+  def scrub(docs: DataFrame, term: String = "spark"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val num = "[0-9]{3,}"
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"),
+        num, "<NUM>"),
+      term, "<TERM>")
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(num)).cast("long").as("n_num"),
+        regexp_count(col("text"), lit(term)).cast("long").as("n_term"),
+        length(scrubbed).cast("long").as("scrub_len"))
+      .orderBy("doc_id")
+  }
+
   /** Quality score from surface statistics (length, lexical diversity,
     * stopword rate): the standard cheap pre-filter in front of model-based
     * quality classifiers. Components exposed for inspection; the composite is

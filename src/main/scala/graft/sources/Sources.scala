@@ -46,6 +46,27 @@ object Sources {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
 
+  /** Partitioned parquet sink — the lake-layout writer a training pipeline
+    * ships curated corpora through. `partitionBy` gives directory-level
+    * partition pruning to every downstream reader (a `WHERE lang='en'` scan
+    * touches only that subtree's files). */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Sink round trip: write documents partitioned by lang, read the layout
+    * back, and return the full table — the losslessness gate for the writer
+    * (the oracle is the unwritten source, so any encode/partition-column
+    * drift breaks the hash). */
+  def parquetRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sink_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    writePartitioned(documents(spark, sfDir), out, Seq("lang"))
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Reference-format CSV-of-points reader (`big_data_computing_1.py:152-156`,
     * `"x,y"` lines): kept so a user of the reference can point the library at
     * their existing files. Parses once at the boundary into the fixed schema. */

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, KMeans, Relational, TextAnalysis}
+import graft.sources.Sources
+
+/** Round-5 widening: k-means (Lloyd), value histogram, pair-graph degrees,
+  * pattern scrub, partitioned-parquet sink round trip. */
+class Round5WideningSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmeans partitions the table and is deterministic") {
+    val emb = Sources.embeddings(spark, dir)
+    val total = emb.count()
+    val r1 = KMeans.kmeans(emb, k = 8, iters = 2).collect()
+    val r2 = KMeans.kmeans(emb, k = 8, iters = 2).collect()
+    assert(r1.toSeq == r2.toSeq, "same input must give identical clusters")
+    assert(r1.map(_.getLong(1)).sum == total, "cluster sizes partition the table")
+    assert(r1.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+  }
+
+  test("kmeans cost is non-increasing over Lloyd rounds") {
+    val emb = Sources.embeddings(spark, dir)
+    def cost(iters: Int): Long =
+      KMeans.kmeans(emb, k = 8, iters = iters).agg(sum("qcost")).head.getLong(0)
+    val c1 = cost(1); val c2 = cost(2); val c3 = cost(3)
+    // quantization (floor at 2^-20 resolution) can only shave < n ulps off
+    // each sum — allow that slack while asserting the Lloyd descent property
+    val slack = 2000L
+    assert(c2 <= c1 + slack, s"round 2 cost $c2 above round 1 $c1")
+    assert(c3 <= c2 + slack, s"round 3 cost $c3 above round 2 $c2")
+  }
+
+  test("value histogram bins cover every event exactly once") {
+    val h = Relational.valueHistogram(spark, dir).collect()
+    val total = Sources.table(spark, dir, "events").count()
+    assert(h.map(_.getLong(1)).sum == total)
+    assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted)
+  }
+
+  test("pair degrees sum to twice the verified pair count") {
+    val docs = Sources.documents(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs).count()
+    val deg = Dedup.pairDegrees(docs).agg(sum("degree")).head.getLong(0)
+    assert(deg == 2 * pairs)
+  }
+
+  test("scrub counts and redacted length are consistent") {
+    val s = TextAnalysis.scrub(Sources.documents(spark, dir))
+    val src = Sources.documents(spark, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val joined = s.join(src, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nEmail, nNum, nTerm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val scrubLen = r.getLong(4); val len = r.getAs[Long]("len")
+      if (nEmail + nNum + nTerm == 0) assert(scrubLen == len)
+      // 'spark' (5 chars) -> '<TERM>' (6): redaction grows each hit by 1
+      if (nEmail + nNum == 0) assert(scrubLen == len + nTerm)
+    }
+    // the forbidden-term pattern must actually fire on this corpus
+    assert(joined.map(_.getLong(3)).sum > 0)
+  }
+
+  test("partitioned sink round trip is lossless and layout-partitioned") {
+    val rt = Sources.parquetRoundTrip(spark, dir)
+    val src = Sources.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(rt.exceptAll(src).isEmpty && src.exceptAll(rt).isEmpty)
+    // the reader must prune the lang partition down to one directory
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sink_${Integer.toHexString(dir.hashCode)}")
+    assert(out.listFiles().exists(f => f.getName.startsWith("lang=")))
+    val pruned = spark.read.parquet(out.getAbsolutePath)
+      .filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions:\n$scan")
+  }
+}
