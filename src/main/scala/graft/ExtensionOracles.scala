@@ -425,6 +425,30 @@ object ExtensionOracles {
          |b AS (SELECT DISTINCT tok FROM t WHERE tok IN ('the','a','of','and'))
          |SELECT t.doc_id, t.tok, CAST(length(t.tok) AS BIGINT) AS w
          |  FROM t JOIN b ON t.tok = b.tok ORDER BY t.doc_id, t.tok""".stripMargin,
+    // Bloom decontamination: "bit is set" ≡ "20-bit window ∈ the distinct
+    // benchmark-position set", so the oracle replays the bitset exactly —
+    // false positives and all
+    "q_decontam_bloom" ->
+      s"""WITH $SH,
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+         |b AS (SELECT DISTINCT h FROM hh WHERE doc_id % 97 = 0),
+         |pos AS (SELECT DISTINCT (h >> sh) & 1048575 AS p
+         |          FROM b, (VALUES (0),(13),(26),(39)) v(sh)),
+         |tr AS (SELECT doc_id, h FROM hh WHERE doc_id % 97 <> 0),
+         |hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hit
+         |          FROM tr
+         |         WHERE ((h >> 0) & 1048575) IN (SELECT p FROM pos)
+         |           AND ((h >> 13) & 1048575) IN (SELECT p FROM pos)
+         |           AND ((h >> 26) & 1048575) IN (SELECT p FROM pos)
+         |           AND ((h >> 39) & 1048575) IN (SELECT p FROM pos)
+         |         GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |          FROM tr GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles,
+         |       COALESCE(hit.n_bloom_hit, CAST(0 AS BIGINT)) AS n_bloom_hit,
+         |       (CAST(COALESCE(hit.n_bloom_hit, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)) >= 0.2 AS contaminated
+         |  FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
+         | ORDER BY t.doc_id""".stripMargin,
     "q_decontam" ->
       s"""WITH $SH,
          |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),

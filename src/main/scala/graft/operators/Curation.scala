@@ -135,4 +135,64 @@ object Curation {
       .withColumn("contaminated", col("overlap") >= threshold)
       .orderBy("doc_id")
   }
+
+  /** Bloom-filter decontamination — the broadcast-compact variant of
+    * [[decontaminate]] for when even the benchmark shingle TABLE is too wide
+    * to join against cheaply: the benchmark set is folded into an m-bit Bloom
+    * bitset (default 2²⁰ bits = 128 KB regardless of corpus size) and every
+    * training document tests its shingles against the broadcast bits in a
+    * zero-shuffle mapPartitions pass — no join, no exchange, output is
+    * |train docs| rows straight out of the kernel.
+    *
+    * Deterministic and fully hash-gated: the 4 bit positions of a shingle
+    * are fixed 20-bit windows of its md5-derived h60 (`(h >> {0,13,26,39})
+    * & (2²⁰−1)`) — pure integer ops the DuckDB oracle replays exactly, since
+    * "bit is set" ≡ "position ∈ the distinct benchmark-position set". False
+    * positives are inherent to the structure (n_bloom_hit ≥ the exact n_hit,
+    * asserted in spec) and the oracle reproduces them bit-for-bit. */
+  def decontaminateBloom(docs: DataFrame, threshold: Double = 0.2,
+                         mBits: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = Dedup.sharedSignatures(docs, h = 0)
+      .getOrElse(Dedup.docSignatures(docs, h = 0).localCheckpoint())
+      .withColumn("is_bench", col("doc_id") % 97 === 0)
+    val mask = (mBits - 1).toLong
+    val shifts = Array(0, 13, 26, 39)
+    // benchmark corpora are tiny next to training corpora (the same premise
+    // as decontaminate's broadcast): fold their distinct shingle hashes into
+    // the driver-side bitset once
+    val bits = new java.util.BitSet(mBits)
+    sig.filter(col("is_bench")).select(explode(col("hs")).as("s"))
+      .distinct().as[Long].collect()
+      .foreach(s => shifts.foreach(sh => bits.set(((s >>> sh) & mask).toInt)))
+    val bc = spark.sparkContext.broadcast(bits)
+    sig.filter(!col("is_bench"))
+      .select(col("doc_id"), col("c"), col("hs"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, c, hs) =>
+          var hits = 0L
+          var i = 0
+          while (i < hs.length) {
+            val s = hs(i)
+            var k = 0
+            var all = true
+            while (all && k < shifts.length) {
+              if (!b.get(((s >>> shifts(k)) & mask).toInt)) all = false
+              k += 1
+            }
+            if (all) hits += 1
+            i += 1
+          }
+          (id, c, hits)
+        }
+      }
+      .toDF("doc_id", "n_shingles", "n_bloom_hit")
+      .withColumn("contaminated",
+        col("n_bloom_hit").cast("double") / col("n_shingles").cast("double")
+          >= threshold)
+      .orderBy("doc_id")
+  }
 }

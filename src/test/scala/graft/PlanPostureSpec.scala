@@ -79,7 +79,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
   test("hash sampling and per-row stats stay narrow: no exchange but the presentation sort") {
     // a sample/per-row-stat operator that shuffles before its final ORDER BY
     // would serialize the corpus through the cluster for a row-local decision
-    for (name <- Seq("q_stratified", "q_char_classes", "q_split")) {
+    for (name <- Seq("q_stratified", "q_char_classes", "q_split", "q_scrub")) {
       val plan = planOf(name)
       val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
       val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, KMeans, Relational, TextAnalysis}
+import graft.operators.{Curation, Dedup, KMeans, Relational, TextAnalysis}
 import graft.sources.Sources
 
 /** Round-5 widening: k-means (Lloyd), value histogram, pair-graph degrees,
@@ -63,6 +63,21 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
     }
     // the forbidden-term pattern must actually fire on this corpus
     assert(joined.map(_.getLong(3)).sum > 0)
+  }
+
+  test("bloom decontamination has no false negatives vs the exact join") {
+    val docs = Sources.documents(spark, dir)
+    val exact = Curation.decontaminate(docs)
+      .select(col("doc_id"), col("n_hit")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Curation.decontaminateBloom(docs)
+      .select(col("doc_id"), col("n_bloom_hit")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom.keySet == exact.keySet, "same train-doc universe")
+    exact.foreach { case (id, nHit) =>
+      assert(bloom(id) >= nHit,
+        s"doc $id: bloom hits ${bloom(id)} below exact $nHit (false negative)")
+    }
   }
 
   test("partitioned sink round trip is lossless and layout-partitioned") {
