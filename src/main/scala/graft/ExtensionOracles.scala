@@ -250,6 +250,10 @@ object ExtensionOracles {
     // partitioned write/read cycle breaks the hash
     "q_parquet_roundtrip" ->
       s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
+    "q_json_roundtrip" ->
+      s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
+    "q_orc_roundtrip" ->
+      s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
     "q_ngram_jaccard" ->
       s"""WITH $SH,
          |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) WHERE df <= 20),

@@ -37,6 +37,13 @@ object RelationalOracles {
          |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
          |    FROM '<sfDir>/orders.parquet')
          | WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_hopping" ->
+      s"""SELECT win, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       ${dsum("CAST(value AS DECIMAL(18,6))")} AS total_value
+         |  FROM (SELECT unnest([epoch_ns(ts) // 3600000000000 - 1,
+         |                      epoch_ns(ts) // 3600000000000]) AS win, value
+         |          FROM '<sfDir>/events.parquet')
+         | GROUP BY win ORDER BY win""".stripMargin,
     "q_value_histogram" ->
       s"""SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
          |       CAST(COUNT(*) AS BIGINT) AS n,

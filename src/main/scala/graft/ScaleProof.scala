@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, ExactOutliers, Similarity}
+import graft.operators.{Curation, Dedup, ExactOutliers, KMeans, Similarity}
 import graft.sources.Sources
 
 /** Scale-proof run of the heavy query family at sf1-equivalent volume
@@ -108,6 +108,33 @@ object ScaleProof {
       Similarity.neardupCosine(emb, driverThreshold = 1L).count())
     results += "neardup_blocked_route" -> tNdB
     checks += "neardup_blocked_recall_le_exact" -> (blockedPairs <= exactPairs)
+
+    // k-means at 10x vectors: the literal-center plan must hold (the
+    // replicated copies share the originals' geometry, so every replica of a
+    // vector lands in the same cluster — sizes must be exactly 10x the
+    // base run's)
+    val (kmBase, _) = timed(
+      KMeans.kmeans(Sources.embeddings(spark, sfDir), k = 8, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (km10, tKm) = timed(
+      KMeans.kmeans(emb, k = 8, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    results += "kmeans_10x" -> tKm
+    checks += "kmeans_sizes_scale_10x" ->
+      // replica init centers differ from the base run's (vec_id<k picks only
+      // originals — by construction, since replica ids are offset), so the
+      // centers are identical and sizes multiply exactly
+      kmBase.forall { case (cid, n) => km10.getOrElse(cid, 0L) == n * reps }
+
+    // bloom decontam at 10x docs: zero-shuffle kernel, 128 KB broadcast
+    // regardless of scale; containment vs the exact join must still hold
+    val (bloomHits, tBloom) = timed(
+      Curation.decontaminateBloom(docs).filter(col("contaminated")).count())
+    results += "decontam_bloom_10x" -> tBloom
+    val (exactHits, tDecon) = timed(
+      Curation.decontaminate(docs).filter(col("contaminated")).count())
+    results += "decontam_exact_10x" -> tDecon
+    checks += "bloom_contaminated_superset" -> (bloomHits >= exactHits)
 
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))

@@ -132,6 +132,9 @@ object SparkEntry {
     "q_events_daily" -> ((s, dir) => Relational.eventsDaily(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     "q_parquet_roundtrip" -> ((s, dir) => Sources.parquetRoundTrip(s, dir)),
+    "q_json_roundtrip" -> ((s, dir) => Sources.jsonRoundTrip(s, dir)),
+    "q_orc_roundtrip" -> ((s, dir) => Sources.orcRoundTrip(s, dir)),
+    "q_hopping" -> ((s, dir) => Relational.eventsHopping(s, dir)),
     "q_events_json" -> ((s, dir) => Relational.eventsJsonStats(s, dir)),
     "q_sessions" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_dedup_keep" -> ((s, dir) => Dedup.dedupedDocIds(Sources.documents(s, dir))),

@@ -93,6 +93,21 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type", "day")
 
+  /** Hopping (sliding) window aggregation: 2-hour windows advancing every
+    * hour, so each event lands in exactly two windows — the batch twin of
+    * Structured Streaming's `window(ts, "2 hours", "1 hour")`. Window
+    * replication is an explode over the two covering hour offsets (exact
+    * integer arithmetic on the nanosecond timestamps — no double rounding),
+    * then one partial+final hash aggregation over |windows| cells. */
+  def eventsHopping(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.table(spark, sfDir, "events")
+      .select(expr("ts div 3600000000000").as("h"), col("value"))
+      .select(explode(array(col("h") - 1, col("h"))).as("win"), col("value"))
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .orderBy("win")
+
   /** Gap-based sessionization: a user's events split into sessions wherever
     * the gap to the previous event exceeds `gapMicros` (30 min default). The
     * classic two-window formulation — lag to mark session starts, running sum

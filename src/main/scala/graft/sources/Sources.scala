@@ -67,6 +67,30 @@ object Sources {
       .orderBy("doc_id")
   }
 
+  /** Shared round-trip shape for the single-format sinks: write the document
+    * table in `fmt`, read it back under the source schema (schema-on-read —
+    * no inference drift), return the full table for the losslessness gate. */
+  private def roundTripVia(spark: SparkSession, sfDir: String,
+                           fmt: String): DataFrame = {
+    val src = documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sink_${fmt}_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    src.write.mode("overwrite").format(fmt).save(out)
+    spark.read.schema(src.schema).format(fmt).load(out).orderBy("doc_id")
+  }
+
+  /** JSON-lines sink round trip (the interchange format crawl pipelines
+    * hand off in); oracle = the unwritten source. */
+  def jsonRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    roundTripVia(spark, sfDir, "json")
+
+  /** ORC sink round trip (the second columnar lake format Spark ships);
+    * oracle = the unwritten source. Scan-level ORC pushdown is asserted in
+    * SinkSpec. */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
+    roundTripVia(spark, sfDir, "orc")
+
   /** Reference-format CSV-of-points reader (`big_data_computing_1.py:152-156`,
     * `"x,y"` lines): kept so a user of the reference can point the library at
     * their existing files. Parses once at the boundary into the fixed schema. */

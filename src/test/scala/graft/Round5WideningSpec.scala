@@ -80,6 +80,25 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("hopping windows cover each event exactly twice") {
+    val h = Relational.eventsHopping(spark, dir)
+    val total = Sources.table(spark, dir, "events").count()
+    assert(h.agg(sum("n_events")).head.getLong(0) == 2 * total)
+    // distinct strictly-increasing window keys (the fixture's event hours
+    // are sparse, so gaps between windows are expected)
+    val wins = h.select("win").collect().map(_.getLong(0))
+    assert(wins.zip(wins.tail).forall { case (a, b) => b > a })
+  }
+
+  test("json and orc round trips are lossless") {
+    val src = Sources.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    for (rt <- Seq(Sources.jsonRoundTrip(spark, dir),
+                   Sources.orcRoundTrip(spark, dir))) {
+      assert(rt.exceptAll(src).isEmpty && src.exceptAll(rt).isEmpty)
+    }
+  }
+
   test("partitioned sink round trip is lossless and layout-partitioned") {
     val rt = Sources.parquetRoundTrip(spark, dir)
     val src = Sources.documents(spark, dir)
