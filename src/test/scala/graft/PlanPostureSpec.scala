@@ -68,6 +68,15 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
       s"centroid agg must shuffle once, partial-aggregated (found $exchanges):\n$plan")
   }
 
+  test("kmeans plans one hash exchange: literal-center assignment is shuffle-free") {
+    // the whole Lloyd round reads the corpus once per assignment with centers
+    // as literals; only the |clusters| cells of the final agg may shuffle
+    val plan = planOf("q_kmeans")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"kmeans must shuffle only the final per-cluster agg (found $hashEx):\n$plan")
+  }
+
   test("pruned column sets reach the scan (no full-width reads for narrow queries)") {
     val plan = planOf("q_token_counts")
     // documents has (doc_id, text, lang, source, n_chars, ...); token counting
