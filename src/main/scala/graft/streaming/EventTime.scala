@@ -24,6 +24,20 @@ object EventTime {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Hopping (sliding) window counts: `window(ts, width, slide)` replicates
+    * each event into width/slide overlapping windows — the streaming twin of
+    * the batch [[graft.operators.Relational.eventsHopping]]. Watermark
+    * finalizes a window once event time passes its end + lateness, so state
+    * is bounded by (width/slide) · in-flight windows at any throughput. */
+  def hoppingCounts(events: DataFrame, width: String = "20 minutes",
+                    slide: String = "10 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+
   /** Session windows per user: gap-based sessionization as a STREAMING
     * operator (`session_window`), the event-time twin of the batch
     * [[graft.operators.Relational.sessionize]]. Watermark bounds session

@@ -45,6 +45,34 @@ class EventTimeSpec extends AnyFunSuite with SharedSpark {
       "late row must not reopen the finalized window")
   }
 
+  test("hopping windows: streaming result equals the batch window() aggregation") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val df = ms.toDF().select(col("_1").as("ts"), col("_2").as("event_type"))
+    val q = EventTime.hoppingCounts(df)
+      .writeStream.format("memory").queryName("t_hopping")
+      .outputMode(OutputMode.Complete()).start()
+
+    val data = Seq((ts(1), "a"), (ts(7), "b"), (ts(12), "a"),
+      (ts(25), "c"), (ts(31), "a"))
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("t_hopping")
+      .select(col("w_start").cast("long"), col("n"))
+      .as[(Long, Long)].collect().toSet
+    val batch = data.toDF("ts", "event_type")
+      .groupBy(window(col("ts"), "20 minutes", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long"), col("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streaming hopping windows must equal the batch twin: $streamed vs $batch")
+    // each event lands in exactly width/slide = 2 windows
+    assert(streamed.toSeq.map(_._2).sum == 2L * data.size)
+  }
+
   test("flatMapGroupsWithState keeps running per-item totals across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[ItemEvent]
