@@ -195,6 +195,46 @@ object ExtensionOracles {
          |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
          |       (CAST(SUM(qe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1073741824.0 AS centroid
          |  FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // ---- Count-Min sketch: md5-derived hash rows make every counter and
+    // estimate deterministic, so the oracle rebuilds the whole sketch ----
+    "q_cms_tokens" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |        FROM t GROUP BY tok),
+         |ks AS (SELECT j, (j*7+3)%60 AS r,
+         |              CAST(('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) AS c
+         |         FROM generate_series(0, 3) g(j)),
+         |bk AS (SELECT v.tok, v.cnt, ks.j,
+         |              xor(((h) >> (r)) | (((h) & ((CAST(1 AS BIGINT) << (r)) - 1)) << (60 - (r))), c) & 1023 AS b
+         |         FROM v, ks),
+         |cms AS (SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS m FROM bk GROUP BY j, b)
+         |SELECT bk.tok, bk.cnt AS exact, CAST(MIN(cms.m) AS BIGINT) AS est
+         |  FROM bk JOIN cms ON bk.j = cms.j AND bk.b = cms.b
+         | WHERE bk.cnt >= 50
+         | GROUP BY bk.tok, bk.cnt ORDER BY tok""".stripMargin,
+    // HLL registers via the shared binary-string rho; harmonic sum over
+    // exact int64 terms; the two final IEEE ops replay identically
+    "q_hll_users" ->
+      s"""WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |             FROM '<sfDir>/events.parquet'),
+         |x AS (SELECT (h >> 52) & 255 AS bucket,
+         |             h & ((CAST(1 AS BIGINT) << 52) - 1) AS low FROM h),
+         |r AS (SELECT bucket, CASE WHEN low = 0 THEN 53
+         |                          ELSE strpos(lpad(bin(low), 52, '0'), '1') END AS rho
+         |        FROM x),
+         |regs AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY bucket),
+         |spine AS (SELECT g AS bucket FROM generate_series(0, 255) t(g)),
+         |f AS (SELECT CAST(COALESCE(regs.reg, 0) AS INT) AS reg
+         |        FROM spine LEFT JOIN regs ON spine.bucket = regs.bucket),
+         |s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s,
+         |             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+         |        FROM f),
+         |e AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |        FROM '<sfDir>/events.parquet')
+         |SELECT e.n_exact, s.v_zero,
+         |       (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 9007199254740992.0 / CAST(s.s AS DOUBLE) AS raw_est
+         |  FROM e, s""".stripMargin,
     // ---- k-means (Lloyd): the oracle recomputes the full iteration chain —
     // init centers = k lowest vec_ids, one quantized-integer centroid update,
     // final assignment — with the same fold/cast shapes as the engine, so the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.model.StreamParams
 import graft.operators.{AsOfJoin, Clustering, Curation, Dedup, ExactOutliers,
   GridOutliers, IntervalJoin, KMeans, Multimodal, Relational, Similarity,
-  Skew, TextAnalysis}
+  Skew, Sketches, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -139,6 +139,10 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_dedup_keep" -> ((s, dir) => Dedup.dedupedDocIds(Sources.documents(s, dir))),
     "q_vocab" -> ((s, dir) => TextAnalysis.vocabulary(Sources.documents(s, dir))),
+    "q_cms_tokens" -> ((s, dir) =>
+      Sketches.cmsTokenEstimates(Sources.documents(s, dir))),
+    "q_hll_users" -> ((s, dir) =>
+      Sketches.hllDistinct(Sources.table(s, dir, "events"), "user_id")),
     // ---- round-2 relational widening ----
     "q_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customersSemiAnti(s, dir)),

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Deterministic sketches with EXACT cross-engine gates.
+  *
+  * The usual objection to hash-gating a sketch is that its hash functions
+  * are engine-private ([[Relational.sketchStats]]'s HLL++/quantile rows stay
+  * rows-only for exactly that reason). Built over the md5-derived
+  * [[Hashes]] family instead, the sketch itself becomes a deterministic
+  * relational value — every counter, and every estimate read off it, is
+  * bit-identical across engines and partitionings, so DuckDB can replay the
+  * whole structure and the driver hash-compares it like any exact query.
+  * The approximation error is still real (collisions overcount); it is the
+  * SAME error in both engines.
+  */
+object Sketches {
+
+  /** Count-Min sketch over the corpus token stream, plus the estimates read
+    * back for the frequent vocabulary. `depth` hash rows (the [[Hashes.mix60]]
+    * variants of one md5 per token) by `width` buckets; a token's estimate is
+    * the min over rows of its bucket counters, so est ≥ exact always (the
+    * CMS soundness bound — asserted in spec and visible in the output).
+    *
+    * Scale shape: one narrow tokenize+count aggregation (the vocabulary),
+    * then depth tiny projections into a depth·width-cell aggregate — the
+    * sketch is 4·1024 longs here, broadcastable at ANY corpus size, which is
+    * the point of a CMS: the frequency table a 100 TB stream can afford to
+    * keep. Output (tok, exact, est) for tokens with exact ≥ minCount. */
+  def cmsTokenEstimates(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+                        minCount: Long = 50): DataFrame = {
+    val mask = (width - 1).toLong
+    // vocabulary with exact counts + base hash; feeds both the sketch build
+    // and the estimate read-back (localCheckpoint: |vocab| rows, two readers)
+    val vocab = TextAnalysis.tokens(docs)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Hashes.h60(col("tok")))
+      .localCheckpoint()
+    // (tok, cnt, j, b): each token's bucket in every hash row
+    val buckets = (0 until depth).map { j =>
+      vocab.select(col("tok"), col("cnt"), lit(j).as("j"),
+        Hashes.mix60(col("h"), j).bitwiseAND(lit(mask)).as("b"))
+    }.reduce(_ unionAll _)
+    val cms = buckets.groupBy("j", "b").agg(sum(col("cnt")).as("m"))
+    buckets.filter(col("cnt") >= minCount)
+      .join(cms, Seq("j", "b"))
+      .groupBy("tok", "cnt")
+      .agg(min(col("m")).as("est"))
+      .select(col("tok"), col("cnt").as("exact"), col("est"))
+      .orderBy("tok")
+  }
+
+  /** HyperLogLog distinct-count with deterministic md5-derived registers,
+    * next to the exact answer. Bucket = top 8 of the 60 hash bits; rho =
+    * 1-based position of the first set bit in the low 52 (computed with the
+    * binary-string ops both engines share, so registers are bit-identical);
+    * the harmonic sum runs over exact int64 terms `1 << (53 − reg)` (every
+    * 2^−reg scaled by 2⁵³ is an integer), making it order-independent — the
+    * one place a float Σ would break cross-engine equality. The raw-HLL
+    * estimate then comes out of two IEEE ops both engines execute
+    * identically, so even the approximate column is hash-gated.
+    *
+    * Scale shape: one narrow hash projection + a 256-cell max aggregation —
+    * the mergeable fixed-size state that makes HLL THE distributed
+    * distinct-count structure. Output one row (n_exact, v_zero, raw_est):
+    * the small-range linear-counting correction `m·ln(m/V)` is left to the
+    * reader (asserted in spec) because `ln` is the one op libms disagree on
+    * in the last ulp — everything the gate hashes is IEEE-exact. */
+  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val m = 256
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+    val hashed = keys.select(Hashes.h60(col("k")).as("h"))
+      .select(shiftright(col("h"), 52).bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        col("h").bitwiseAND(lit((1L << 52) - 1)).as("low"))
+      .select(col("bucket"),
+        when(col("low") === 0, lit(53))
+          .otherwise(instr(lpad(bin(col("low")), 52, "0"), "1")).as("rho"))
+    val regs = hashed.groupBy("bucket").agg(max(col("rho")).as("reg"))
+    val spine = spark.range(m).select(col("id").as("bucket"))
+    val summed = spine.join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("reg"), lit(0)).cast("int").as("reg"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).as("s"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.crossJoin(summed)
+      .select(col("n_exact"), col("v_zero"),
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) *
+          lit(9007199254740992.0) / col("s").cast("double")).as("raw_est"))
+  }
+}

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup, KMeans, Relational, TextAnalysis}
+import graft.operators.{Curation, Dedup, KMeans, Relational, Sketches,
+  TextAnalysis}
 import graft.sources.Sources
 
 /** Round-5 widening: k-means (Lloyd), value histogram, pair-graph degrees,
@@ -78,6 +79,32 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
       assert(bloom(id) >= nHit,
         s"doc $id: bloom hits ${bloom(id)} below exact $nHit (false negative)")
     }
+  }
+
+  test("count-min estimates are sound and deterministic") {
+    val docs = Sources.documents(spark, dir)
+    val r1 = Sketches.cmsTokenEstimates(docs).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: est ${r.getLong(2)} below exact ${r.getLong(1)}")
+    }
+    val r2 = Sketches.cmsTokenEstimates(docs).collect()
+    assert(r1.toSeq == r2.toSeq)
+  }
+
+  test("hll estimate lands within the b=8 error envelope of the exact count") {
+    val r = Sketches.hllDistinct(Sources.table(spark, dir, "events"), "user_id")
+      .head()
+    val (exact, vZero, raw) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(exact > 0)
+    // reader-side small-range correction (linear counting), as documented
+    val m = 256.0
+    val est = if (raw <= 2.5 * m && vZero > 0) m * math.log(m / vZero) else raw
+    // sigma ~ 1.04/sqrt(256) = 6.5% for raw HLL; linear counting is tighter
+    // still at this range — allow 4 sigma
+    assert(math.abs(est - exact) / exact < 0.26,
+      s"hll est $est (raw $raw, v_zero $vZero) too far from exact $exact")
   }
 
   test("hopping windows cover each event exactly twice") {
