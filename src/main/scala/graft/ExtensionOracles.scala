@@ -469,6 +469,63 @@ object ExtensionOracles {
          |b AS (SELECT DISTINCT tok FROM t WHERE tok IN ('the','a','of','and'))
          |SELECT t.doc_id, t.tok, CAST(length(t.tok) AS BIGINT) AS w
          |  FROM t JOIN b ON t.tok = b.tok ORDER BY t.doc_id, t.tok""".stripMargin,
+    // weight-proportional Bernoulli sample: pure 64-bit integer comparison,
+    // no floating point — the LEAST cap mirrors the Spark side's overflow
+    // guard bit-for-bit
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, n_chars, lang FROM $DOCS
+         | WHERE ${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR) || ':wsamp1'")}
+         |       < LEAST(n_chars, 2000) * ${(1L << 60) / 2000L}
+         | ORDER BY doc_id""".stripMargin,
+    // temperature mixing (τ = 1/2): IEEE sqrt is exactly rounded, the
+    // quantized weights sum as integers (order-free), and /2^60 is exact —
+    // every double here is bit-identical to the Spark side
+    "q_mixture" ->
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM $DOCS GROUP BY lang),
+         |q AS (SELECT lang, n_l,
+         |             CAST(FLOOR(SQRT(CAST(n_l AS DOUBLE)) * 1048576.0) AS BIGINT) AS s_l
+         |        FROM c),
+         |t AS (SELECT CAST(SUM(s_l) AS BIGINT) AS s_tot FROM q),
+         |r AS (SELECT lang,
+         |             CAST(s_l * 300 AS DOUBLE) / CAST(s_tot * n_l AS DOUBLE) AS p_keep
+         |        FROM q, t)
+         |SELECT d.doc_id, d.lang, r.p_keep
+         |  FROM $DOCS d JOIN r ON d.lang = r.lang
+         | WHERE CAST(${graft.functions.Hashes.h60Sql("CAST(d.doc_id AS VARCHAR) || ':mix1'")} AS DOUBLE)
+         |       / 1152921504606846976.0 < r.p_keep
+         | ORDER BY doc_id""".stripMargin,
+    // triangle participation on the SimHash pair graph: the oracle counts
+    // each triangle once via the a<b<c canonical form — orientation-free,
+    // so it is independent of the engine's degree-ordered evaluation
+    "q_triangles" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
+         |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
+         |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b),
+         |s AS (SELECT doc_id,
+         |             CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM sg GROUP BY doc_id),
+         |e AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |        FROM s x JOIN s y ON x.doc_id < y.doc_id
+         |       WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+         |tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+         |          FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+         |          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |u AS (SELECT unnest([v1, v2, v3]) AS doc_id FROM tri)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |  FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // prefix-filtered exact Jaccard join: the oracle is the BRUTE-FORCE
+    // definition over full shingle sets — the gate passes iff the engine's
+    // prefix candidate generation loses nothing (the prefix lemma)
+    "q_prefix_jaccard" ->
+      s"""WITH $SH,
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+         |            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2)
+         |$jaccardSelect
+         | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5
+         | ORDER BY a, b""".stripMargin,
     // Bloom decontamination: "bit is set" ≡ "20-bit window ∈ the distinct
     // benchmark-position set", so the oracle replays the bitset exactly —
     // false positives and all

@@ -193,6 +193,15 @@ object SparkEntry {
     "q_skew_tokens" -> ((s, dir) =>
       Skew.saltedCount(TextAnalysis.tokens(Sources.documents(s, dir)), "tok", 8)
         .orderBy("tok")),
+    // ---- round-5 widening: sampling, mixing, pair-graph, prefix join ----
+    "q_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(Sources.documents(s, dir))),
+    "q_mixture" -> ((s, dir) =>
+      Curation.mixtureSample(Sources.documents(s, dir))),
+    "q_triangles" -> ((s, dir) =>
+      Dedup.triangleCounts(Sources.documents(s, dir))),
+    "q_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Sources.documents(s, dir))),
     "q_skew_join" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(Sources.documents(s, dir))
       val build = toks.filter(col("tok").isin("the", "a", "of", "and"))

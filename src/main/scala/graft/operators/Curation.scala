@@ -42,6 +42,61 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Weight-proportional deterministic Bernoulli sample: a document is kept
+    * with probability min(1, n_chars/denom) — the length-weighted draw a
+    * mixture builder uses when the budget is counted in TOKENS, not
+    * documents (a 10× longer document contributes 10× the training tokens,
+    * so it is drawn 10× as often). The keep decision is a pure 64-bit
+    * integer comparison, `h60(doc_id:salt) < least(n_chars, denom) ·
+    * ⌊2⁶⁰/denom⌋` — no floating point anywhere, so any engine reproduces
+    * the sample bit-for-bit and it is invariant to partitioning and
+    * retries. One narrow codegen'd filter; nothing shuffles. The `least`
+    * cap keeps the product under 2⁶⁰ for any document length (engines
+    * disagree on BIGINT overflow: Spark wraps, DuckDB errors). */
+  def weightedSample(docs: DataFrame, denom: Long = 2000L,
+                     salt: String = "wsamp1"): DataFrame = {
+    val scale = (1L << 60) / denom
+    docs.filter(keyHash(col("doc_id"), salt)
+        < least(col("n_chars"), lit(denom)) * scale)
+      .select("doc_id", "n_chars", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-rebalanced language mixing — the multilingual data-mix
+    * step that flattens a skewed crawl toward uniform before training: each
+    * language's draw share is q_l ∝ n_l^τ with τ = 1/2 (the standard
+    * sampling-temperature form), so a document of language l survives with
+    * p_l = target·q_l / n_l — head languages are downsampled harder than
+    * tail ones. Rates above 1 saturate (Bernoulli thinning cannot
+    * upsample); replication-based upsampling is a separate layout step.
+    *
+    * Cross-engine determinism without trusting transcendentals: the only
+    * non-rational op is `sqrt`, which IEEE 754 requires to be EXACTLY
+    * rounded (unlike pow/log), and the per-language weight is immediately
+    * integer-quantized (⌊√n_l · 2²⁰⌋), so the normalizing sum is an
+    * integer sum — order-free — and the keep rate is one int→double
+    * division with a fixed expression shape. Keep decision:
+    * h60(doc_id:salt)/2⁶⁰ < p_l, where dividing by 2⁶⁰ is exact.
+    *
+    * Scale shape: one tiny aggregation (|langs| rows) broadcast back onto
+    * the corpus as a map-side join + narrow filter — the corpus itself
+    * never shuffles. */
+  def mixtureSample(docs: DataFrame, target: Long = 300L,
+                    salt: String = "mix1"): DataFrame = {
+    val quant = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("s_l", floor(sqrt(col("n_l").cast("double")) * 1048576.0))
+    val tot = quant.agg(sum(col("s_l")).as("s_tot"))
+    val rates = quant.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        ((col("s_l") * target).cast("double") /
+          (col("s_tot") * col("n_l")).cast("double")).as("p_keep"))
+    docs.join(broadcast(rates), "lang")
+      .filter(keyHash(col("doc_id"), salt).cast("double")
+        / 1152921504606846976.0 < col("p_keep"))
+      .select(col("doc_id"), col("lang"), col("p_keep"))
+      .orderBy("doc_id")
+  }
+
   /** Balanced per-group cap: keep at most `cap` documents per source,
     * chosen by deterministic hash order (a reproducible "random N per
     * domain" — the standard anti-domination step against crawl-heavy

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashes
@@ -174,6 +175,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document triangle participation in the SimHash near-dup pair graph
+    * — the local-clustering view that separates genuine duplicate CLIQUES
+    * (template families, mirrored sites: their pairs close into triangles)
+    * from incidental chain links that connected-components would merge
+    * anyway. Output (doc_id, n_tri) for every doc in ≥1 triangle.
+    *
+    * Degree-ordered node-iterator (Schank & Wagner's forward algorithm):
+    * orient every edge from its lower-(degree, id) endpoint, so each
+    * triangle has exactly one source vertex with out-edges to both others,
+    * and close wedges against the undirected list. Wedges per vertex are
+    * out-degree², and the degree orientation bounds total wedge volume by
+    * O(m^1.5) — on a power-law dedup graph at corpus scale a boilerplate
+    * hub of degree 10⁶ would otherwise emit 10¹² wedges; oriented, its
+    * wedges land on its (low-degree) neighbors instead. Plans as three
+    * equi-joins over the |edges| list; nothing driver-side. */
+  def triangleCounts(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    // the edge list feeds degrees, wedges (twice) and the closing probe;
+    // eager-checkpoint so the SimHash pipeline runs once (|pairs| rows)
+    val e = simhashPairs(docs, maxHamming).select("a", "b").localCheckpoint()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"))
+    // wedge targets ordered by id (x.w < y.w), so the closing edge probe
+    // matches e's canonical a < b orientation directly
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+      .select(col("x.u").as("t1"), col("x.w").as("t2"), col("y.w").as("t3"))
+    wedges.join(e, col("t2") === col("a") && col("t3") === col("b"))
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
   /** [[minhashLshPairs]] without the presentation sort (cluster-merge input).
     *
     * Everything per-doc comes from the [[docSignatures]] kernel (cached:
@@ -310,6 +350,55 @@ object Dedup {
     inter
       .join(sizes.as("ca"), col("a") === col("ca.doc_id"))
       .join(sizes.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Exact Jaccard set-similarity join via two-sided prefix filtering — the
+    * AllPairs/PPJoin candidate generation (Bayardo et al. WWW'07; Xiao et
+    * al. WWW'08) over the FULL distinct 9-gram shingle sets. The third
+    * similarity-join mechanism in this file, completing the trade-off
+    * space: [[minhashLshPairs]] is probabilistic (bands can miss a true
+    * pair), [[ngramJaccardPairs]] redefines the measure over DF-capped sets
+    * (stop shingles are dropped from the sets themselves); this one returns
+    * EVERY pair with true Jaccard ≥ t over the uncapped sets, exactly.
+    *
+    * Mechanism: order shingles globally rarest-first (df asc, hash asc). A
+    * document's PREFIX is its first |d| − ⌈t·|d|⌉ + 1 shingles in that
+    * order; the prefix-filtering lemma guarantees two documents with
+    * J ≥ t share a prefix shingle, so the candidate equi-join touches only
+    * prefix incidence. That is what survives corpus scale: a boilerplate
+    * shingle with df 10⁹ sorts LAST and lands in almost no prefix (only
+    * docs made almost entirely of boilerplate keep it), while the DF-capped
+    * design would silently change the measure and a plain incidence join
+    * would emit 10¹⁸ pairs from that one shingle. Candidates are verified
+    * with the exact intersection over the kernel's per-doc hash sets
+    * (PrefixJoinSpec asserts candidates lose nothing vs brute force).
+    * Cost: one incidence exchange for df, one window per doc, a prefix
+    * equi-join, and |cand| verification rows. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val docAgg = sharedSignatures(docs, h = 0)
+      .getOrElse(docSignatures(docs, h = 0).localCheckpoint())
+      .select(col("doc_id"), col("hs"), col("c"))
+    val inc = docAgg.select(col("doc_id"), col("c"), explode(col("hs")).as("h"))
+    val dfs = inc.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
+    val pref = inc.join(dfs, "h")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("c") - ceil(col("c").cast("double") * threshold) + 1L)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
+      .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))

@@ -117,6 +117,52 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
     assert(wins.zip(wins.tail).forall { case (a, b) => b > a })
   }
 
+  test("weighted sample keeps long docs surely and is length-monotone in rate") {
+    val docs = Sources.documents(spark, dir)
+    val kept = Curation.weightedSample(docs, denom = 200L).collect()
+    assert(kept.nonEmpty)
+    val keptIds = kept.map(_.getLong(0)).toSet
+    // every doc at/above the denominator weight is kept with probability 1
+    val sure = docs.filter(col("n_chars") >= 200).select("doc_id")
+      .collect().map(_.getLong(0))
+    sure.foreach(id => assert(keptIds.contains(id),
+      s"doc $id with n_chars >= denom must always be kept"))
+    // determinism: identical output on re-evaluation
+    val again = Curation.weightedSample(docs, denom = 200L).collect()
+    assert(kept.toSeq == again.toSeq)
+  }
+
+  test("mixture sampling flattens the language skew (head rate < tail rate)") {
+    val docs = Sources.documents(spark, dir)
+    val out = Curation.mixtureSample(docs)
+    val rates = out.select("lang", "p_keep").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p ∝ 1/sqrt(n): the more frequent language always gets the lower rate
+    for (a <- rates.keys; b <- rates.keys if counts(a) > counts(b))
+      assert(rates(a) < rates(b),
+        s"lang $a (n=${counts(a)}) must be thinned below $b (n=${counts(b)})")
+    // every kept row satisfies its language's rate by construction; spot the
+    // expected-size shape: total kept within 40% of the target
+    val n = out.count()
+    assert(n > 300 * 0.6 && n < 300 * 1.4, s"kept $n vs target 300")
+  }
+
+  test("triangle counts match the canonical a<b<c triple join") {
+    val docs = Sources.documents(spark, dir)
+    val e = operators.Dedup.simhashPairs(docs).select("a", "b")
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = operators.Dedup.triangleCounts(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == tri, s"degree-ordered count diverged: got $got want $tri")
+  }
+
   test("json and orc round trips are lossless") {
     val src = Sources.documents(spark, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
