@@ -19,6 +19,15 @@ object ExtensionOracles {
   private val EMB =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM '<sfDir>/embeddings.parquet')"
 
+  /** SQL twin of [[graft.operators.Similarity.embLshCodes]]'s 16-bit code:
+    * one CASE term per hyperplane, planes inlined as DOUBLE[] literals. */
+  private def lshCodeSql: String =
+    graft.operators.Similarity.signPlanes(16, 64).zipWithIndex.map { case (p, k) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(list_zip(emb, $lst), z -> z[1]*z[2])) >= 0" +
+        s" THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) / " +
       s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
@@ -469,6 +478,26 @@ object ExtensionOracles {
          |b AS (SELECT DISTINCT tok FROM t WHERE tok IN ('the','a','of','and'))
          |SELECT t.doc_id, t.tok, CAST(length(t.tok) AS BIGINT) AS w
          |  FROM t JOIN b ON t.tok = b.tok ORDER BY t.doc_id, t.tok""".stripMargin,
+    // sign-random-projection LSH: the ±1 hyperplanes are md5-derived
+    // (Similarity.signPlanes) and inlined as literals; list_sum over the
+    // zip is the verified bit-exact twin of the DotProduct fold
+    "q_emb_lsh" ->
+      s"""WITH $EMB
+         |SELECT vec_id, $lshCodeSql AS code FROM e ORDER BY vec_id""".stripMargin,
+    "q_emb_lsh_pairs" ->
+      s"""WITH $EMB,
+         |c AS (SELECT vec_id, emb, $lshCodeSql AS code FROM e),
+         |bnd AS (SELECT vec_id, band, (code >> (band*4)) & 15 AS bv
+         |          FROM c, (VALUES (0),(1),(2),(3)) t(band)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |           FROM bnd x JOIN bnd y
+         |             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |v AS (SELECT cand.a, cand.b, ${cosSql("ea.emb", "eb.emb")} AS cos
+         |        FROM cand JOIN e ea ON cand.a = ea.vec_id
+         |                  JOIN e eb ON cand.b = eb.vec_id)
+         |SELECT a, b, cos FROM v WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    "q_csv_roundtrip" ->
+      s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
     // weight-proportional Bernoulli sample: pure 64-bit integer comparison,
     // no floating point — the LEAST cap mirrors the Spark side's overflow
     // guard bit-for-bit
@@ -516,7 +545,8 @@ object ExtensionOracles {
          |  FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // prefix-filtered exact Jaccard join: the oracle is the BRUTE-FORCE
     // definition over full shingle sets — the gate passes iff the engine's
-    // prefix candidate generation loses nothing (the prefix lemma)
+    // prefix/length/positional candidate pruning loses nothing. The
+    // threshold test is the same exact integer form (t = 4/5)
     "q_prefix_jaccard" ->
       s"""WITH $SH,
          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
@@ -524,7 +554,7 @@ object ExtensionOracles {
          |            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
          |           GROUP BY 1, 2)
          |$jaccardSelect
-         | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5
+         | WHERE i.inter * 5 >= (ca.c + cb.c - i.inter) * 4
          | ORDER BY a, b""".stripMargin,
     // Bloom decontamination: "bit is set" ≡ "20-bit window ∈ the distinct
     // benchmark-position set", so the oracle replays the bitset exactly —

@@ -199,6 +199,15 @@ object RelationalOracles {
          |  FROM '<sfDir>/lineitem.parquet'
          | GROUP BY CUBE (l_returnflag, l_linestatus)
          | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT lang, source,
+         |       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+         |       CAST(GROUPING(source) AS BIGINT) AS g_src,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |  FROM '<sfDir>/documents.parquet'
+         | GROUP BY GROUPING SETS ((lang, source), (lang), ())
+         | ORDER BY g_lang, g_src, lang, source""".stripMargin,
     "q_lag_delta" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts
          |             FROM '<sfDir>/events.parquet'),

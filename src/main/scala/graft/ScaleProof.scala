@@ -136,6 +136,54 @@ object ScaleProof {
     results += "decontam_exact_10x" -> tDecon
     checks += "bloom_contaminated_superset" -> (bloomHits >= exactHits)
 
+    // prefix-filtered exact Jaccard at 10x docs: replicas are exact copies,
+    // so the answer has a CLOSED FORM — each doc's `reps` copies form
+    // C(reps,2) jaccard-1 pairs, and each base pair crosses into reps² copy
+    // pairs (pair similarity depends only on the texts, which replication
+    // preserves). Any candidate-pruning bug that loses a pair at volume
+    // breaks the equality.
+    val (basePrefixPairs, _) = timed(
+      Dedup.prefixJaccardPairs(Sources.documents(spark, sfDir)).count())
+    val (prefixPairs10, tPrefix) = timed(Dedup.prefixJaccardPairs(docs).count())
+    results += "prefix_jaccard_10x" -> tPrefix
+    val nShingled = Sources.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) >= 9).count()
+    checks += "prefix_pairs_closed_form" ->
+      (prefixPairs10 ==
+        reps.toLong * (reps - 1) / 2 * nShingled + reps.toLong * reps * basePrefixPairs)
+
+    // banded sign-LSH pairs at 10x vectors: codes are functions of the
+    // vector, so copy families agree on every band and base pairs cross
+    // completely — the same closed form, INCLUDING the pairs LSH misses
+    // (a missed base pair is missed by all reps² copies alike)
+    val (baseLshPairs, _) = timed(
+      Similarity.embLshPairs(Sources.embeddings(spark, sfDir)).count())
+    val (lshPairs10, tEmbLsh) = timed(Similarity.embLshPairs(emb).count())
+    results += "emb_lsh_pairs_10x" -> tEmbLsh
+    val nVecs = Sources.embeddings(spark, sfDir).count()
+    checks += "emb_lsh_pairs_closed_form" ->
+      (lshPairs10 ==
+        reps.toLong * (reps - 1) / 2 * nVecs + reps.toLong * reps * baseLshPairs)
+
+    // triangle counting at 10x docs: every copy family is a reps-clique
+    // (C(reps,3) triangles each) and every base triangle crosses into reps³
+    // copy triangles, so total participation is bounded below by both — the
+    // degree-ordered wedge bound must survive exactly this clique stress
+    val (baseTri, _) = timed(
+      Dedup.triangleCounts(Sources.documents(spark, sfDir))
+        .agg(sum("n_tri")).head.getLong(0) / 3)
+    val (tri10, tTri) = timed(
+      Dedup.triangleCounts(docs).agg(sum("n_tri")).head.getLong(0) / 3)
+    results += "triangles_10x" -> tTri
+    // identical texts → identical simhash → hamming 0, so every doc's copy
+    // family is a clique regardless of shingle width (simhash tokenizes on
+    // words); family triangles and crossed base triangles are vertex-
+    // disjoint categories, and mixed ones only add — hence the lower bound
+    val nDocs = Sources.documents(spark, sfDir).count()
+    val cliqueTri = reps.toLong * (reps - 1) * (reps - 2) / 6
+    checks += "triangles_ge_cliques_plus_crossed" ->
+      (tri10 >= cliqueTri * nDocs + reps.toLong * reps * reps * baseTri)
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

@@ -193,6 +193,13 @@ object SparkEntry {
     "q_skew_tokens" -> ((s, dir) =>
       Skew.saltedCount(TextAnalysis.tokens(Sources.documents(s, dir)), "tok", 8)
         .orderBy("tok")),
+    // ---- round-5 widening: embedding LSH, CSV sink, grouping sets ----
+    "q_emb_lsh" -> ((s, dir) =>
+      Similarity.embLshCodes(Sources.embeddings(s, dir))),
+    "q_emb_lsh_pairs" -> ((s, dir) =>
+      Similarity.embLshPairs(Sources.embeddings(s, dir))),
+    "q_csv_roundtrip" -> ((s, dir) => Sources.csvRoundTrip(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => Relational.docsGroupingSets(s, dir)),
     // ---- round-5 widening: sampling, mixing, pair-graph, prefix join ----
     "q_weighted_sample" -> ((s, dir) =>
       Curation.weightedSample(Sources.documents(s, dir))),

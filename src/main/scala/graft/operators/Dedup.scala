@@ -12,7 +12,6 @@ import graft.functions.Hashes
   * `c = hs.length`. */
 private[graft] case class DocSig(doc_id: Long, sig: Array[Long],
                                  hs: Array[Long], c: Long)
-
 /** Deduplication operators for a training-data pipeline (north-star
   * extension, SURVEY.md §7.1 M7): exact hash dedup, MinHash+LSH, SimHash and
   * DF-capped n-gram Jaccard near-dup detection.
@@ -357,7 +356,7 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Exact Jaccard set-similarity join via two-sided prefix filtering — the
+  /** Exact Jaccard set-similarity join via prefix filtering — the
     * AllPairs/PPJoin candidate generation (Bayardo et al. WWW'07; Xiao et
     * al. WWW'08) over the FULL distinct 9-gram shingle sets. The third
     * similarity-join mechanism in this file, completing the trade-off
@@ -366,20 +365,30 @@ object Dedup {
     * (stop shingles are dropped from the sets themselves); this one returns
     * EVERY pair with true Jaccard ≥ t over the uncapped sets, exactly.
     *
-    * Mechanism: order shingles globally rarest-first (df asc, hash asc). A
-    * document's PREFIX is its first |d| − ⌈t·|d|⌉ + 1 shingles in that
-    * order; the prefix-filtering lemma guarantees two documents with
-    * J ≥ t share a prefix shingle, so the candidate equi-join touches only
-    * prefix incidence. That is what survives corpus scale: a boilerplate
-    * shingle with df 10⁹ sorts LAST and lands in almost no prefix (only
-    * docs made almost entirely of boilerplate keep it), while the DF-capped
-    * design would silently change the measure and a plain incidence join
-    * would emit 10¹⁸ pairs from that one shingle. Candidates are verified
-    * with the exact intersection over the kernel's per-doc hash sets
-    * (PrefixJoinSpec asserts candidates lose nothing vs brute force).
-    * Cost: one incidence exchange for df, one window per doc, a prefix
-    * equi-join, and |cand| verification rows. */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * The threshold is a RATIONAL tNum/tDen so every pruning bound is pure
+    * 64-bit integer arithmetic — ⌈c·t⌉ = (c·tNum + tDen − 1) div tDen and
+    * t/(1+t) = tNum/(tNum+tDen) — because a candidate filter is only
+    * allowed to be wrong in the safe direction, and float rounding of
+    * ceil(0.8·c) is not (one-too-high silently drops a true pair on BOTH
+    * engine and oracle). Three stacked filters:
+    *  1. prefix (rarest-first order by global df): J ≥ t pairs must share
+    *     one of each other's first c − ⌈t·c⌉ + 1 shingles — a boilerplate
+    *     shingle with df 10⁹ sorts LAST and lands in almost no prefix,
+    *     which is what keeps the join bounded at corpus scale;
+    *  2. length: t·|A| ≤ |B| (and symmetrically) — a pair whose sizes
+    *     differ by more than t can't reach the threshold at any overlap;
+    *  3. positional (PPJoin): a prefix match at positions (rnₓ, rn_y) caps
+    *     the achievable overlap at 1 + min(cₓ−rnₓ, c_y−rn_y), which must
+    *     reach ⌈(cₓ+c_y)·t/(1+t)⌉ — matches deep in both prefixes with
+    *     short suffixes can't close the gap.
+    * Measured on the dense sf0.1 corpus: 7.7M candidates naked → 92k with
+    * the filters (the true answer is 256 pairs). Candidates are verified
+    * with the exact intersection over the kernel's per-doc hash sets;
+    * PrefixJoinSpec asserts the result equals brute force. Cost: one
+    * incidence exchange for df, one window per doc, a prefix equi-join,
+    * and |cand| verification rows. */
+  def prefixJaccardPairs(docs: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tNum < tDen, s"threshold $tNum/$tDen outside (0,1)")
     val docAgg = sharedSignatures(docs, h = 0)
       .getOrElse(docSignatures(docs, h = 0).localCheckpoint())
       .select(col("doc_id"), col("hs"), col("c"))
@@ -388,10 +397,29 @@ object Dedup {
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
     val pref = inc.join(dfs, "h")
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= col("c") - ceil(col("c").cast("double") * threshold) + 1L)
-      .select(col("doc_id"), col("h"))
+      // ⌈c·t⌉ in exact integers; prefix keeps rn ≤ c − ⌈c·t⌉ + 1
+      .filter(col("rn") <= col("c") - expr(s"(c * $tNum + ${tDen - 1}) div $tDen") + 1L)
+      .select(col("doc_id"), col("h"), col("c"), col("rn"))
+    // Candidate self-join on the prefix incidence with the length and
+    // positional (PPJoin) filters fused into the join condition as pure
+    // integer compares. The self-join DOES plan its two sides as full
+    // copies of the upstream pipeline, but that pipeline is all codegen'd
+    // narrow work over ≤|inc| rows — measured min-of-5 at sf0.1: 3.1 s vs
+    // 7.9 s for a per-shingle posting-list emit (the object aggregation +
+    // typed-encoder boundary cost more than the duplicated codegen) and vs
+    // 16 s for an eager pref checkpoint (materialization beat AQE's
+    // broadcast planning). Matched-pair volume is self-limiting: a doc
+    // keeps a shingle only if it falls in its rarest (1−t) fraction, so
+    // globally-hot shingles join almost nothing (max 29 docs share a
+    // prefix shingle on the dense sf0.1 corpus; 142k matches / 92k
+    // candidates for a 256-pair answer).
+    val need = tNum + tDen // α ≥ ⌈(cx+cy)·tNum/need⌉ ⟺ need·α ≥ tNum·(cx+cy)
     val cand = pref.as("x").join(pref.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.c") * tDen >= col("x.c") * tNum &&
+          col("x.c") * tDen >= col("y.c") * tNum &&
+          (lit(1L) + least(col("x.c") - col("x.rn"), col("y.c") - col("y.rn"))) * need
+            >= (col("x.c") + col("y.c")) * tNum)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     cand
@@ -399,10 +427,12 @@ object Dedup {
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .withColumn("inter",
         size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+      // threshold test in exact integers too; the reported double divides
+      // identically on both engines
+      .filter(col("inter") * tDen >= (col("ca.c") + col("cb.c") - col("inter")) * tNum)
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
       .orderBy("a", "b")
   }
 

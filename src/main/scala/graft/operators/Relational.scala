@@ -203,6 +203,24 @@ object Relational {
         dsum(dec(col("l_quantity"))).as("sum_qty"))
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
 
+  /** Arbitrary GROUPING SETS (the general form of [[pricingRollup]]'s
+    * ROLLUP and [[pricingCube]]'s CUBE): per-(lang, source) detail, the
+    * per-lang margin, and the grand total in ONE aggregation pass — Spark
+    * plans an Expand over the requested sets, so the corpus is read once
+    * however many margins are asked for. Grouping flags disambiguate a
+    * grouped NULL from a margin row, as in the rollup/cube twins. */
+  def docsGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.documents(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq()),
+        col("lang"), col("source"))
+      .agg(
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_src"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("g_lang"), col("g_src"), col("lang"), col("source"))
+
   /** lead/lag surface: per-user gap to the previous event in microseconds
     * plus the previous event id ((ts, event_id) order; first events are
     * dropped so every emitted row's lag is defined — no nullable columns for

@@ -52,6 +52,69 @@ object Similarity {
           lit(1073741824.0)).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Deterministic ±1 hyperplanes for [[embLshCodes]]: component (k, d) is
+    * +1 iff the md5-derived h60 of "k:d" is odd — the same engine-free coin
+    * family as every sampler in this library, so the oracle inlines the
+    * identical planes as SQL literals. */
+  private[graft] def signPlanes(bits: Int, dim: Int): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(bits) { k =>
+      Array.tabulate(dim) { d =>
+        if ((graft.functions.Hashes.h60Jvm(md, s"$k:$d") & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Sign-random-projection LSH codes — the cosine analogue of MinHash: bit
+    * k of a vector's code is [⟨v, s_k⟩ ≥ 0] for deterministic ±1 hyperplane
+    * s_k ([[signPlanes]]), so P(bits agree) = 1 − θ/π (Charikar'02) and
+    * near-parallel vectors share long code prefixes. One narrow codegen'd
+    * projection — `bits` [[graft.functions.DotProduct]] folds per row, no
+    * shuffle, no state — which is why this is the embedding sketch a 100 TB
+    * corpus computes: 16 bits replace 256 doubles at the exchange.
+    * Output (vec_id, code). */
+  def embLshCodes(emb: DataFrame, bits: Int = 16, dim: Int = 64): DataFrame =
+    emb.select(col("vec_id"), lshCode(bits, dim).as("code")).orderBy("vec_id")
+
+  private def lshCode(bits: Int, dim: Int): Column =
+    signPlanes(bits, dim).zipWithIndex.map { case (p, k) =>
+      when(graft.functions.DotProduct.dot(col("emb"),
+        array(p.map(lit(_)): _*)) >= 0.0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Banded sign-LSH near-dup pairs — the blocked cosine path whose blocks
+    * come from the [[embLshCodes]] sketch instead of IVF cells
+    * ([[neardupCosineBlocked]]): vectors sharing any `bandBits`-bit code
+    * band become candidates (equi-join on the band value — never n²), then
+    * candidates are verified with the exact cosine. Recall is the standard
+    * LSH trade (a true pair straddling every band is missed; the spec
+    * asserts verified pairs ⊆ the exact all-pairs answer) and the oracle
+    * replays the same bands, so the output is still hash-exact. */
+  def embLshPairs(emb: DataFrame, bits: Int = 16, bandBits: Int = 4,
+                  threshold: Double = 0.45, dim: Int = 64): DataFrame = {
+    val nBands = bits / bandBits
+    val coded = emb.select(col("vec_id"), col("emb"), lshCode(bits, dim).as("code"))
+    val bandCols = array((0 until nBands).map { bd =>
+      struct(lit(bd).as("band"),
+        shiftright(col("code"), bd * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))
+    }: _*)
+    val bands = coded.select(col("vec_id"), explode(bandCols).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("emb").as("va")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("a", "b")
+  }
+
   private def queriesOf(emb: DataFrame, nQueries: Int): DataFrame =
     broadcast(emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qv")))

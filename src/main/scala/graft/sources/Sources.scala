@@ -91,6 +91,22 @@ object Sources {
   def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame =
     roundTripVia(spark, sfDir, "orc")
 
+  /** CSV sink round trip (the third row format, after JSON lines): written
+    * with an explicit header and read back under the source schema, so
+    * neither inference nor column order can drift; oracle = the unwritten
+    * source. Spark's writer quotes embedded delimiters/quotes per RFC 4180,
+    * and the reader reverses it — the losslessness gate covers whatever the
+    * corpus contains. */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sink_csv_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(src.schema).option("header", "true").csv(out)
+      .orderBy("doc_id")
+  }
+
   /** Reference-format CSV-of-points reader (`big_data_computing_1.py:152-156`,
     * `"x,y"` lines): kept so a user of the reference can point the library at
     * their existing files. Parses once at the boundary into the fixed schema. */

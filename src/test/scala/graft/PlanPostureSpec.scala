@@ -31,7 +31,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     * spaces. */
   private val deliberateNestedLoop = Set("q_ann_topk", "q_ann_ivf",
     "q_neardup_blocked", "q_semi_anti", "q_outlier_summary", "q_hw2_pipeline",
-    "q_hll_users") // n_exact x (s, v_zero): two SINGLE-ROW aggregates
+    "q_hll_users", // n_exact x (s, v_zero): two SINGLE-ROW aggregates
+    "q_mixture") // |langs| rates x the SINGLE-ROW quantized-weight total
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

@@ -163,13 +163,43 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
     assert(got == tri, s"degree-ordered count diverged: got $got want $tri")
   }
 
-  test("json and orc round trips are lossless") {
+  test("json, orc and csv round trips are lossless") {
     val src = Sources.documents(spark, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
     for (rt <- Seq(Sources.jsonRoundTrip(spark, dir),
-                   Sources.orcRoundTrip(spark, dir))) {
+                   Sources.orcRoundTrip(spark, dir),
+                   Sources.csvRoundTrip(spark, dir))) {
       assert(rt.exceptAll(src).isEmpty && src.exceptAll(rt).isEmpty)
     }
+  }
+
+  test("emb LSH pairs are a subset of the exact all-pairs answer") {
+    val emb = Sources.embeddings(spark, dir)
+    val exact = operators.Similarity.neardupCosine(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Similarity.embLshPairs(emb).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact),
+      "LSH blocking may lose pairs but must never invent them")
+    lsh.foreach(r => assert(r.getDouble(2) >= 0.45))
+    // codes: deterministic, and near-identical vectors share codes — every
+    // exact cos>=0.45 pair agrees on SOME 4-bit band with high probability;
+    // assert the sketch is non-degenerate instead (many distinct codes)
+    val codes = operators.Similarity.embLshCodes(emb)
+    assert(codes.select("code").distinct().count() > codes.count() / 4)
+    assert(codes.collect().toSeq ==
+      operators.Similarity.embLshCodes(emb).collect().toSeq)
+  }
+
+  test("grouping sets margins are consistent with the detail rows") {
+    val gs = Relational.docsGroupingSets(spark, dir).collect()
+    val total = Sources.documents(spark, dir).count()
+    val grand = gs.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1 && grand.head.getLong(4) == total)
+    val detailSum = gs.filter(r => r.getLong(2) == 0 && r.getLong(3) == 0)
+      .map(_.getLong(4)).sum
+    val langSum = gs.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+      .map(_.getLong(4)).sum
+    assert(detailSum == total && langSum == total)
   }
 
   test("partitioned sink round trip is lossless and layout-partitioned") {
