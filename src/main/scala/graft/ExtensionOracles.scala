@@ -19,6 +19,21 @@ object ExtensionOracles {
   private val EMB =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM '<sfDir>/embeddings.parquet')"
 
+  /** SimHash near-dup edge list (a < b, hamming ≤ 2) over word tokens —
+    * the pair graph shared by the triangle and PageRank oracles; mirrors
+    * [[graft.operators.Dedup.simhashPairs]] bit-for-bit. */
+  private def simhashEdges: String =
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+       |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
+       |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
+       |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b),
+       |s AS (SELECT doc_id,
+       |             CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM sg GROUP BY doc_id),
+       |e AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |        FROM s x JOIN s y ON x.doc_id < y.doc_id
+       |       WHERE bit_count(xor(x.simhash, y.simhash)) <= 2)""".stripMargin
+
   /** SQL twin of [[graft.operators.Similarity.embLshCodes]]'s 16-bit code:
     * one CASE term per hyperplane, planes inlined as DOUBLE[] literals. */
   private def lshCodeSql: String =
@@ -527,22 +542,33 @@ object ExtensionOracles {
     // each triangle once via the a<b<c canonical form — orientation-free,
     // so it is independent of the engine's degree-ordered evaluation
     "q_triangles" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
-         |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
-         |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
-         |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b),
-         |s AS (SELECT doc_id,
-         |             CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-         |        FROM sg GROUP BY doc_id),
-         |e AS (SELECT x.doc_id AS a, y.doc_id AS b
-         |        FROM s x JOIN s y ON x.doc_id < y.doc_id
-         |       WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+      s"""WITH $simhashEdges,
          |tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
          |          FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
          |          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
          |u AS (SELECT unnest([v1, v2, v3]) AS doc_id FROM tri)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
          |  FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fixed-point PageRank: every round is integer arithmetic (2^40-scale
+    // ranks, floor divisions), so the oracle unrolls all 5 rounds as CTEs
+    // and every rank value hash-matches to the bit
+    "q_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT sym.b AS v,
+           |             (15 * (SELECT base FROM bb)
+           |              + 85 * CAST(SUM(pr${i - 1}.r // d.deg) AS BIGINT)) // 100 AS r
+           |        FROM sym JOIN pr${i - 1} ON sym.a = pr${i - 1}.v
+           |             JOIN d ON sym.a = d.a
+           |       GROUP BY sym.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $simhashEdges,
+         |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         |d AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+         |bb AS (SELECT (CAST(1 AS BIGINT) << 40) // COUNT(*) AS base FROM d),
+         |pr0 AS (SELECT a AS v, (SELECT base FROM bb) AS r FROM d),
+         |$rounds
+         |SELECT v AS doc_id, r AS "rank" FROM pr5 ORDER BY doc_id""".stripMargin
+    },
     // prefix-filtered exact Jaccard join: the oracle is the BRUTE-FORCE
     // definition over full shingle sets — the gate passes iff the engine's
     // prefix/length/positional candidate pruning loses nothing. The

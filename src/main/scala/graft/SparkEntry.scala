@@ -207,6 +207,8 @@ object SparkEntry {
       Curation.mixtureSample(Sources.documents(s, dir))),
     "q_triangles" -> ((s, dir) =>
       Dedup.triangleCounts(Sources.documents(s, dir))),
+    "q_pagerank" -> ((s, dir) =>
+      Dedup.pageRank(Sources.documents(s, dir))),
     "q_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(Sources.documents(s, dir))),
     "q_skew_join" -> ((s, dir) => {

@@ -213,6 +213,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Fixed-point PageRank over the (symmetrized) SimHash near-dup pair
+    * graph — the centrality triage that ranks boilerplate template hubs
+    * above incidental near-dups, complementing [[pairDegrees]] (volume) and
+    * [[triangleCounts]] (local clustering). Nodes are documents incident to
+    * ≥1 pair; output (doc_id, rank) after `iters` damped rounds.
+    *
+    * All arithmetic is 64-bit INTEGER — ranks live at 2⁴⁰ fixed-point
+    * scale, each round is r'(v) = (15·B + 85·Σ_{u→v} (r(u) div deg(u)))
+    * div 100 with B = 2⁴⁰ div |V| — so the iteration is deterministic to
+    * the bit in any engine (integer sums are order-free; there is no FP
+    * accumulation to diverge) and the DuckDB oracle replays all `iters`
+    * rounds as unrolled CTEs and hash-matches exactly. Floor losses shave
+    * < |V|·iters units off the 2⁴⁰ mass — spec-bounded, never divergent.
+    *
+    * Scale shape: one edges⨝ranks equi-join + one hash aggregation per
+    * round over the |edges| list (never a transitive structure); the
+    * symmetric graph has no dangling nodes by construction. The loop builds
+    * `iters` joins into ONE lazy plan — fine for the handful of rounds
+    * centrality triage needs; a long-horizon run inserts a localCheckpoint
+    * every ~10 rounds to truncate lineage, exactly like
+    * [[connectedComponents]]'s distributed branch. */
+  def pageRank(docs: DataFrame, iters: Int = 5, maxHamming: Int = 2): DataFrame = {
+    val e0 = simhashPairs(docs, maxHamming).select("a", "b").localCheckpoint()
+    val edges = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    // |V| is graph metadata (one scalar), not point data; the edge list is
+    // already checkpointed so this costs one tiny aggregation
+    val n = deg.count()
+    val base = (1L << 40) / math.max(n, 1L)
+    val edgesD = edges.join(deg, "a").localCheckpoint()
+    var ranks = deg.select(col("a").as("v"), lit(base).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edgesD.join(ranks.withColumnRenamed("v", "a"), "a")
+        .select(col("b").as("v"), expr("r div deg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+        .select(col("v"), expr(s"(15 * ${base}L + 85 * s) div 100").as("r"))
+    }
+    ranks.select(col("v").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
+  }
+
   /** [[minhashLshPairs]] without the presentation sort (cluster-merge input).
     *
     * Everything per-doc comes from the [[docSignatures]] kernel (cached:

@@ -163,6 +163,26 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
     assert(got == tri, s"degree-ordered count diverged: got $got want $tri")
   }
 
+  test("pagerank conserves fixed-point mass up to floor loss and ranks hubs") {
+    val docs = Sources.documents(spark, dir)
+    val pr = operators.Dedup.pageRank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.nonEmpty)
+    assert(pr.values.forall(_ > 0))
+    // every round floors |V| contributions + the damping division: total
+    // mass can only leak downward, never grow
+    val mass = pr.values.sum
+    assert(mass <= (1L << 40), s"mass $mass exceeds the 2^40 budget")
+    assert(mass > (1L << 40) / 2, s"mass $mass lost more than half to floors")
+    // non-degenerate centrality: ranks must differentiate nodes
+    assert(pr.values.max > pr.values.min,
+      "centrality must differentiate nodes on this fixture")
+    // determinism to the bit
+    val again = operators.Dedup.pageRank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == again)
+  }
+
   test("json, orc and csv round trips are lossless") {
     val src = Sources.documents(spark, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
