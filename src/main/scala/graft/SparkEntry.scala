@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
 import graft.operators.{AsOfJoin, Clustering, Curation, Dedup, ExactOutliers,
-  GridOutliers, IntervalJoin, KMeans, Multimodal, Relational, Similarity,
-  Skew, Sketches, TextAnalysis}
+  GridOutliers, IntervalJoin, KMeans, Layout, Multimodal, Relational,
+  Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, ReservoirAgg}
 
@@ -209,6 +209,8 @@ object SparkEntry {
       Dedup.triangleCounts(Sources.documents(s, dir))),
     "q_pagerank" -> ((s, dir) =>
       Dedup.pageRank(Sources.documents(s, dir))),
+    "q_zorder" -> ((s, dir) =>
+      Layout.zorderPoints(Sources.points2d(s, dir))),
     "q_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(Sources.documents(s, dir))),
     "q_skew_join" -> ((s, dir) => {
@@ -355,6 +357,16 @@ object SparkEntry {
          |       (SELECT r FROM rad) AS radius,
          |       CAST(8 AS INT) AS k
          |  FROM st""".stripMargin
+    },
+    // Z-order keys: quantize/clamp mirrors Layout.zorderPoints; the
+    // interleave is the same generated integer expression on both sides
+    "q_zorder" -> {
+      val qi = "LEAST(GREATEST(CAST(FLOOR(x) AS BIGINT), 0), 65535)"
+      val qj = "LEAST(GREATEST(CAST(FLOOR(y) AS BIGINT), 0), 65535)"
+      s"""WITH p AS ($P),
+         |q AS (SELECT id, x, y, $qi AS qi, $qj AS qj FROM p)
+         |SELECT id, x, y, ${graft.operators.Layout.zvalueSql("qi", "qj")} AS zval
+         |  FROM q ORDER BY id""".stripMargin
     },
     "q_freq_exact" ->
       s"""WITH s AS ($S),
