@@ -40,5 +40,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BoundedCollectList(args.head, maxLen)
       }))
+    // composed-expression registration: the Z-order (Morton) key is a tree
+    // of BUILT-IN catalyst integer ops — no new Expression class, full
+    // whole-stage codegen. (Composing via the public Column API and
+    // unwrapping does NOT work here: a FunctionBuilder must return a
+    // resolvable expression tree, and Spark 4 Column nodes carry
+    // UnresolvedFunction wrappers the analyzer never visits from inside
+    // one.) Mirrors graft.operators.Layout.zvalue bit for bit — asserted
+    // in ExtensionsSpec.
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(graft.operators.Layout.getClass.getName, "zorder_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "zorder_key expects two bigint arguments")
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd,
+          BitwiseOr, Literal, ShiftLeft, ShiftRight}
+        val one = Literal(1L)
+        (0 until 16).map { b =>
+          BitwiseOr(
+            ShiftLeft(BitwiseAnd(ShiftRight(args.head, Literal(b)), one),
+              Literal(2 * b)),
+            ShiftLeft(BitwiseAnd(ShiftRight(args(1), Literal(b)), one),
+              Literal(2 * b + 1))): Expression
+        }.reduce(BitwiseOr(_, _))
+      }))
   }
 }

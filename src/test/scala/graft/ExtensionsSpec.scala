@@ -98,6 +98,16 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
       .as[(String, Seq[Long])].collect()
     assert(bcl.forall(_._2.length <= 2), "lists must saturate at maxLen")
     assert(bcl.find(_._1 == "srcA").get._2 == Seq(1L, 2L))
+    // zorder_key: composed built-in tree registered under one SQL name;
+    // must agree bit-for-bit with the Column form (Layout.zvalue)
+    val zv = spark.sql("SELECT zorder_key(3L, 5L) AS z").head().getLong(0)
+    assert(zv == 39L, s"zorder_key(3,5) must interleave to 39, got $zv")
+    val both = spark.range(200).select(
+        (col("id") * 7 % 65536).as("i"), (col("id") * 13 % 65536).as("j"))
+      .selectExpr("zorder_key(i, j) AS sqlz", "i", "j")
+      .withColumn("colz", graft.operators.Layout.zvalue(col("i"), col("j")))
+      .filter(col("sqlz") =!= col("colz")).count()
+    assert(both == 0, "SQL and Column z-keys must agree on every row")
   }
 
   test("multimodal: stub decode metadata and frame sampling shapes") {
