@@ -79,6 +79,17 @@ object EventTime {
       .select(col("c.user_id").as("user_id"),
         col("c.ts").as("click_ts"), col("v.ts").as("conv_ts"))
 
+  /** Stream-static broadcast enrichment — the "join the stream with
+    * reference data" shape: every micro-batch hash-joins against the
+    * static dimension, explicitly broadcast (dims are small next to the
+    * stream by premise). No state store is involved — unlike stream-stream
+    * joins there is no watermark horizon to size — and the static side is
+    * re-resolved per batch, so a dim backed by a re-readable source
+    * refreshes between batches. Left join: events with no dim row pass
+    * through with nulls rather than silently dropping. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class ItemEvent(item: Long, ts: java.sql.Timestamp)
   final case class ItemRunning(item: Long, total: Long, batches: Long)
 

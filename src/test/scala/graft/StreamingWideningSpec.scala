@@ -70,6 +70,24 @@ class StreamingWideningSpec extends AnyFunSuite with SharedSpark {
     assert(!rows.exists(_._1 == 2L), s"conversion without click must not pair, got $rows")
   }
 
+  test("stream-static broadcast enrichment joins reference data per batch") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val events = ms.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventTime.enrich(events, dim, "user_id")
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 7L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_enrich")
+      .select(col("user_id"), col("tier"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toSet
+    assert(rows == Set(1L -> Some("gold"), 2L -> Some("silver"), 7L -> None),
+      s"enrichment must match dim rows and pass unknown keys through: $rows")
+  }
+
   test("dropDuplicatesWithinWatermark drops in-horizon duplicate event ids") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long)]
