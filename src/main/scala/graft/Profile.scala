@@ -22,7 +22,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_minhash_lsh", "q_exact_outlier_count", "q_hw2_pipeline",
-        "q_ngram_jaccard", "q_ann_ivf", "q_simhash_pairs")
+        "q_ngram_jaccard", "q_ann_ivf", "q_simhash_pairs",
+        "q_prefix_jaccard", "q_pagerank", "q_triangles", "q_emb_lsh_pairs")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       def once(): Double = {
         val t0 = System.nanoTime()

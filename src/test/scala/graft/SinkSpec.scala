@@ -64,6 +64,24 @@ class SinkSpec extends AnyFunSuite with SharedSpark {
     } finally { read.unpersist(): Unit }
   }
 
+  test("permissive csv ingest quarantines malformed rows instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
+      Seq("1,en", "2,fr", "NOT_A_NUMBER,de").map(_ + "\n").mkString.getBytes("UTF-8"))
+    val read = spark.read
+      .schema("doc_id BIGINT, lang STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    try {
+      assert(read.count() == 3, "permissive mode must keep every input line")
+      assert(read.filter(col("_corrupt_record").isNotNull).count() == 1,
+        "the unparseable line must be quarantined, not dropped")
+      assert(read.filter(col("_corrupt_record").isNull).agg(sum("doc_id"))
+        .head().getLong(0) == 3L)
+    } finally { read.unpersist(): Unit }
+  }
+
   test("csv and json round-trips preserve rows and schema-on-read works") {
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "lang", "n_chars")
