@@ -513,6 +513,18 @@ object ExtensionOracles {
          |SELECT a, b, cos FROM v WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
     "q_csv_roundtrip" ->
       s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
+    // overlapping token-window chunking: integer chunk count, 1-based
+    // inclusive list slice (DuckDB clamps past-end like Spark's slice)
+    "q_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+         |c AS (SELECT doc_id, toks,
+         |             unnest(range(0, (GREATEST(n_toks - 10, 1) + 29) // 30)) AS chunk_no
+         |        FROM n)
+         |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+         |       CAST(len(toks[(chunk_no*30 + 1):(chunk_no*30 + 40)]) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(toks[(chunk_no*30 + 1):(chunk_no*30 + 40)], ' ') AS chunk_text
+         |  FROM c ORDER BY doc_id, chunk_no""".stripMargin,
     // weight-proportional Bernoulli sample: pure 64-bit integer comparison,
     // no floating point — the LEAST cap mirrors the Spark side's overflow
     // guard bit-for-bit

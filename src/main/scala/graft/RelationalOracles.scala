@@ -199,6 +199,15 @@ object RelationalOracles {
          |  FROM '<sfDir>/lineitem.parquet'
          | GROUP BY CUBE (l_returnflag, l_linestatus)
          | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q_mode" ->
+      s"""WITH g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+         |             FROM '<sfDir>/events.parquet' GROUP BY 1, 2),
+         |r AS (SELECT user_id, event_type, cnt,
+         |             ROW_NUMBER() OVER (PARTITION BY user_id
+         |                                ORDER BY cnt DESC, event_type ASC) AS rk
+         |        FROM g)
+         |SELECT user_id, event_type, cnt FROM r WHERE rk = 1
+         | ORDER BY user_id""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT lang, source,
          |       CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -200,6 +200,9 @@ object SparkEntry {
       Similarity.embLshPairs(Sources.embeddings(s, dir))),
     "q_csv_roundtrip" -> ((s, dir) => Sources.csvRoundTrip(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Relational.docsGroupingSets(s, dir)),
+    "q_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkIndex(Sources.documents(s, dir))),
+    "q_mode" -> ((s, dir) => Relational.eventTypeMode(s, dir)),
     // ---- round-5 widening: sampling, mixing, pair-graph, prefix join ----
     "q_weighted_sample" -> ((s, dir) =>
       Curation.weightedSample(Sources.documents(s, dir))),

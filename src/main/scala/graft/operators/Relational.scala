@@ -203,6 +203,22 @@ object Relational {
         dsum(dec(col("l_quantity"))).as("sum_qty"))
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
 
+  /** Deterministic per-group mode: each user's most frequent event type,
+    * ties broken by type ascending — `mode()` itself keeps an arbitrary
+    * tied value, which would not be oracle-checkable (same reasoning as
+    * the dedup keeper). One aggregation + one WindowGroupLimit-planned
+    * rank; the heavy (user, type) cardinality partial-aggregates map-side. */
+  def eventTypeMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    Sources.table(spark, sfDir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_type", "cnt")
+      .orderBy("user_id")
+  }
+
   /** Arbitrary GROUPING SETS (the general form of [[pricingRollup]]'s
     * ROLLUP and [[pricingCube]]'s CUBE): per-(lang, source) detail, the
     * per-lang margin, and the grand total in ONE aggregation pass — Spark

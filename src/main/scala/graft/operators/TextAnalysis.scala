@@ -70,6 +70,36 @@ object TextAnalysis {
 
   /** Token counts: whitespace tokens + a chars/4 BPE-style estimate (the
     * published rule-of-thumb for English BPE vocabularies). */
+  /** Overlapping token-window chunking — the splitter that turns documents
+    * into training/retrieval sequences: windows of `width` tokens advancing
+    * by `stride` (so `width − stride` tokens of overlap carry context
+    * across boundaries). Chunk count is exact integer arithmetic,
+    * ⌈max(n − overlap, 1) / stride⌉ — short docs yield one (short) chunk,
+    * and the final partial window is kept (training data wants the tail,
+    * not a silent drop). Output (doc_id, chunk_no, n_chunk_tokens,
+    * chunk_text), fully hash-gated since slicing and joining are
+    * engine-exact string ops.
+    *
+    * Scale shape: one narrow codegen'd pass — split, a sequence explode
+    * bounded by the chunk count, and per-row array slices; nothing
+    * shuffles, fan-out is output-proportional. */
+  def chunkIndex(docs: DataFrame, width: Int = 40, stride: Int = 30): DataFrame = {
+    val overlap = width - stride
+    require(stride > 0 && overlap >= 0, s"need 0 < stride <= width")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"(greatest(n_toks - $overlap, 1L) + ${stride - 1}) div $stride"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+      .withColumn("win",
+        slice(col("toks"), (col("chunk_no") * stride + 1).cast("int"), lit(width)))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("win")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("win")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

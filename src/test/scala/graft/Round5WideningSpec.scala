@@ -163,6 +163,41 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
     assert(got == tri, s"degree-ordered count diverged: got $got want $tri")
   }
 
+  test("chunking covers every token and overlaps by width-stride") {
+    val docs = Sources.documents(spark, dir)
+    val ch = TextAnalysis.chunkIndex(docs, width = 40, stride = 30).collect()
+    val nToks = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    // every document chunks; token coverage: sum of chunk sizes equals
+    // n + overlap*(chunks-1) per doc (each non-first chunk re-reads 10)
+    val byDoc = ch.groupBy(_.getLong(0))
+    assert(byDoc.size == nToks.length)
+    byDoc.foreach { case (_, rows) =>
+      val sizes = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(sizes.init.forall(_ == 40L), "only the last chunk may be short")
+      assert(sizes.last >= 1L && sizes.last <= 40L)
+      // chunk text joins back to the right token count
+      rows.foreach(r => assert(
+        r.getString(3).split(" ").length == r.getLong(2)))
+    }
+  }
+
+  test("deterministic mode picks the max count with the lexicographic tie-break") {
+    val m = Relational.eventTypeMode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val g = Sources.table(spark, dir, "events")
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(m.length == g.size, "one mode row per user")
+    m.foreach { case (u, t, c) =>
+      val best = g(u).map(x => (x._3, x._2)).max(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+      assert((c, t) == (best._1, best._2),
+        s"user $u: got ($t,$c) want ${best.swap}")
+    }
+  }
+
   test("pagerank conserves fixed-point mass up to floor loss and ranks hubs") {
     val docs = Sources.documents(spark, dir)
     val pr = operators.Dedup.pageRank(docs).collect()
