@@ -199,6 +199,16 @@ object RelationalOracles {
          |  FROM '<sfDir>/lineitem.parquet'
          | GROUP BY CUBE (l_returnflag, l_linestatus)
          | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q_cum_users" ->
+      s"""WITH f AS (SELECT user_id,
+         |                  MIN(epoch_ns(ts) // 86400000000000) AS day
+         |             FROM '<sfDir>/events.parquet' GROUP BY user_id),
+         |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+         |        FROM f GROUP BY day)
+         |SELECT day, new_users,
+         |       CAST(SUM(new_users) OVER (ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         |  FROM d ORDER BY day""".stripMargin,
     "q_mode" ->
       s"""WITH g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
          |             FROM '<sfDir>/events.parquet' GROUP BY 1, 2),

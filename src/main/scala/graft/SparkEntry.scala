@@ -203,6 +203,7 @@ object SparkEntry {
     "q_chunks" -> ((s, dir) =>
       TextAnalysis.chunkIndex(Sources.documents(s, dir))),
     "q_mode" -> ((s, dir) => Relational.eventTypeMode(s, dir)),
+    "q_cum_users" -> ((s, dir) => Relational.cumulativeUsers(s, dir)),
     // ---- round-5 widening: sampling, mixing, pair-graph, prefix join ----
     "q_weighted_sample" -> ((s, dir) =>
       Curation.weightedSample(Sources.documents(s, dir))),

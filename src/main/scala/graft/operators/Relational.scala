@@ -203,6 +203,26 @@ object Relational {
         dsum(dec(col("l_quantity"))).as("sum_qty"))
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
 
+  /** Exact cumulative distinct users by day — the growth-curve query
+    * (`COUNT(DISTINCT ...) OVER (ORDER BY day)` is unsupported as a
+    * running window in both engines, and approximate HLL unions change
+    * the answer): a user contributes to the curve exactly once, at their
+    * FIRST event's day, so the cumulative distinct count is the running
+    * sum of first-appearance counts. Two hash aggregations (per-user min,
+    * per-day count) + one tiny running-sum window over |days| rows — the
+    * shape that scales to any user cardinality because the window input
+    * is days, not users. */
+  def cumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    Sources.table(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select("day", "new_users", "cum_users")
+      .orderBy("day")
+  }
+
   /** Deterministic per-group mode: each user's most frequent event type,
     * ties broken by type ascending — `mode()` itself keeps an arbitrary
     * tied value, which would not be oracle-checkable (same reasoning as

@@ -64,6 +64,24 @@ class SinkSpec extends AnyFunSuite with SharedSpark {
     } finally { read.unpersist(): Unit }
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynpart")
+      .resolve("t").toString
+    import spark.implicits._
+    val day1 = Seq((1L, "2024-01-01"), (2L, "2024-01-01"),
+                   (3L, "2024-01-02")).toDF("id", "day")
+    day1.write.partitionBy("day").parquet(dir)
+    // rewrite ONLY day 2 with corrected rows; day 1 must survive untouched
+    val fix = Seq((30L, "2024-01-02"), (31L, "2024-01-02")).toDF("id", "day")
+    fix.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (30L, "2024-01-02"), (31L, "2024-01-02")),
+      s"dynamic overwrite must keep day-1 rows and replace day-2: $got")
+  }
+
   test("permissive csv ingest quarantines malformed rows instead of failing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
