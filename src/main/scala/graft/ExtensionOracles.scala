@@ -513,6 +513,29 @@ object ExtensionOracles {
          |SELECT a, b, cos FROM v WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
     "q_csv_roundtrip" ->
       s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
+    // corpus bigram counts: 1-based positional pairing over the token list
+    "q_bigrams" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM $DOCS),
+         |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+         |        FROM t, unnest(range(1, len(toks))) u(i)
+         |       WHERE len(toks) >= 2)
+         |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM b GROUP BY w1, w2 HAVING COUNT(*) >= 2
+         | ORDER BY w1, w2""".stripMargin,
+    // per-doc top-k similar over the verified LSH pair graph: symmetrize,
+    // rank by (jaccard desc, nbr asc), keep 3 — same window both engines
+    "q_top_similar" ->
+      s"""WITH $minhashCtes,
+         |vp AS ($jaccardSelect
+         |        WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT a AS doc_id, b AS nbr, jaccard FROM vp
+         |        UNION ALL SELECT b AS doc_id, a AS nbr, jaccard FROM vp),
+         |r AS (SELECT doc_id, nbr, jaccard,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                  ORDER BY jaccard DESC, nbr ASC) AS BIGINT) AS rk
+         |        FROM sym)
+         |SELECT doc_id, nbr, jaccard, rk FROM r WHERE rk <= 3
+         | ORDER BY doc_id, rk""".stripMargin,
     // overlapping token-window chunking: integer chunk count, 1-based
     // inclusive list slice (DuckDB clamps past-end like Spark's slice)
     "q_chunks" ->

@@ -204,6 +204,10 @@ object SparkEntry {
       TextAnalysis.chunkIndex(Sources.documents(s, dir))),
     "q_mode" -> ((s, dir) => Relational.eventTypeMode(s, dir)),
     "q_cum_users" -> ((s, dir) => Relational.cumulativeUsers(s, dir)),
+    "q_bigrams" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(Sources.documents(s, dir))),
+    "q_top_similar" -> ((s, dir) =>
+      Dedup.topSimilar(Sources.documents(s, dir))),
     // ---- round-5 widening: sampling, mixing, pair-graph, prefix join ----
     "q_weighted_sample" -> ((s, dir) =>
       Curation.weightedSample(Sources.documents(s, dir))),

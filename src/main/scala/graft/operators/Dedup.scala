@@ -213,6 +213,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Top-k most similar documents per document — the per-item similarity
+    * view over the verified MinHash-LSH pair graph (dedup review UIs and
+    * "nearest neighbor" audits consume this, not the raw pair list).
+    * Symmetrize the verified pairs, rank per doc by (jaccard desc, nbr
+    * asc — the tie-break keeps the window deterministic), keep k. One
+    * window exchange over 2·|pairs| rows. */
+  def topSimilar(docs: DataFrame, k: Int = 3, h: Int = 16, rows: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    // both symmetrization branches consume the pair list; eager-checkpoint
+    // so the LSH pipeline runs once (same rationale as pairDegrees)
+    val p = lshPairs(docs, h, rows, threshold).localCheckpoint()
+    val sym = p.select(col("a").as("doc_id"), col("b").as("nbr"), col("jaccard"))
+      .unionAll(p.select(col("b").as("doc_id"), col("a").as("nbr"), col("jaccard")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("nbr").asc)
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "nbr", "jaccard", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Fixed-point PageRank over the (symmetrized) SimHash near-dup pair
     * graph — the centrality triage that ranks boilerplate template hubs
     * above incidental near-dups, complementing [[pairDegrees]] (volume) and

@@ -100,6 +100,24 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** Corpus-level bigram counts — the n-gram LM statistic (conditional-
+    * probability tables, contamination screens, boilerplate detection all
+    * start here). Adjacent-token pairs come from zipping each doc's token
+    * array against its own 1-shifted slice IN ROW (no positional self-join
+    * of an exploded table), then one hash aggregation over the pair
+    * stream; `minCount` mirrors the usual LM pruning threshold. */
+  def bigramCounts(docs: DataFrame, minCount: Long = 2L): DataFrame =
+    docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy("w1", "w2")
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

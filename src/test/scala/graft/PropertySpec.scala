@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{ExactOutliers, GridOutliers}
+import graft.operators.{Dedup, ExactOutliers, GridOutliers}
 import graft.streaming.ReservoirBuf
 
 /** Property-based checks (SURVEY.md §5.2.3). Pure-Scala properties run at
@@ -38,6 +38,38 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       val expect = distinctKeys.sortBy(_._1).take(m)
       buf.keys.toList == expect.map(_._1) && buf.items.toList == expect.map(_._2)
     }, "reservoir-bottom-m")
+  }
+
+  test("prefix join equals the quadratic definition on random corpora (sampled)") {
+    // random corpora from a tiny vocabulary (heavy overlap forces pairs) at
+    // random rational thresholds; reference is a plain-Scala quadratic pass
+    // over STRING shingle sets — independent of the engine's hashed kernel,
+    // its window prefix order, and all three candidate filters
+    val rng = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsln", "zetaa")
+    for (trial <- 1 to 6) {
+      val (tn, td) = Seq((1, 2), (2, 3), (4, 5), (9, 10))(rng.nextInt(4))
+      val docs = (0 until (10 + rng.nextInt(12))).map { i =>
+        val text = Seq.fill(2 + rng.nextInt(10))(
+          vocab(rng.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, text, "en", "src", text.length.toLong)
+      }
+      val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = Dedup.prefixJaccardPairs(df, tn, td).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = docs.map { case (id, text, _, _, _) =>
+        id -> text.sliding(9).toSet.filter(_.length == 9)
+      }.filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        uni = sa.size + sb.size - inter
+        if inter.toLong * td >= uni.toLong * tn
+      } yield (a, b, inter.toDouble / uni.toDouble)).toSet
+      assert(got == want,
+        s"trial $trial (t=$tn/$td, ${docs.size} docs): " +
+          s"missing=${want -- got}, extra=${got -- want}")
+    }
   }
 
   test("grid containment holds on random point sets (sure ⊆ exact ⊆ sure ∪ uncertain)") {

@@ -198,6 +198,38 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bigram counts sum to the number of adjacent pairs above threshold") {
+    val docs = Sources.documents(spark, dir)
+    val all = TextAnalysis.bigramCounts(docs, minCount = 1L)
+    val totalPairs = docs
+      .select((size(split(col("text"), " ")) - 1).cast("long").as("n"))
+      .filter(col("n") > 0).agg(sum("n")).head.getLong(0)
+    assert(all.agg(sum("cnt")).head.getLong(0) == totalPairs,
+      "every adjacent pair must be counted exactly once")
+    val pruned = TextAnalysis.bigramCounts(docs, minCount = 2L)
+    assert(pruned.filter(col("cnt") < 2).count() == 0)
+  }
+
+  test("top-similar is symmetric-consistent and rank-ordered per doc") {
+    val docs = Sources.documents(spark, dir)
+    val ts = operators.Dedup.topSimilar(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(ts.nonEmpty, "fixture has verified near-dup pairs")
+    ts.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      // jaccard non-increasing with rank
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+    // every listed neighbor is a verified pair in both directions' view
+    val pairs = operators.Dedup.minhashLshPairs(docs).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    ts.foreach { case (d, n, _, _) => assert(pairs.contains(Set(d, n))) }
+  }
+
   test("pagerank conserves fixed-point mass up to floor loss and ranks hubs") {
     val docs = Sources.documents(spark, dir)
     val pr = operators.Dedup.pageRank(docs).collect()
