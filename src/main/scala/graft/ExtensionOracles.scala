@@ -19,18 +19,26 @@ object ExtensionOracles {
   private val EMB =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM '<sfDir>/embeddings.parquet')"
 
-  /** SimHash near-dup edge list (a < b, hamming ≤ 2) over word tokens —
-    * the pair graph shared by the triangle and PageRank oracles; mirrors
-    * [[graft.operators.Dedup.simhashPairs]] bit-for-bit. */
-  private def simhashEdges: String =
+  /** SimHash code CTE chain (word tokens → 32-bit code per doc) — the ONE
+    * copy of the simhash pipeline SQL; q_simhash, q_simhash_pairs,
+    * q_triangles and q_pagerank all build on it, so the four gates can
+    * never validate against divergent graphs. Mirrors
+    * [[graft.operators.Dedup.simhash]] bit-for-bit. */
+  private def simhashCodes: String =
     s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
        |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
        |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b),
        |s AS (SELECT doc_id,
        |             CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-       |        FROM sg GROUP BY doc_id),
-       |e AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |        FROM sg GROUP BY doc_id)""".stripMargin
+
+  /** [[simhashCodes]] + the near-dup edge list (a < b, hamming ≤ 2) with
+    * the hamming distance exposed. */
+  private def simhashEdges: String =
+    s"""$simhashCodes,
+       |e AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |             CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
        |        FROM s x JOIN s y ON x.doc_id < y.doc_id
        |       WHERE bit_count(xor(x.simhash, y.simhash)) <= 2)""".stripMargin
 
@@ -330,26 +338,11 @@ object ExtensionOracles {
          | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.3
          | ORDER BY a, b""".stripMargin,
     "q_simhash" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
-         |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
-         |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
-         |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b)
-         |SELECT doc_id,
-         |       CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCodes
+         |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin,
     "q_simhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
-         |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM t),
-         |bt AS (SELECT b FROM generate_series(0, 31) g(b)),
-         |sg AS (SELECT doc_id, b, SUM(((th >> b) & 1) * 2 - 1) AS sgn FROM th, bt GROUP BY doc_id, b),
-         |s AS (SELECT doc_id,
-         |             CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-         |        FROM sg GROUP BY doc_id)
-         |SELECT x.doc_id AS a, y.doc_id AS b,
-         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-         |  FROM s x JOIN s y ON x.doc_id < y.doc_id
-         | WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
-         | ORDER BY a, b""".stripMargin,
+      s"""WITH $simhashEdges
+         |SELECT a, b, hamming FROM e ORDER BY a, b""".stripMargin,
     // ---- similarity search ----
     "q_ann_topk" ->
       s"""WITH $EMB,
@@ -566,7 +559,8 @@ object ExtensionOracles {
          |        FROM c),
          |t AS (SELECT CAST(SUM(s_l) AS BIGINT) AS s_tot FROM q),
          |r AS (SELECT lang,
-         |             CAST(s_l * 300 AS DOUBLE) / CAST(s_tot * n_l AS DOUBLE) AS p_keep
+         |             CAST(s_l * 300 AS DOUBLE)
+         |               / (CAST(s_tot AS DOUBLE) * CAST(n_l AS DOUBLE)) AS p_keep
          |        FROM q, t)
          |SELECT d.doc_id, d.lang, r.p_keep
          |  FROM $DOCS d JOIN r ON d.lang = r.lang

@@ -169,17 +169,23 @@ object ScaleProof {
     // (C(reps,3) triangles each) and every base triangle crosses into reps³
     // copy triangles, so total participation is bounded below by both — the
     // degree-ordered wedge bound must survive exactly this clique stress
+    // coalesce: SUM over an empty (triangle-free) result is NULL, and a
+    // sparse corpus must record baseTri = 0, not crash the proof
     val (baseTri, _) = timed(
       Dedup.triangleCounts(Sources.documents(spark, sfDir))
-        .agg(sum("n_tri")).head.getLong(0) / 3)
+        .agg(coalesce(sum("n_tri"), lit(0L))).head.getLong(0) / 3)
     val (tri10, tTri) = timed(
-      Dedup.triangleCounts(docs).agg(sum("n_tri")).head.getLong(0) / 3)
+      Dedup.triangleCounts(docs)
+        .agg(coalesce(sum("n_tri"), lit(0L))).head.getLong(0) / 3)
     results += "triangles_10x" -> tTri
     // identical texts → identical simhash → hamming 0, so every doc's copy
     // family is a clique regardless of shingle width (simhash tokenizes on
-    // words); family triangles and crossed base triangles are vertex-
-    // disjoint categories, and mixed ones only add — hence the lower bound
-    val nDocs = Sources.documents(spark, sfDir).count()
+    // words) — but a NULL-text doc has no simhash node and no family, so
+    // the bound counts non-null docs only (same reason nShingled filters);
+    // family triangles and crossed base triangles are vertex-disjoint
+    // categories, and mixed ones only add — hence the lower bound
+    val nDocs = Sources.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count()
     val cliqueTri = reps.toLong * (reps - 1) * (reps - 2) / 6
     checks += "triangles_ge_cliques_plus_crossed" ->
       (tri10 >= cliqueTri * nDocs + reps.toLong * reps * reps * baseTri)

@@ -86,10 +86,16 @@ object Curation {
     val quant = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
       .withColumn("s_l", floor(sqrt(col("n_l").cast("double")) * 1048576.0))
     val tot = quant.agg(sum(col("s_l")).as("s_tot"))
+    // the DENOMINATOR multiplies in double (each int converts exactly-
+    // rounded, the product rounds once — identical in any IEEE engine):
+    // s_tot·n_l as int64 overflows at ~1e9 docs per language, where Spark
+    // would wrap negative (silently dropping the whole head language) and
+    // DuckDB would error. The numerator stays int64: s_l·target < 2^63
+    // for any corpus that fits in BIGINT doc counts.
     val rates = quant.crossJoin(broadcast(tot))
       .select(col("lang"),
         ((col("s_l") * target).cast("double") /
-          (col("s_tot") * col("n_l")).cast("double")).as("p_keep"))
+          (col("s_tot").cast("double") * col("n_l").cast("double"))).as("p_keep"))
     docs.join(broadcast(rates), "lang")
       .filter(keyHash(col("doc_id"), salt).cast("double")
         / 1152921504606846976.0 < col("p_keep"))

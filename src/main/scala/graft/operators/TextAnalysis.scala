@@ -68,8 +68,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Token counts: whitespace tokens + a chars/4 BPE-style estimate (the
-    * published rule-of-thumb for English BPE vocabularies). */
   /** Overlapping token-window chunking — the splitter that turns documents
     * into training/retrieval sequences: windows of `width` tokens advancing
     * by `stride` (so `width − stride` tokens of overlap carry context
@@ -82,11 +80,15 @@ object TextAnalysis {
     *
     * Scale shape: one narrow codegen'd pass — split, a sequence explode
     * bounded by the chunk count, and per-row array slices; nothing
-    * shuffles, fan-out is output-proportional. */
+    * shuffles, fan-out is output-proportional. Null texts emit nothing
+    * (like every shingle/token operator here — without the filter,
+    * size(null) = -1 would fabricate a (doc_id, 0, -1, "") row that no
+    * oracle reproduces). */
   def chunkIndex(docs: DataFrame, width: Int = 40, stride: Int = 30): DataFrame = {
     val overlap = width - stride
     require(stride > 0 && overlap >= 0, s"need 0 < stride <= width")
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
         expr(s"(greatest(n_toks - $overlap, 1L) + ${stride - 1}) div $stride"))
@@ -118,6 +120,8 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
       .orderBy("w1", "w2")
 
+  /** Token counts: whitespace tokens + a chars/4 BPE-style estimate (the
+    * published rule-of-thumb for English BPE vocabularies). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

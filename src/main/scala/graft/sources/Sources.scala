@@ -94,16 +94,20 @@ object Sources {
   /** CSV sink round trip (the third row format, after JSON lines): written
     * with an explicit header and read back under the source schema, so
     * neither inference nor column order can drift; oracle = the unwritten
-    * source. Spark's writer quotes embedded delimiters/quotes per RFC 4180,
-    * and the reader reverses it — the losslessness gate covers whatever the
-    * corpus contains. */
+    * source. The writer quotes embedded delimiters/quotes/newlines per
+    * RFC 4180 and the reader parses multi-line quoted records
+    * (`multiLine`, otherwise a quoted embedded newline silently splits one
+    * record into two corrupt rows). Known format limit: CSV cannot
+    * distinguish an empty string from NULL on read-back — a corpus relying
+    * on that distinction belongs in parquet/ORC/JSON, not CSV. */
   def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val src = documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source", "n_chars")
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_sink_csv_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
     src.write.mode("overwrite").option("header", "true").csv(out)
-    spark.read.schema(src.schema).option("header", "true").csv(out)
+    spark.read.schema(src.schema)
+      .option("header", "true").option("multiLine", "true").csv(out)
       .orderBy("doc_id")
   }
 
