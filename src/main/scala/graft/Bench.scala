@@ -127,11 +127,20 @@ object Bench {
     val probeBefore = diskProbeMbps(SparkLocal.localDir)
     val suiteT0 = System.nanoTime()
     val details = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Sentinel gate (r5 verdict #7): a query whose FASTEST rep still spent
+    // less than a third of its wall on CPU did not compute — it waited
+    // (disk stall / co-tenant load). When that coincides with a collapsed
+    // disk gauge, the reading is an environment artifact: extend to
+    // min-of-5 and, if the best rep STILL reads as waiting under a
+    // still-collapsed gauge, mark the query (and the contract line)
+    // env_suspect so no hand-written caveat is needed downstream.
+    val diskCollapseMbps = 300.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val tq0 = (System.nanoTime() - suiteT0) / 1e9
       val (gc0, jit0, cpu0) = (gcMillis, jitMillis, processCpuSec)
       val (sw0, sr0, in0, sp0) = (io.shufW.get, io.shufR.get, io.input.get, io.spill.get)
-      val times = (1 to reps).map { _ =>
+      def runRep(): (Double, Double, Boolean) = {
+        val c0 = processCpuSec
         val t0 = System.nanoTime()
         // a failed query is recorded (and fails the run) — a silent catch
         // would make breakage read as a speedup
@@ -140,18 +149,39 @@ object Bench {
                    System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
         // drop per-query caches so queries don't squeeze each other's memory
         spark.catalog.clearCache()
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, processCpuSec - c0, ok)
+      }
+      var times = (1 to reps).map(_ => runRep())
+      // >0.5 s floor: sub-second queries are driver-overhead-dominated and
+      // legitimately low-CPU (e.g. the streaming replay's trigger waits)
+      def bestWaited = {
+        val b = times.minBy(_._1)
+        b._1 > 0.5 && b._1 > 3.0 * b._2
+      }
+      var diskProbe = -1.0
+      var envSuspect = false
+      if (bestWaited) {
+        diskProbe = diskProbeMbps(SparkLocal.localDir)
+        if (diskProbe < diskCollapseMbps) {
+          times = times ++ (times.length until 5).map(_ => runRep())
+          envSuspect = bestWaited &&
+            diskProbeMbps(SparkLocal.localDir) < diskCollapseMbps
+        }
       }
       details += s""""$name":{"at":${fmt(tq0)},"reps":[${times.map(t => fmt(t._1)).mkString(",")}],""" +
+        s""""rep_cpu":[${times.map(t => fmt(t._2)).mkString(",")}],""" +
         s""""cpu":${fmt(processCpuSec - cpu0)},"gc_ms":${gcMillis - gc0},""" +
         s""""jit_ms":${jitMillis - jit0},"load":${fmt(loadAvg)},""" +
+        (if (diskProbe >= 0) s""""disk_probe_mbps":${fmt(diskProbe)},"env_suspect":$envSuspect,""" else "") +
         s""""shuf_w_mb":${(io.shufW.get - sw0) >> 20},"shuf_r_mb":${(io.shufR.get - sr0) >> 20},""" +
         s""""in_mb":${(io.input.get - in0) >> 20},"spill_mb":${(io.spill.get - sp0) >> 20}}"""
-      (name, times.map(_._1).min, times.forall(_._2))
+      (name, times.map(_._1).min, times.forall(_._3), envSuspect)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val suspects = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val anySuspect = results.exists(_._4)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val env =
       s"""{"cores":${Runtime.getRuntime.availableProcessors},"threads":$cpus,"heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
@@ -166,8 +196,8 @@ object Bench {
     // overflows the driver's tail window (parsed:null four rounds running) —
     // the final line must parse standalone with no per-query map or env blob
     println(s"""{"metric":"bench_detail","queries":{${details.mkString(",")}},"env":$env}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","env":$env}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"env_suspect":$anySuspect,"suspect_queries":$suspects,"sf":"$sfDir","env":$env}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"env_suspect":$anySuspect}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -51,6 +51,27 @@ object ExtensionOracles {
         s" THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
+  /** Pinned trained IVF coarse-quantizer centers ([[IvfPins]], regenerate
+    * with `runMain graft.IvfCenterPin`) as a DuckDB VALUES relation.
+    * Elements are printed with an E0 suffix so DuckDB lexes them as DOUBLE
+    * directly: a plain decimal literal becomes DECIMAL(19,18), whose cast to
+    * DOUBLE is not correctly rounded (measured: ~12% of full-mantissa values
+    * off by 1 ulp), while E-notation parses via strtod — bit-identical with
+    * the JVM's shortest-round-trip Double.toString. (The MrfftPins literals
+    * never hit this because FFT centers are data points, float32-aligned
+    * with zero low mantissa bits; k-means centroids are full-mantissa
+    * means.) */
+  private def ivfCentCte: String = {
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val rows = IvfPins.embeddingsK16I2.map { case (cid, cv) =>
+      s"(CAST($cid AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
+    }.mkString(", ")
+    s"cent AS (SELECT cid, cv FROM (VALUES $rows) t(cid, cv))"
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) / " +
       s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
@@ -355,7 +376,7 @@ object ExtensionOracles {
          |SELECT qid, nid, rank, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH $EMB,
-         |cent AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id % 100 = 0),
+         |$ivfCentCte,
          |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
          |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
          |cells AS (SELECT vec_id AS nid, emb AS nv, cid FROM rk WHERE crank = 1),
@@ -374,7 +395,7 @@ object ExtensionOracles {
          |SELECT a, b, cos FROM s WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
     "q_neardup_blocked" ->
       s"""WITH $EMB,
-         |cent AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id % 100 = 0),
+         |$ivfCentCte,
          |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
          |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
          |cells AS (SELECT vec_id, emb, cid FROM rk WHERE crank = 1),
@@ -408,25 +429,31 @@ object ExtensionOracles {
     // per-doc frame ranges via scalar range()+unnest — i*64 < n ⟺
     // i < ceil(n/64) for integer i, so no fixed series bound) ----
     "q_frames" ->
-      s"""WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM $DOCS),
+      s"""WITH m AS (SELECT doc_id,
+         |                  CAST((CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 15 END)
+         |                       + octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+         |             FROM $DOCS),
          |f AS (SELECT doc_id, n,
          |             unnest(range(0, CAST(CEIL(n / CAST(64 AS DOUBLE)) AS BIGINT))) AS i
          |        FROM m)
          |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
          |       CAST(LEAST(32, n - i*64) AS BIGINT) AS frame_len
          |  FROM f ORDER BY media_id, frame_no""".stripMargin,
-    // ---- multimodal (stub decode arithmetic mirrored on the UTF-8 BYTE
-    // length — octet_length(encode(text)) — matching the Spark side's
-    // encode(text,'UTF-8') payload even for non-ASCII documents) ----
+    // ---- multimodal: the engine writes REAL PNG/JPEG headers (33/15
+    // bytes) around the UTF-8 payload and parses them back; the oracle
+    // replays the dimension arithmetic the writer embeds and the fixed
+    // header sizes the parser sees, so a bug in either the header writer or
+    // the parser breaks this hash ----
     "q_media_meta" ->
-      s"""WITH m AS (SELECT doc_id, source,
-         |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+      s"""WITH m AS (SELECT doc_id,
+         |                  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
          |             FROM $DOCS)
-         |SELECT doc_id AS media_id, source AS kind,
-         |       n AS n_bytes,
+         |SELECT doc_id AS media_id,
+         |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+         |       CAST((CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 15 END) + n AS BIGINT) AS n_bytes,
          |       CAST(64 + (n % 576) AS BIGINT) AS width,
          |       CAST(48 + ((n * 7) % 432) AS BIGINT) AS height,
-         |       CAST(1 + (n % 16) AS BIGINT) AS n_frames
+         |       CAST(1 AS BIGINT) AS n_frames
          |  FROM m ORDER BY media_id""".stripMargin,
     "q_minhash_est" ->
       s"""WITH $minhashCtes,
@@ -532,7 +559,8 @@ object ExtensionOracles {
     // overlapping token-window chunking: integer chunk count, 1-based
     // inclusive list slice (DuckDB clamps past-end like Spark's slice)
     "q_chunks" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS
+         |            WHERE text IS NOT NULL),
          |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
          |c AS (SELECT doc_id, toks,
          |             unnest(range(0, (GREATEST(n_toks - 10, 1) + 29) // 30)) AS chunk_no

@@ -34,7 +34,8 @@ object Profile {
       val cold = once()
       // min-of-N warm reps (default 1): the container's disk/CPU contention
       // swings single readings 2-10x; the min is the steady-state estimate
-      val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "1").toInt)
+      val reps = math.max(1, scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "1").toInt).getOrElse(1))
       val warm = (1 to reps).map(_ => once()).min
       println(f"PROF $n%-24s cold=$cold%7.2f warm=$warm%7.2f")
       if (explain) fn(spark, sfDir).explain("formatted")

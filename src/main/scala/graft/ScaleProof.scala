@@ -109,6 +109,19 @@ object ScaleProof {
     results += "neardup_blocked_route" -> tNdB
     checks += "neardup_blocked_recall_le_exact" -> (blockedPairs <= exactPairs)
 
+    // trained fixed-k coarse quantizer at 10x vectors: the cell count must
+    // stay <= k (the old vec_id%100 quantizer grew as n/100 — the r5
+    // verdict's one quadratic-in-n shape); assignment is n·k literal-center
+    // cosine folds, zero exchanges
+    val (ivfCells, tIvf) = timed {
+      val centers = KMeans.trainCenters(emb,
+        Similarity.IvfCentroids, Similarity.IvfTrainIters)
+      Similarity.assignCells(emb.select(col("vec_id"), col("emb")), centers)
+        .select("cid").distinct().count()
+    }
+    results += "ivf_assign_10x" -> tIvf
+    checks += "ivf_cells_fixed_k" -> (ivfCells <= Similarity.IvfCentroids)
+
     // k-means at 10x vectors: the literal-center plan must hold (the
     // replicated copies share the originals' geometry, so every replica of a
     // vector lands in the same cluster — sizes must be exactly 10x the

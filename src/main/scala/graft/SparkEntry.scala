@@ -8,7 +8,7 @@ import graft.operators.{AsOfJoin, Clustering, Curation, Dedup, ExactOutliers,
   GridOutliers, IntervalJoin, KMeans, Layout, Multimodal, Relational,
   Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Sources
-import graft.streaming.{FrequentItems, ReservoirAgg}
+import graft.streaming.{FrequentItems, FrequentItemsStream, ReservoirAgg}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
   *
@@ -89,6 +89,28 @@ object SparkEntry {
       FrequentItems.compareReport(Sources.streamItems(s, dir), SP.n, SP.phi, SP.eps)),
     "q_sticky_det" -> ((s, dir) =>
       FrequentItems.stickyDeterministic(Sources.streamItems(s, dir), SP)),
+    // §2.10 promoted into the hash gate: a deterministic FILE-REPLAY run of
+    // the Structured Streaming pipeline (readStream → foreachBatch fold →
+    // stop-at-n), whose final exact-counts state must hash-match the BATCH
+    // twin's oracle (q_freq_exact's SQL). The replay holds exactly the first
+    // n items, so the guard-before-add overshoot window is empty and the
+    // folded multiset equals the batch prefix regardless of how the file
+    // source carves micro-batches.
+    "q_freq_stream" -> ((s, dir) => {
+      import s.implicits._
+      val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_freq_stream_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      Sources.streamItems(s, dir).orderBy("seq").limit(SP.n.toInt)
+        .select(col("seq").cast("long"), col("item").cast("long"))
+        .repartition(4).write.mode("overwrite").parquet(replay)
+      val stream = s.readStream.schema("seq BIGINT, item BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(replay)
+      val (state, query) = FrequentItemsStream.run(stream, SP, seed = 42L,
+        queryName = "q_freq_stream")
+      query.awaitTermination(120000)
+      if (query.isActive) query.stop()
+      state.trueFrequent.toDF("item", "cnt").orderBy("item")
+    }),
     // Seeded randomized samplers: rows-only driver check + property specs.
     "q_reservoir" -> ((s, dir) =>
       FrequentItems.reservoirEstimate(Sources.streamItems(s, dir), SP, seed = 42L)),
@@ -285,6 +307,15 @@ object SparkEntry {
        |           WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $D*$D
        |           GROUP BY a.id)""".stripMargin
 
+  /** Exact-frequent oracle, shared by the batch query (q_freq_exact) and
+    * its streaming file-replay twin (q_freq_stream). */
+  private val freqExactSql =
+    s"""WITH s AS ($S),
+       |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY item)
+       |SELECT item, cnt FROM g
+       | WHERE cnt >= CAST(${SP.phi} AS DOUBLE) * CAST(${SP.n} AS DOUBLE)
+       | ORDER BY item""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -376,12 +407,9 @@ object SparkEntry {
          |SELECT id, x, y, ${graft.operators.Layout.zvalueSql("qi", "qj")} AS zval
          |  FROM q ORDER BY id""".stripMargin
     },
-    "q_freq_exact" ->
-      s"""WITH s AS ($S),
-         |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY item)
-         |SELECT item, cnt FROM g
-         | WHERE cnt >= CAST(${SP.phi} AS DOUBLE) * CAST(${SP.n} AS DOUBLE)
-         | ORDER BY item""".stripMargin,
+    "q_freq_exact" -> freqExactSql,
+    // the streaming file-replay twin converges to the BATCH answer: same SQL
+    "q_freq_stream" -> freqExactSql,
     "q_freq_compare" ->
       s"""WITH s AS ($S),
          |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY item),

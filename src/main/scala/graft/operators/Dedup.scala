@@ -250,11 +250,12 @@ object Dedup {
     *
     * Scale shape: one edges⨝ranks equi-join + one hash aggregation per
     * round over the |edges| list (never a transitive structure); the
-    * symmetric graph has no dangling nodes by construction. The loop builds
-    * `iters` joins into ONE lazy plan — fine for the handful of rounds
-    * centrality triage needs; a long-horizon run inserts a localCheckpoint
-    * every ~10 rounds to truncate lineage, exactly like
-    * [[connectedComponents]]'s distributed branch. */
+    * symmetric graph has no dangling nodes by construction. Lineage is
+    * truncated with a localCheckpoint every 10 rounds — without it a
+    * long-horizon run (50+ rounds) pays quadratic Catalyst analysis cost on
+    * one ever-deeper lazy plan, exactly the failure mode
+    * [[connectedComponents]]'s distributed branch guards against
+    * (Round6Spec proves iters=25 stays linear and hash-stable). */
   def pageRank(docs: DataFrame, iters: Int = 5, maxHamming: Int = 2): DataFrame = {
     val e0 = simhashPairs(docs, maxHamming).select("a", "b").localCheckpoint()
     val edges = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
@@ -265,11 +266,14 @@ object Dedup {
     val base = (1L << 40) / math.max(n, 1L)
     val edgesD = edges.join(deg, "a").localCheckpoint()
     var ranks = deg.select(col("a").as("v"), lit(base).as("r"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       ranks = edgesD.join(ranks.withColumnRenamed("v", "a"), "a")
         .select(col("b").as("v"), expr("r div deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("s"))
         .select(col("v"), expr(s"(15 * ${base}L + 85 * s) div 100").as("r"))
+      // checkpointing is plan surgery only — the |V|-row rank vector is
+      // materialized as-is, so the hash-gated result is unchanged
+      if (round % 10 == 0 && round < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("v").as("doc_id"), col("r").as("rank")).orderBy("doc_id")
   }

@@ -77,12 +77,15 @@ object KMeans {
     }.toSeq.sortBy(_._1)
   }
 
-  /** `iters` Lloyd rounds (assignment counted as a round: iters=1 is the
-    * pure init-center assignment, iters=2 adds one centroid update) over a
-    * (vec_id, emb) table; init centers are the k lowest vec_ids. Output
-    * (cid, n, qcost) — cluster sizes and the int64-quantized within-cluster
-    * cost, both order-independent. */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The trained center set after `iters` Lloyd rounds (same round counting
+    * as [[kmeans]]: iters=1 returns the init centers — the k lowest vec_ids —
+    * and each further round applies one exact quantized-integer centroid
+    * update). Deterministic end to end, so downstream consumers
+    * ([[Similarity.annIvf]]'s coarse quantizer) can pin the result as oracle
+    * literals the way `MrfftPins` does. Driver cost is k·d doubles per round
+    * — constant in corpus size. */
+  def trainCenters(emb: DataFrame, k: Int = 8,
+                   iters: Int = 2): Seq[(Long, Array[Double])] = {
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("emb"))
     var centers: Seq[(Long, Array[Double])] =
       vecs.filter(col("vec_id") < k).collect()
@@ -93,6 +96,17 @@ object KMeans {
       centers = updateCenters(assign(vecs, centers))
       round += 1
     }
+    centers
+  }
+
+  /** `iters` Lloyd rounds (assignment counted as a round: iters=1 is the
+    * pure init-center assignment, iters=2 adds one centroid update) over a
+    * (vec_id, emb) table; init centers are the k lowest vec_ids. Output
+    * (cid, n, qcost) — cluster sizes and the int64-quantized within-cluster
+    * cost, both order-independent. */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("emb"))
+    val centers = trainCenters(emb, k, iters)
     assign(vecs, centers)
       .groupBy("cid")
       .agg(count(lit(1)).as("n"),

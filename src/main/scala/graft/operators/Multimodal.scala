@@ -6,13 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (north-star extension, SURVEY.md §7.1 M7).
   *
   * Media (image/audio/video) travels as an opaque `binary` column with typed
-  * metadata beside it. The Spark-side machinery — schema, partition-preserving
-  * typed `mapPartitions` decode, batch shape, frame sampling — is real and
-  * tested; the codec itself is a STUB (this container ships no image/audio
-  * libraries): [[Multimodal.decodeStub]] derives deterministic fake
-  * dimensions from the byte payload. A production deployment replaces that
-  * one function with a real decoder (libjpeg/ffmpeg via JNI or an external
-  * process pool); everything around it is unchanged.
+  * metadata beside it. Both sides of the boundary are REAL public formats:
+  * the fixture synthesizes minimal-but-valid PNG containers (8-byte
+  * signature + IHDR chunk with a true CRC-32) and JPEG/JFIF streams (SOI +
+  * SOF0 segment), and [[decodeHeader]] parses them back the way any codec
+  * does — big-endian IHDR field reads for PNG, a marker-segment scan to
+  * SOF0 for JPEG. A production deployment swaps the payload decode
+  * (pixels/samples) for libjpeg/ffmpeg via JNI or an external process pool;
+  * the header parse, schema, partition-preserving `mapPartitions` batch
+  * shape, and frame sampling are exactly what it would keep.
+  *
+  * Layout written/parsed here (public specs: PNG RFC 2083 §3; JPEG ITU-T
+  * T.81 §B.2.2):
+  *  - PNG: sig(8) | IHDR len=13(4) | "IHDR"(4) | width(4) height(4)
+  *    depth=8(1) color=0(1) comp=0(1) filter=0(1) interlace=0(1) | CRC(4)
+  *    | raw payload — 33 header bytes.
+  *  - JPEG: FFD8 | FFC0 len=11(2) | precision=8(1) height(2) width(2)
+  *    ncomp=1(1) comp id/sampling/qtable(3) | raw payload — 15 header bytes.
   */
 object Multimodal {
 
@@ -21,32 +31,113 @@ object Multimodal {
                              width: Long, height: Long, n_frames: Long)
   final case class Frame(media_id: Long, frame_no: Long, frame: Array[Byte])
 
-  /** Build a media table from documents: payload = UTF-8 text bytes (the
-    * deterministic stand-in for image bytes), kind = source. */
+  /** PNG header length (signature + IHDR chunk). */
+  val PngHeaderBytes = 33
+  /** JPEG header length (SOI + single-component SOF0 segment). */
+  val JpegHeaderBytes = 15
+
+  /** Minimal valid PNG prefix: signature + IHDR (true CRC-32 over
+    * type+data), payload appended raw. */
+  private[graft] def pngBytes(width: Int, height: Int,
+                              payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](PngHeaderBytes + payload.length)
+    val bb = java.nio.ByteBuffer.wrap(out) // big-endian by default
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(width).putInt(height)
+    bb.put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 12, 17) // chunk type + 13 data bytes
+    bb.putInt(crc.getValue.toInt)
+    System.arraycopy(payload, 0, out, PngHeaderBytes, payload.length)
+    out
+  }
+
+  /** Minimal valid JPEG prefix: SOI + baseline SOF0 (8-bit, 1 component),
+    * payload appended raw. */
+  private[graft] def jpegBytes(width: Int, height: Int,
+                               payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](JpegHeaderBytes + payload.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+    bb.put(0xFF.toByte).put(0xD8.toByte)          // SOI
+    bb.put(0xFF.toByte).put(0xC0.toByte)          // SOF0 marker
+    bb.putShort(11.toShort)                       // segment length
+    bb.put(8.toByte)                              // sample precision
+    bb.putShort(height.toShort).putShort(width.toShort)
+    bb.put(1.toByte)                              // component count
+    bb.put(1.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1 sampling, qtable
+    System.arraycopy(payload, 0, out, JpegHeaderBytes, payload.length)
+    out
+  }
+
+  /** Real header parse: sniff the container from its magic bytes, then read
+    * (kind, width, height) the way a codec does. PNG: verify the 8-byte
+    * signature and the IHDR chunk type, read width/height big-endian at
+    * fixed offsets, and check the IHDR CRC-32 — a corrupted header fails
+    * loudly instead of yielding garbage dimensions. JPEG: verify SOI, then
+    * walk marker segments (any order, per T.81) to the first SOF0-SOF3
+    * frame header and read height/width from its fixed field layout. */
+  private[graft] def decodeHeader(m: Array[Byte]): (String, Long, Long) = {
+    def u8(i: Int): Int = m(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def i32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    val pngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (m.length >= PngHeaderBytes && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      require(i32(8) == 13L && new String(m, 12, 4, "US-ASCII") == "IHDR",
+        s"PNG: first chunk must be IHDR(13), got len=${i32(8)}")
+      val crc = new java.util.zip.CRC32
+      crc.update(m, 12, 17)
+      require(i32(29) == crc.getValue, "PNG: IHDR CRC mismatch")
+      ("png", i32(16), i32(20))
+    } else if (m.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var off = 2
+      while (off + 4 <= m.length && u8(off) == 0xFF) {
+        val marker = u8(off + 1)
+        val len = u16(off + 2)
+        if (marker >= 0xC0 && marker <= 0xC3) { // SOF0-SOF3 frame header
+          require(off + 9 <= m.length, "JPEG: truncated SOF segment")
+          return ("jpeg", u16(off + 7).toLong, u16(off + 5).toLong)
+        }
+        off += 2 + len
+      }
+      throw new IllegalArgumentException("JPEG: no SOF marker before payload")
+    } else throw new IllegalArgumentException(
+      s"unknown container (${m.length} bytes; first=${if (m.nonEmpty) u8(0) else -1})")
+  }
+
+  /** Build a media table from documents: deterministic fixture where even
+    * doc_ids become PNG and odd become JPEG containers, dimensions derived
+    * from the UTF-8 payload length (width 64+n%576, height 48+7n%432 — the
+    * arithmetic the oracle replays), payload = the text bytes. The header
+    * written here is the header [[decodeHeader]] must parse back — a bug in
+    * either the writer or the parser breaks the q_media_meta hash gate. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"), col("source").as("kind"),
-        encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
-  }
-
-  /** STUB decoder — deterministic fake header parse (see class doc). The
-    * arithmetic is mirrored in the DuckDB oracle via length(text). */
-  def decodeStub(r: MediaRow): MediaMeta = {
-    val n = r.media.length.toLong
-    MediaMeta(r.media_id, r.kind, n,
-      width = 64L + n % 576L,
-      height = 48L + (n * 7L) % 432L,
-      n_frames = 1L + n % 16L)
+    docs.select(col("doc_id").as("media_id"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val n = payload.length.toLong
+        val w = (64L + n % 576L).toInt
+        val h = (48L + (n * 7L) % 432L).toInt
+        if (id % 2 == 0) MediaRow(id, "png", pngBytes(w, h, payload))
+        else MediaRow(id, "jpeg", jpegBytes(w, h, payload))
+      })
   }
 
   /** Partition-preserving typed decode: the shape a real codec needs (batch
-    * iteration per partition, no per-row task overhead, no shuffle). */
+    * iteration per partition, no per-row task overhead, no shuffle). The
+    * kind is SNIFFED from the bytes, not copied from the input column, and
+    * both containers are stills — n_frames is honestly 1. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map { r =>
+      val (kind, w, h) = decodeHeader(r.media)
+      MediaMeta(r.media_id, kind, r.media.length.toLong, w, h, 1L)
+    })
   }
 
   /** Frame sampling: every `stride`-th byte window of the payload becomes a

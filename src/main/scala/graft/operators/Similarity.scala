@@ -133,27 +133,62 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** IVF-style ANN: coarse centroids are the vectors with vec_id % 100 == 0
-    * (deterministic stand-in for trained k-means centroids); every vector is
-    * assigned to its nearest centroid (cell); a query probes its `nprobe`
-    * nearest cells and ranks only their members. Output (qid, nid, rank). */
+  /** Coarse-quantizer defaults shared by [[annIvf]] and
+    * [[neardupCosineBlocked]]: a FIXED-k codebook trained with
+    * [[KMeans.trainCenters]] (init + one exact Lloyd update). k constant in
+    * corpus size is the property that keeps both operators linear at 100 TB —
+    * assignment is n·k cosine folds against literal centers and the "centroid
+    * table" never exists as data at all (it is k·d literals in the plan). */
+  private[graft] val IvfCentroids = 16
+  private[graft] val IvfTrainIters = 2
+
+  /** Cosine against a LITERAL center vector — the same
+    * [[graft.functions.DotProduct]] fold as [[cosine]], so the pinned-center
+    * oracle replays it bit-identically from the same decimal literals. */
+  private def cosineLit(vecCol: Column, c: Array[Double]): Column =
+    cosine(vecCol, array(c.map(lit(_)): _*))
+
+  /** Per-center (−cos, cid) structs: lexicographic MIN is argmax-cosine with
+    * ties toward the lowest cid — the same order as the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY ccos DESC, cid)`. */
+  private def centerStructs(vecCol: Column,
+                            centers: Seq[(Long, Array[Double])]): Column =
+    array(centers.map { case (cid, cv) =>
+      struct((-cosineLit(vecCol, cv)).as("nc"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Nearest-cell assignment against literal trained centers: one narrow
+    * codegen'd projection — zero exchanges, no window — emitting
+    * (vec_id, emb, cid). This is the shape that holds at any corpus size:
+    * the old data-derived quantizer (vec_id % 100) made the centroid count
+    * grow as n/100 and the assignment quadratic. */
+  private[graft] def assignCells(vecs: DataFrame,
+                                 centers: Seq[(Long, Array[Double])]): DataFrame =
+    vecs.select(col("vec_id"), col("emb"),
+      array_min(centerStructs(col("emb"), centers)).getField("cid").as("cid"))
+
+  /** IVF-style ANN with a trained fixed-k coarse quantizer
+    * ([[KMeans.trainCenters]], k=[[IvfCentroids]]): every vector is assigned
+    * to its nearest centroid cell in one literal-center projection; a query
+    * probes its `nprobe` nearest cells (array_sort over the same k structs,
+    * sliced) and ranks only their members. The DuckDB oracle pins the sf0.01
+    * trained centers as literals ([[graft.IvfPins]], the `MrfftPins`
+    * pattern), so the hash gate verifies training + assignment + probe end
+    * to end. Output (qid, nid, rank). */
   def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val centroids = broadcast(emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cid"), col("emb").as("cv")))
-    val byCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    val assign = emb.select(col("vec_id"), col("emb"))
-      .crossJoin(centroids)
-      .select(col("vec_id"), col("emb"), col("cid"), cosine(col("emb"), col("cv")).as("ccos"))
-      .withColumn("crank", row_number().over(byCell))
-    val cells = assign.filter(col("crank") === 1)
+    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
+    val cells = assignCells(emb.select(col("vec_id"), col("emb")), centers)
       .select(col("vec_id").as("nid"), col("emb").as("nv"), col("cid"))
-    val probes = assign.filter(col("vec_id") < nQueries && col("crank") <= nprobe)
-      .select(col("vec_id").as("qid"), col("emb").as("qv"), col("cid"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"),
+        explode(slice(array_sort(centerStructs(col("emb"), centers)), 1, nprobe))
+          .as("m"))
+      .select(col("qid"), col("qv"), col("m.cid").as("cid"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     cells.join(broadcast(probes), "cid")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
-      .groupBy("qid", "nid").agg(max(col("cos")).as("cos")) // a nid may sit in 2 probed cells
+      .groupBy("qid", "nid").agg(max(col("cos")).as("cos")) // mirror the oracle's GROUP BY
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank")
@@ -217,24 +252,18 @@ object Similarity {
 
   /** Blocked near-duplicate pairs — the 100 TB scale path for
     * [[neardupCosine]]: vectors are first assigned to their nearest coarse
-    * cell (the [[annIvf]] quantizer — deterministic centroids vec_id%100==0),
-    * and only pairs sharing a cell are scored. The pair space shrinks from
-    * n² to Σ|cell|², each cell's block fits one task, and the equi-join on
-    * cell id shuffles instead of broadcasting the corpus. Trade: pairs
-    * straddling a cell boundary are missed (recall < 1, the standard
-    * LSH/IVF-blocking trade); the DuckDB oracle mirrors the same blocking so
-    * the output is still hash-verified. */
+    * cell (the [[annIvf]] quantizer — fixed-k centers trained with
+    * [[KMeans.trainCenters]]), and only pairs sharing a cell are scored. The
+    * pair space shrinks from n² to Σ|cell|², each cell's block fits one
+    * task, and the equi-join on cell id shuffles instead of broadcasting the
+    * corpus; because k is constant, assignment stays n·k at any corpus size.
+    * Trade: pairs straddling a cell boundary are missed (recall < 1, the
+    * standard LSH/IVF-blocking trade); the DuckDB oracle replays the same
+    * blocking from the pinned sf0.01 centers ([[graft.IvfPins]]) so the
+    * output is still hash-verified. */
   def neardupCosineBlocked(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val centroids = broadcast(emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cid"), col("emb").as("cv")))
-    val byCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    val cells = emb.select(col("vec_id"), col("emb"))
-      .crossJoin(centroids)
-      .select(col("vec_id"), col("emb"), col("cid"),
-        cosine(col("emb"), col("cv")).as("ccos"))
-      .withColumn("crank", row_number().over(byCell))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("emb"), col("cid"))
+    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
+    val cells = assignCells(emb.select(col("vec_id"), col("emb")), centers)
     cells.as("x").join(cells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

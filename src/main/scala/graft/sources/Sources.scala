@@ -103,6 +103,14 @@ object Sources {
   def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val src = documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source", "n_chars")
+    // Enforce the format limit as a loud precondition instead of a silent
+    // ''→NULL rewrite on read-back: a corpus that violates it fails here
+    // with the format explanation, not downstream as a phantom hash mismatch.
+    val nEmpty = src.filter(col("text") === "").count()
+    require(nEmpty == 0,
+      s"csvRoundTrip precondition violated: $nEmpty empty-string text rows — " +
+        "CSV cannot distinguish '' from NULL on read-back; use the " +
+        "parquet/ORC/JSON sinks for this corpus")
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_sink_csv_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
     src.write.mode("overwrite").option("header", "true").csv(out)

@@ -110,15 +110,22 @@ class ExtensionsSpec extends AnyFunSuite with SharedSpark {
     assert(both == 0, "SQL and Column z-keys must agree on every row")
   }
 
-  test("multimodal: stub decode metadata and frame sampling shapes") {
+  test("multimodal: real header decode metadata and frame sampling shapes") {
     val media = Multimodal.fromDocuments(docs)
     val meta = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
-    assert(meta(1L).n_bytes == base.length.toLong)
+    // doc 1 is odd → JPEG container (15-byte header), doc 2 even → PNG (33)
+    assert(meta(1L).kind == "jpeg" && meta(2L).kind == "png")
+    assert(meta(1L).n_bytes == Multimodal.JpegHeaderBytes + base.length.toLong)
+    assert(meta(2L).n_bytes == Multimodal.PngHeaderBytes + nearDup.length.toLong)
+    // dimensions survive the write→parse round trip of the real header
     assert(meta(1L).width == 64L + base.length % 576)
+    assert(meta(1L).height == 48L + (base.length * 7L) % 432)
     val frames = Multimodal.sampleFrames(media, stride = 20, frameBytes = 8).collect()
     val f1 = frames.filter(_.media_id == 1L)
-    assert(f1.length == (base.length + 19) / 20)
+    val m1len = Multimodal.JpegHeaderBytes + base.length
+    assert(f1.length == (m1len + 19) / 20)
     assert(f1.forall(_.frame.length <= 8))
-    assert(new String(f1.head.frame, "UTF-8") == base.take(8))
+    // the first sampled window is the container header, not the payload
+    assert((f1.head.frame(0) & 0xFF) == 0xFF && (f1.head.frame(1) & 0xFF) == 0xD8)
   }
 }

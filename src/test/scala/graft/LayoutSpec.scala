@@ -31,9 +31,18 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     spark.sparkContext.addSparkListener(l)
     try {
       val rows = body
-      // listener events drain asynchronously; a short settle keeps the
-      // byte totals complete without reaching into private SparkContext API
-      Thread.sleep(300)
+      // listener events drain asynchronously; under host contention a fixed
+      // settle can undercount, so poll until the total is stable across two
+      // consecutive checks (bounded at 10 s)
+      var prev = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 10000) {
+        Thread.sleep(200)
+        waited += 200
+        val cur = in.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
       (rows, in.get)
     } finally spark.sparkContext.removeSparkListener(l)
   }
