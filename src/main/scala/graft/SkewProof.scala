@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExactOutliers
+
+/** Straggler evidence for the exact-outlier kernel under deliberate cell
+  * skew (r5 verdict #8): the kernel serializes each cell's pair loop in one
+  * task (geometry bounds the work but AQE cannot rebalance it), while the
+  * join form ([[ExactOutliers.ballCountsJoin]]) materializes candidate
+  * pairs as rows that AQE's skew-join CAN split.
+  *
+  * Fixture: the organic sf0.1 point table (60k points, ~26k occupied
+  * cells) plus `SPARK_GRAFT_HOT` points (default 100k) packed into ONE
+  * D-cell — a hot cell whose ~1e10 intra-cell pair evaluations dominate
+  * the total. Both forms run with AQE on; per-task wall times are
+  * listener-collected so the output shows the straggler directly
+  * (task_max vs task_p50). The two forms must agree bit-for-bit on every
+  * ball count — the A/B is only honest if it computes the same answer.
+  *
+  * Output: one JSON line recorded as a BASELINE.md footnote with the
+  * documented crossover threshold.
+  */
+object SkewProof {
+
+  private final class TaskTimes extends SparkListener {
+    val ms = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) ms.add(t.taskInfo.duration): Unit
+  }
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hotN = sys.env.getOrElse("SPARK_GRAFT_HOT", "100000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // knobs for the A/B: AQE's skew detection is INPUT-bytes-based, and a
+      // hot cell's 4 MB of rows sits far below the 256 MB default even when
+      // its join OUTPUT is 1e10 rows — lower these to force a split and
+      // measure whether the join form can win at all
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "256m"))
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_FACTOR", "5.0"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "10m"))
+      .config("spark.local.dir", SparkLocal.localDir)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = SparkEntry.D
+    val m = SparkEntry.M
+
+    // hot cell: hotN points on a deterministic sub-grid inside the single
+    // D-cell at (200, 200)..(200.5, 200.5) — far outside the organic data's
+    // coordinate range, so the hot cell's geometry is pure
+    val side = math.ceil(math.sqrt(hotN.toDouble)).toLong
+    val hot = spark.range(hotN).select(
+      (col("id") + 10000000L).as("id"),
+      (lit(200.0) + (col("id") % side).cast("double") * lit(0.4 / side)).as("x"),
+      (lit(200.0) + (col("id") / side).cast("double") * lit(0.4 / side)).as("y"))
+    val points = graft.sources.Sources.points2d(spark, sfDir)
+      .unionAll(hot).localCheckpoint()
+    val n = points.count()
+
+    def run(form: String): (Map[Long, Long], (Long, Long), Double, Seq[Long]) = {
+      val tt = new TaskTimes
+      spark.sparkContext.addSparkListener(tt)
+      val df = form match {
+        case "kernel" => ExactOutliers.ballCounts(points, d)
+        case _ => ExactOutliers.ballCountsJoin(points, d)
+      }
+      // one pass computes both the outlier map (tiny) and a full-table
+      // checksum (n rows, sum of all ball sizes) so the equality check
+      // covers EVERY count, not just the outlier tail
+      val ((rows, sums), t) = timed {
+        val b = df.localCheckpoint()
+        val out = b.filter(col("ball_size") <= m).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val s = b.agg(count(lit(1)), sum(col("ball_size"))).head()
+        (out, (s.getLong(0), s.getLong(1)))
+      }
+      spark.sparkContext.removeSparkListener(tt)
+      import scala.jdk.CollectionConverters._
+      (rows, sums, t, tt.ms.asScala.toSeq.sorted)
+    }
+
+    val (kRes, kSum, kT, kTasks) = run("kernel")
+    val (jRes, jSum, jT, jTasks) = run("join")
+    val agree = kRes == jRes && kSum == jSum
+
+    def p(ts: Seq[Long], q: Double): Long =
+      if (ts.isEmpty) 0L else ts((q * (ts.size - 1)).toInt)
+    def fmt(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    println(s"""{"metric":"skew_proof","n_points":$n,"hot_cell_points":$hotN,""" +
+      s""""skew_threshold":"${sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "256m")}",""" +
+      s""""advisory":"${sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m")}",""" +
+      s""""n_outliers":${kRes.size},"forms_agree":$agree,""" +
+      s""""kernel_s":${fmt(kT)},"join_s":${fmt(jT)},""" +
+      s""""kernel_task_p50_ms":${p(kTasks, 0.5)},"kernel_task_max_ms":${kTasks.lastOption.getOrElse(0L)},""" +
+      s""""join_task_p50_ms":${p(jTasks, 0.5)},"join_task_max_ms":${jTasks.lastOption.getOrElse(0L)}}""")
+    spark.stop()
+    if (!agree) sys.exit(1)
+  }
+}

@@ -40,8 +40,16 @@ object ExactOutliers {
     * case, and it benched ~4x faster than the equivalent equi-join +
     * 104M-row filter/aggregate plan. AQE can't rebalance a skewed cell here,
     * but a cell's work is bounded by geometry (≤ |cell|·|3x3 occupancy|) and
-    * cells hash-spread across partitions; the join form stays available in
-    * git history if a pathological fixture ever needs skew-join handling.
+    * cells hash-spread across partitions. Measured under DELIBERATE skew
+    * (`graft.SkewProof`, one 100k-point hot cell = 1e10 intra-cell pairs):
+    * kernel 16.5 s / 12 s max task vs [[ballCountsJoin]] 124.6 s / 68 s max
+    * task — AQE skew-join never fires because its detection is INPUT-bytes
+    * based (the hot partition is ~4 MB, far under the 256 MB threshold)
+    * while the blow-up is join OUTPUT; even force-split at a 1 MB threshold
+    * the join form loses 5x (74.6 s / 46 s max task). The join form would
+    * win only when one cell holds input bytes past AQE's splitter AND the
+    * rest of the table is idle-parallel — at which point the right fix is a
+    * smaller D (cell geometry) or salting the kernel's cell key, not rows.
     *
     * The distance predicate keeps the oracle's exact expression shape —
     * `(x-ox)*(x-ox)+(y-oy)*(y-oy) <= d*d`, same IEEE multiply/add order — so
@@ -142,6 +150,35 @@ object ExactOutliers {
       .toDF("id", "cnt")
       .groupBy(col("id"))
       .agg(sum(col("cnt")).as("ball_size"))
+  }
+
+  /** Equi-join form of [[ballCounts]] — the AQE-skew-eligible alternative
+    * the kernel doc references. Candidate pairs exist as ROWS (resident ⨝
+    * probe on the cell key, then the same inclusive dist² filter and a
+    * per-id count), so Spark's AQE skew-join can split a hot cell's pair
+    * volume across tasks, where the kernel serializes that cell in one
+    * task. On organic fixtures the kernel wins ~4x (loop iterations beat
+    * materialized rows); past a single-cell pair share of the total this
+    * form wins — `graft.SkewProof` measures both on a deliberate hot-cell
+    * fixture and BASELINE.md records the crossover. Results are
+    * bit-identical (same expression shapes). */
+  def ballCountsJoin(points: DataFrame, d: Double): DataFrame = {
+    val bucketed = points.select(
+      col("id").cast("long").as("id"),
+      col("x").cast("double").as("x"), col("y").cast("double").as("y"),
+      floor(col("x") / lit(d)).cast("long").as("bi"),
+      floor(col("y") / lit(d)).cast("long").as("bj"))
+    val probes = bucketed
+      .select(col("x").as("px"), col("y").as("py"), col("bi"), col("bj"),
+        explode(typedlit(offsets3x3)).as("o"))
+      .select((col("bi") + col("o._1")).as("pi"),
+        (col("bj") + col("o._2")).as("pj"), col("px"), col("py"))
+    bucketed.join(probes,
+        col("bi") === col("pi") && col("bj") === col("pj"))
+      .filter((col("x") - col("px")) * (col("x") - col("px")) +
+        (col("y") - col("py")) * (col("y") - col("py")) <= lit(d * d))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("ball_size"))
   }
 
   /** Outliers: |B(p,D)| ≤ M (`big_data_computing_1.py:42-44`), first K in
