@@ -72,6 +72,18 @@ object ExtensionOracles {
     s"cent AS (SELECT cid, cv FROM (VALUES $rows) t(cid, cv))"
   }
 
+  /** The trained-IVF blocked near-dup pair chain (cells via pinned centers,
+    * within-cell scored pairs in `s`) — shared by q_neardup_blocked and
+    * q_semdedup so the two gates can never verify divergent blockings. */
+  private def blockedPairCtes: String =
+    s"""$EMB,
+       |$ivfCentCte,
+       |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
+       |cells AS (SELECT vec_id, emb, cid FROM rk WHERE crank = 1),
+       |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
+       |        FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) / " +
       s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
@@ -394,14 +406,53 @@ object ExtensionOracles {
          |        FROM e x JOIN e y ON x.vec_id < y.vec_id)
          |SELECT a, b, cos FROM s WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
     "q_neardup_blocked" ->
-      s"""WITH $EMB,
-         |$ivfCentCte,
-         |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
-         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
-         |cells AS (SELECT vec_id, emb, cid FROM rk WHERE crank = 1),
-         |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
-         |        FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+      s"""WITH $blockedPairCtes
          |SELECT a, b, cos FROM s WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    // SemDedup survivors: drop every vector whose blocked-pair `b` side has
+    // a verified near-dup with a lower id (keep-lowest-id, the exact-dedup
+    // family's rule); same CTE chain as q_neardup_blocked
+    "q_semdedup" ->
+      s"""WITH $blockedPairCtes
+         |SELECT vec_id FROM e
+         | WHERE vec_id NOT IN (SELECT b FROM s WHERE cos >= 0.45)
+         | ORDER BY vec_id""".stripMargin,
+    // int8 quantization: every step is one IEEE op (divide, +0.5, floor,
+    // multiply back, abs) executed identically by both engines; the summed
+    // floors are exact integers, so list_sum's double accumulation equals
+    // the engine's int64 fold below 2^53
+    "q_emb_quant" ->
+      s"""WITH $EMB,
+         |q AS (SELECT vec_id, emb,
+         |             list_max(list_transform(emb, v -> ABS(v))) / 127.0 AS scale
+         |        FROM e)
+         |SELECT vec_id, scale,
+         |       CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(len(list_filter(emb, v -> ABS(FLOOR(v/scale + 0.5)) = 127.0)) AS BIGINT)
+         |        END AS n_sat,
+         |       CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(list_sum(list_transform(emb,
+         |                 v -> FLOOR(ABS(v - FLOOR(v/scale + 0.5)*scale) * 1073741824.0))) AS BIGINT)
+         |        END AS err_q
+         |  FROM q ORDER BY vec_id""".stripMargin,
+    // duplicated token-window spans (width 4, stride 2, full windows only):
+    // window text is the key, df counts DISTINCT docs, per-doc dup fraction
+    // is one IEEE division of exact counts
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS
+         |            WHERE text IS NOT NULL),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+         |        FROM t WHERE len(toks) >= 4),
+         |w AS (SELECT doc_id, array_to_string(toks[(i*2+1):(i*2+4)], ' ') AS win
+         |        FROM (SELECT doc_id, toks,
+         |                     unnest(range(0, (n_toks - 4) // 2 + 1)) AS i
+         |                FROM n)),
+         |d AS (SELECT win, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY win),
+         |j AS (SELECT w.doc_id, d.ndocs FROM w JOIN d ON w.win = d.win)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         |  FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ---- composed training pipeline: dedup keepers + quality + length
     // gates (expression shapes identical to q_quality + q_dedup_keep) ----
     "q_clean_corpus" ->

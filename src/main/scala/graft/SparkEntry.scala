@@ -243,6 +243,13 @@ object SparkEntry {
       Layout.zorderPoints(Sources.points2d(s, dir))),
     "q_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(Sources.documents(s, dir))),
+    // ---- round-6 widening: span dedup, int8 quantization, SemDedup ----
+    "q_dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(Sources.documents(s, dir))),
+    "q_emb_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(Sources.embeddings(s, dir))),
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semdedupSurvivors(Sources.embeddings(s, dir))),
     "q_skew_join" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(Sources.documents(s, dir))
       val build = toks.filter(col("tok").isin("the", "a", "of", "and"))

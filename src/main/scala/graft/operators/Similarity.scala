@@ -272,6 +272,51 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Per-vector symmetric int8 quantization — the storage/interconnect
+    * path a 100 TB embedding corpus actually ships (4x smaller than
+    * float32, 8x smaller than the float64 working form): scale =
+    * max|vᵢ|/127, code = floor(v/scale + 0.5). Output per vector: the
+    * scale, the saturated-code count, and the total absolute
+    * reconstruction error int64-quantized at 2⁻³⁰ (the
+    * [[labelCentroids]] discipline) so the whole thing is hash-exact:
+    * every step (division, +0.5, floor, multiply-back, abs) is a single
+    * IEEE op both engines execute identically, and the per-element floors
+    * are exact integers whose sum is order-free below 2⁵³. Zero vectors
+    * quantize to all-zero codes with zero error (scale 0 guard). One
+    * narrow per-row pass — no shuffle, no state. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("emb"), v => abs(v))) / lit(127.0)
+    val code: Column => Column = v => floor(v / col("scale") + lit(0.5))
+    emb.select(col("vec_id"), col("emb"), scale.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          size(filter(col("emb"), v => abs(code(v)) === 127.0)).cast("long"))
+          .as("n_sat"),
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          aggregate(
+            transform(col("emb"), v =>
+              floor(abs(v - code(v) * col("scale")) * lit(1073741824.0))
+                .cast("long")),
+            lit(0L), (acc, x) => acc + x)).as("err_q"))
+      .orderBy("vec_id")
+  }
+
+  /** SemDedup-style embedding dedup over the trained IVF cells (Abbas et
+    * al. '23: semantic duplicates cluster together, so near-dup removal
+    * inside coarse cells approximates global near-dup removal at a
+    * fraction of the pair cost): a vector is dropped iff some LOWER-id
+    * vector in its cell has cosine ≥ threshold with it — exactly the
+    * `b`-side of [[neardupCosineBlocked]]'s verified pairs, so survivors =
+    * corpus minus an anti-join against a tiny distinct-drop set. Keeps the
+    * deterministic keep-lowest-id rule the exact-dedup family uses. */
+  def semdedupSurvivors(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val drop = neardupCosineBlocked(emb, threshold)
+      .select(col("b").as("vec_id")).distinct()
+    emb.select(col("vec_id"))
+      .join(drop, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Strict left-to-right dot product — the same fold order as the
     * `aggregate(zip_with(...))` column expression and the DuckDB `list_sum`
     * twin, so all three produce bit-identical doubles. */

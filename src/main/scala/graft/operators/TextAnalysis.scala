@@ -102,6 +102,45 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** Duplicated token-window spans across the corpus — the window form of
+    * exact-substring training-data dedup (Lee et al. '22: repeated SPANS
+    * are memorization hot spots even when whole documents differ; cf.
+    * C4's line-level dedup). Every `width`-token window at `stride` tokens
+    * (full windows only — docs shorter than `width` carry none) is keyed by
+    * its text; a window seen in ≥2 DISTINCT docs marks all its occurrences.
+    * Output per doc: (doc_id, n_windows, n_dup, dup_frac) with dup_frac one
+    * IEEE division of exact counts.
+    *
+    * Scale shape: the window incidence is |docs|·(tokens/stride) rows; the
+    * df aggregation holds one row per DISTINCT window (map-side partials do
+    * the heavy lifting) and the mark join is a plain equi-join back on the
+    * window key. At 100 TB the key would be the 64-bit content hash (the
+    * [[Dedup]] h60 family) instead of the window string — same plan, ~10x
+    * lighter exchange; the string key here keeps the oracle exact. */
+  def dupSpans(docs: DataFrame, width: Int = 4, stride: Int = 2): DataFrame = {
+    require(width > 0 && stride > 0, "need positive width and stride")
+    val wins = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= width)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(n_toks - $width) div $stride"))).as("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"),
+          (col("w") * stride + 1).cast("int"), lit(width))).as("win"))
+    val df = wins.groupBy("win")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+    wins.join(df, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level bigram counts — the n-gram LM statistic (conditional-
     * probability tables, contamination screens, boilerplate detection all
     * start here). Adjacent-token pairs come from zipping each doc's token

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, KMeans, Multimodal, Similarity}
+import graft.operators.{Dedup, KMeans, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** Round-6 hardening: the trained fixed-k IVF coarse quantizer (the round-5
@@ -85,6 +85,76 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
     // corruption fails loudly: flip one IHDR bit and the CRC must reject it
     val bad = png1x1.clone(); bad(16) = (bad(16) ^ 1).toByte
     intercept[IllegalArgumentException](Multimodal.decodeHeader(bad))
+  }
+
+  test("dupSpans marks exactly the windows shared across distinct docs") {
+    import spark.implicits._
+    // doc 1 and 2 share the span "a b c d" (padded to different positions);
+    // doc 3 repeats a span internally (must NOT count — df is distinct-doc);
+    // doc 4 is too short to carry any width-4 window
+    val docs = Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "p q a b c d"),
+      (3L, "k l m n k l m n"),
+      (4L, "u v w")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(docs, width = 4, stride = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // doc1 windows: [a b c d][c d x y][x y z w] → 1 dup of 3
+    assert(got(1L) == ((3L, 1L, 1.0 / 3.0)))
+    // doc2 windows: [p q a b][a b c d] → 1 dup of 2
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    // doc3 windows: [k l m n][m n k l][k l m n] — "k l m n" twice but only
+    // in ONE doc → no window is cross-doc duplicated
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(!got.contains(4L), "short docs carry no full window")
+  }
+
+  test("int8 quantization: error bounded by half a step, zero vector safe") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.27, -1.27, 0.5, 0.0)),
+      (1L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.001, -0.002, 0.0005, 0.002))
+    ).toDF("vec_id", "emb")
+    val got = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // vec 0: scale = 1.27/127 = 0.01; codes ±127 at the extremes
+    assert(math.abs(got(0L)._1 - 0.01) < 1e-12)
+    assert(got(0L)._2 == 2L, "both extreme coordinates saturate")
+    // zero vector: scale 0, no saturation, no error
+    assert(got(1L) == ((0.0, 0L, 0L)))
+    // per-element error is <= scale/2, so err_q <= dims * scale/2 * 2^30
+    got.foreach { case (id, (scale, _, errQ)) =>
+      assert(errQ >= 0L &&
+        errQ <= math.ceil(4 * (scale / 2) * 1073741824.0).toLong + 4,
+        s"vec $id err_q=$errQ out of bound for scale=$scale")
+    }
+    // real fixture: every vector quantizes, errors all within bound
+    val fx = Similarity.quantizeInt8(Sources.embeddings(spark, dir)).collect()
+    assert(fx.length == Sources.embeddings(spark, dir).count())
+    fx.foreach { r =>
+      val bound = math.ceil(64 * (r.getDouble(1) / 2) * 1073741824.0).toLong + 64
+      assert(r.getLong(3) <= bound)
+    }
+  }
+
+  test("semdedup survivors partition the corpus against blocked near-dups") {
+    val emb = Sources.embeddings(spark, dir)
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.neardupCosineBlocked(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = Similarity.semdedupSurvivors(emb).collect()
+      .map(_.getLong(0)).toSet
+    val dropped = pairs.map(_._2).toSet
+    assert(survivors == all.diff(dropped),
+      "survivors must be exactly the corpus minus every pair's b side")
+    // the lowest id of every near-dup pair always survives unless it is
+    // itself someone's b
+    pairs.foreach { case (a, _) =>
+      assert(survivors.contains(a) || dropped.contains(a))
+    }
   }
 
   test("pageRank truncates lineage every 10 rounds: iters=25 plans stay shallow") {
