@@ -132,11 +132,12 @@ object Clustering {
     * `reduce(_ + _)` accumulates in the same order as the HOF fold
     * (0.0 + t₀ = t₀ exactly), so radii are bit-identical. */
   def minDistToCenters(vecCol: Column, centers: Seq[Array[Double]]): Column = {
+    // loop-codegen'd Σ(vᵢ−cᵢ)² (same strict left fold as the unrolled
+    // chain it replaced and the oracle's list_sum — see SqDiffSum's
+    // bit-equality contract); keeps k·d-dim center sets inside
+    // whole-stage codegen
     val dists = centers.map { c =>
-      sqrt(c.indices.map { i =>
-        val d = element_at(vecCol, i + 1) - lit(c(i))
-        d * d
-      }.reduce(_ + _))
+      sqrt(graft.functions.SqDiffSum.sqDiffSum(vecCol, array(c.map(lit(_)): _*)))
     }
     if (dists.length == 1) dists.head else least(dists: _*)
   }

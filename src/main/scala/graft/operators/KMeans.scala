@@ -36,14 +36,15 @@ object KMeans {
   private val Q30 = 1073741824.0 // 2^30 — centroid quantization
   private val Q20 = 1048576.0 // 2^20 — cost quantization
 
-  /** Squared distance to a literal center, unrolled per dimension so it
-    * stays inside whole-stage codegen; `reduce(_ + _)` is the same
-    * left-to-right fold as the oracle's `list_sum`. */
+  /** Squared distance to a literal center via the loop-codegen'd
+    * [[graft.functions.SqDiffSum]] kernel — same strict left-to-right fold
+    * as the oracle's `list_sum`, but ONE compact generated loop instead of
+    * a 64-term unrolled chain: with k centers per row the unrolled form
+    * grew the generated method past the JVM 64 KB limit, whole-stage
+    * codegen bailed, and the whole assignment stage ran interpreted
+    * (measured ~19 CPU-seconds per trained-IVF query at sf0.1, r6). */
   private def sqDist(vecCol: Column, c: Array[Double]): Column =
-    c.indices.map { i =>
-      val d = element_at(vecCol, i + 1) - lit(c(i))
-      d * d
-    }.reduce(_ + _)
+    graft.functions.SqDiffSum.sqDiffSum(vecCol, array(c.map(lit(_)): _*))
 
   /** Argmin assignment against literal centers: one narrow codegen'd pass,
     * ties broken toward the lowest cid (struct ordering compares dist
