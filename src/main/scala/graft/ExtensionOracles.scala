@@ -89,6 +89,19 @@ object ExtensionOracles {
       s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
       s"SQRT(list_sum(list_transform($b, v -> v*v)))))"
 
+  /** DF-capped n-gram candidate machinery (rare shingles, per-doc sizes,
+    * pair intersections) — shared by q_ngram_jaccard and
+    * q_ngram_containment, mirroring [[graft.operators.Dedup]]'s
+    * ngramInterSizes. */
+  private def ngramCtes: String =
+    s"""$SH,
+       |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) WHERE df <= 20),
+       |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM rsh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+       |            FROM rsh x JOIN rsh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |           GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
   private val jaccardSelect =
     """SELECT i.a, i.b,
       |       CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) AS jaccard
@@ -360,16 +373,32 @@ object ExtensionOracles {
     "q_orc_roundtrip" ->
       s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
     "q_ngram_jaccard" ->
-      s"""WITH $SH,
-         |rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) WHERE df <= 20),
-         |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
-         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM rsh GROUP BY doc_id),
-         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
-         |            FROM rsh x JOIN rsh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |           GROUP BY x.doc_id, y.doc_id)
+      s"""WITH $ngramCtes
          |$jaccardSelect
          | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.3
          | ORDER BY a, b""".stripMargin,
+    // asymmetric companion: containment = max(inter/|A|, inter/|B|) over the
+    // SAME DF-capped shingle machinery (shared CTEs — the two gates can
+    // never verify divergent candidate sets)
+    "q_ngram_containment" ->
+      s"""WITH $ngramCtes
+         |SELECT i.a, i.b, i.inter,
+         |       GREATEST(CAST(i.inter AS DOUBLE)/CAST(ca.c AS DOUBLE),
+         |                CAST(i.inter AS DOUBLE)/CAST(cb.c AS DOUBLE)) AS containment
+         |  FROM inter i JOIN sz ca ON i.a = ca.doc_id JOIN sz cb ON i.b = cb.doc_id
+         | WHERE GREATEST(CAST(i.inter AS DOUBLE)/CAST(ca.c AS DOUBLE),
+         |                CAST(i.inter AS DOUBLE)/CAST(cb.c AS DOUBLE)) >= 0.5
+         | ORDER BY a, b""".stripMargin,
+    // corpus-derived stopwords: df threshold at half the corpus
+    "q_stopwords" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY tok),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $DOCS)
+         |SELECT tok, df,
+         |       CAST(df AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS df_frac
+         |  FROM g
+         | WHERE CAST(df AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) >= 0.5
+         | ORDER BY tok""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhashCodes
          |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin,

@@ -243,9 +243,14 @@ object SparkEntry {
       Layout.zorderPoints(Sources.points2d(s, dir))),
     "q_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(Sources.documents(s, dir))),
-    // ---- round-6 widening: span dedup, int8 quantization, SemDedup ----
+    // ---- round-6 widening: span dedup, int8 quantization, SemDedup,
+    // containment, corpus stopwords ----
     "q_dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(Sources.documents(s, dir))),
+    "q_ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Sources.documents(s, dir))),
+    "q_stopwords" -> ((s, dir) =>
+      TextAnalysis.stopwords(Sources.documents(s, dir))),
     "q_emb_quant" -> ((s, dir) =>
       Similarity.quantizeInt8(Sources.embeddings(s, dir))),
     "q_semdedup" -> ((s, dir) =>

@@ -355,8 +355,10 @@ object Dedup {
     * whose document frequency ≤ `dfCap` (stop-shingle pruning — bounds every
     * posting list, hence the pair fan-out, at any corpus size); Jaccard is
     * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
-  def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
-                        threshold: Double = 0.3): DataFrame = {
+  /** Shared DF-capped posting-list machinery for [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: candidate (a, b) pairs with their shingle
+    * intersection count and both docs' surviving-set sizes (ca, cb). */
+  private def ngramInterSizes(docs: DataFrame, dfCap: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // Posting-list form: ONE exchange keyed on the shingle hash builds, per
@@ -414,12 +416,36 @@ object Dedup {
     inter
       .join(sizes.as("ca"), col("a") === col("ca.doc_id"))
       .join(sizes.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"), col("inter"),
+        col("ca.c").as("ca"), col("cb.c").as("cb"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
+                        threshold: Double = 0.3): DataFrame =
+    ngramInterSizes(docs, dfCap)
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
-          (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
+          (col("ca") + col("cb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("a", "b")
-  }
+
+  /** DF-capped n-gram CONTAINMENT pairs — the asymmetric companion of
+    * [[ngramJaccardPairs]]: containment = max(inter/|A|, inter/|B|) flags a
+    * document largely CONTAINED in another (quote-expansion, page-in-page
+    * boilerplate, excerpt duplication) that symmetric Jaccard dilutes away
+    * — the Broder resemblance/containment pair. Same posting-list
+    * machinery, same integer-over-integer correctly-rounded divisions, so
+    * fully hash-gated. Output (a, b, inter, containment). */
+  def ngramContainmentPairs(docs: DataFrame, dfCap: Int = 20,
+                            threshold: Double = 0.5): DataFrame =
+    ngramInterSizes(docs, dfCap)
+      .select(col("a"), col("b"), col("inter"),
+        greatest(
+          col("inter").cast("double") / col("ca").cast("double"),
+          col("inter").cast("double") / col("cb").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("a", "b")
 
   /** Exact Jaccard set-similarity join via prefix filtering — the
     * AllPairs/PPJoin candidate generation (Bayardo et al. WWW'07; Xiao et

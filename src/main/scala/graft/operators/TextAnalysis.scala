@@ -296,6 +296,26 @@ object TextAnalysis {
         count(lit(1)).as("cf"))
       .orderBy("tok")
 
+  /** Corpus-derived stopword list — the df-threshold rule every tokenizer/
+    * quality pipeline bootstraps from its own corpus (a token present in
+    * ≥ `minDfFrac` of documents carries no topical signal): document
+    * frequency per token, kept when df/|docs| reaches the threshold. The
+    * fraction is one integer-over-integer correctly-rounded double
+    * division, so the operator is fully hash-gated; |docs| is one driver
+    * scalar (corpus metadata, not point data). One hash aggregation over
+    * the token stream — map-side partials carry the load at any corpus
+    * size. Output (tok, df, df_frac). */
+  def stopwords(docs: DataFrame, minDfFrac: Double = 0.5): DataFrame = {
+    val n = docs.count()
+    tokens(docs)
+      .groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("df_frac", col("df").cast("double") / lit(n.toDouble))
+      .filter(col("df_frac") >= minDfFrac)
+      .select("tok", "df", "df_frac")
+      .orderBy("tok")
+  }
+
   /** Top-k terms per document by a tf·idf-style weight. The weight is
     * tf/df — i.e. tf·idf with the linear idf = 1/df — chosen because the
     * integer-over-integer double division is correctly rounded and therefore

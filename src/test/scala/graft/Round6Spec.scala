@@ -157,6 +157,38 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("containment flags a contained doc that jaccard dilutes away") {
+    import spark.implicits._
+    val contained = "alpha beta gamma delta epsilon zeta eta theta"
+    val container = contained +
+      " plus a long unique tail that keeps on going with many extra words" +
+      " so the symmetric jaccard similarity drops well below one half"
+    val docs = Seq(
+      (1L, contained), (2L, container),
+      (3L, "completely unrelated text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, dfCap = 20, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cont.contains((1L, 2L)), "doc 1's shingles all sit inside doc 2")
+    assert(cont((1L, 2L)) == 1.0)
+    val jac = Dedup.ngramJaccardPairs(docs, dfCap = 20, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "symmetric jaccard must miss the containment pair at the same strength")
+  }
+
+  test("corpus stopwords: df fraction thresholds the vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the dog ran"), (3L, "the bird flew"),
+      (4L, "a rare xylophone")
+    ).toDF("doc_id", "text")
+    val sw = TextAnalysis.stopwords(docs, minDfFrac = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sw.contains("the") && sw("the") == ((3L, 0.75)))
+    assert(!sw.contains("xylophone") && !sw.contains("cat"))
+  }
+
   test("pageRank truncates lineage every 10 rounds: iters=25 plans stay shallow") {
     val docs = Sources.documents(spark, dir)
     def planLines(df: DataFrame): Int =
