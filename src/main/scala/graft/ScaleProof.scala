@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, ExactOutliers, KMeans, Similarity}
+import graft.operators.{Curation, Dedup, ExactOutliers, KMeans, Similarity,
+  TextAnalysis}
 import graft.sources.Sources
 
 /** Scale-proof run of the heavy query family at sf1-equivalent volume
@@ -121,6 +122,28 @@ object ScaleProof {
     }
     results += "ivf_assign_10x" -> tIvf
     checks += "ivf_cells_fixed_k" -> (ivfCells <= Similarity.IvfCentroids)
+
+    // duplicated spans at 10x: every window text recurs in all `reps`
+    // copies of its doc, so EVERY full window must be cross-doc duplicated
+    // — a sharp closed form for the df join at volume
+    val (spanAgg, tSpan) = timed {
+      val r = TextAnalysis.dupSpans(docs)
+        .agg(sum(col("n_windows")), sum(col("n_dup"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    results += "dup_spans_10x" -> tSpan
+    checks += "dup_spans_all_duplicated" ->
+      (spanAgg._1 > 0L && spanAgg._1 == spanAgg._2)
+
+    // int8 quantization at 10x: a per-vector pure function — total error
+    // mass must be EXACTLY reps x the base corpus's
+    val (eBase, _) = timed(
+      Similarity.quantizeInt8(Sources.embeddings(spark, sfDir))
+        .agg(sum("err_q")).head.getLong(0))
+    val (e10, tQuant) = timed(
+      Similarity.quantizeInt8(emb).agg(sum("err_q")).head.getLong(0))
+    results += "emb_quant_10x" -> tQuant
+    checks += "emb_quant_err_scales_exactly" -> (e10 == eBase * reps)
 
     // k-means at 10x vectors: the literal-center plan must hold (the
     // replicated copies share the originals' geometry, so every replica of a
