@@ -73,7 +73,10 @@ object SkewProof {
     val hot = spark.range(hotN).select(
       (col("id") + 10000000L).as("id"),
       (lit(200.0) + (col("id") % side).cast("double") * lit(0.4 / side)).as("x"),
-      (lit(200.0) + (col("id") / side).cast("double") * lit(0.4 / side)).as("y"))
+      // integer `div`, not SQL's fractional `/`: the row index of the
+      // side x side sub-grid (the recorded r6 numbers used a continuous
+      // y-fill variant — same single hot cell, same 1e10 pair count)
+      (lit(200.0) + expr(s"id div ${side}L").cast("double") * lit(0.4 / side)).as("y"))
     val points = graft.sources.Sources.points2d(spark, sfDir)
       .unionAll(hot).localCheckpoint()
     val n = points.count()

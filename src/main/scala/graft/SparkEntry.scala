@@ -107,8 +107,14 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(replay)
       val (state, query) = FrequentItemsStream.run(stream, SP, seed = 42L,
         queryName = "q_freq_stream")
-      query.awaitTermination(120000)
+      val stopped = query.awaitTermination(120000)
       if (query.isActive) query.stop()
+      // loud gate, not a silent partial answer: a timed-out replay or a
+      // short fixture would otherwise surface as a hash mismatch blamed on
+      // the streaming operator (or pass silently under a rows-only check)
+      require(stopped && state.processed == SP.n,
+        s"q_freq_stream replay incomplete: stopped=$stopped, " +
+          s"processed=${state.processed} of ${SP.n}")
       state.trueFrequent.toDF("item", "cnt").orderBy("item")
     }),
     // Seeded randomized samplers: rows-only driver check + property specs.

@@ -351,10 +351,6 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** DF-capped n-gram Jaccard near-dup pairs: inverted index over shingles
-    * whose document frequency ≤ `dfCap` (stop-shingle pruning — bounds every
-    * posting list, hence the pair fan-out, at any corpus size); Jaccard is
-    * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
   /** Shared DF-capped posting-list machinery for [[ngramJaccardPairs]] and
     * [[ngramContainmentPairs]]: candidate (a, b) pairs with their shingle
     * intersection count and both docs' surviving-set sizes (ca, cb). */
@@ -420,6 +416,10 @@ object Dedup {
         col("ca.c").as("ca"), col("cb.c").as("cb"))
   }
 
+  /** DF-capped n-gram Jaccard near-dup pairs: inverted index over shingles
+    * whose document frequency ≤ `dfCap` (stop-shingle pruning — bounds every
+    * posting list, hence the pair fan-out, at any corpus size); Jaccard is
+    * computed over the SAME capped shingle sets. Output (a, b, jaccard). */
   def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 20,
                         threshold: Double = 0.3): DataFrame =
     ngramInterSizes(docs, dfCap)

@@ -87,6 +87,34 @@ object KMeans {
     * — constant in corpus size. */
   def trainCenters(emb: DataFrame, k: Int = 8,
                    iters: Int = 2): Seq[(Long, Array[Double])] = {
+    if (!sharedKernels) return trainCentersImpl(emb, k, iters)
+    // Harness-side codebook sharing (same opt-in property as
+    // Dedup.sharedSignatures): q_ann_ivf, q_neardup_blocked and q_semdedup
+    // each train the identical (table, k, iters) codebook inside one
+    // Verify JVM. Unlike the signature kernel the memoized value is a
+    // driver-side Seq of k·d doubles — no checkpoint blocks, no session
+    // lifetime concern (a same-plan hit from another session would have
+    // trained the identical centers anyway, since training is a pure
+    // deterministic function of the table contents). Bench keeps the
+    // property off so every query trains self-contained.
+    val key = (emb.queryExecution.analyzed.semanticHash(), k, iters)
+    val cached = centerMemo.get(key)
+    if (cached != null) cached
+    else {
+      val fresh = trainCentersImpl(emb, k, iters)
+      centerMemo.put(key, fresh)
+      fresh
+    }
+  }
+
+  private def sharedKernels: Boolean =
+    sys.props.get("graft.sharedKernels").contains("true")
+
+  private val centerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), Seq[(Long, Array[Double])]]
+
+  private def trainCentersImpl(emb: DataFrame, k: Int,
+                               iters: Int): Seq[(Long, Array[Double])] = {
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("emb"))
     var centers: Seq[(Long, Array[Double])] =
       vecs.filter(col("vec_id") < k).collect()

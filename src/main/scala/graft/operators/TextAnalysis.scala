@@ -307,9 +307,9 @@ object TextAnalysis {
     * size. Output (tok, df, df_frac). */
   def stopwords(docs: DataFrame, minDfFrac: Double = 0.5): DataFrame = {
     val n = docs.count()
-    tokens(docs)
-      .groupBy("tok")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // built on [[vocabulary]] (whose doc already names stopword lists as
+    // its consumer) so the df definition lives in exactly one place
+    vocabulary(docs)
       .withColumn("df_frac", col("df").cast("double") / lit(n.toDouble))
       .filter(col("df_frac") >= minDfFrac)
       .select("tok", "df", "df_frac")

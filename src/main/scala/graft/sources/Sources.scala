@@ -105,11 +105,13 @@ object Sources {
       .select("doc_id", "text", "lang", "source", "n_chars")
     // Enforce the format limit as a loud precondition instead of a silent
     // ''→NULL rewrite on read-back: a corpus that violates it fails here
-    // with the format explanation, not downstream as a phantom hash mismatch.
-    val nEmpty = src.filter(col("text") === "").count()
-    require(nEmpty == 0,
-      s"csvRoundTrip precondition violated: $nEmpty empty-string text rows — " +
-        "CSV cannot distinguish '' from NULL on read-back; use the " +
+    // with the format explanation, not downstream as a phantom hash
+    // mismatch. limit(1), not count(): CollectLimit short-circuits on the
+    // first violation and in the clean case scans only the text column —
+    // the cheapest probe that can prove the property.
+    require(src.filter(col("text") === "").limit(1).isEmpty,
+      "csvRoundTrip precondition violated: corpus contains empty-string " +
+        "text — CSV cannot distinguish '' from NULL on read-back; use the " +
         "parquet/ORC/JSON sinks for this corpus")
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_sink_csv_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
