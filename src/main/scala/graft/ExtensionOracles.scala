@@ -72,6 +72,38 @@ object ExtensionOracles {
     s"cent AS (SELECT cid, cv FROM (VALUES $rows) t(cid, cv))"
   }
 
+  /** IVF probe→score→rank chain ending in ranked (qid, nid, rank) rows `r`
+    * — shared by q_ann_ivf and q_ann_recall so the recall gate measures
+    * exactly the index pipeline q_ann_ivf hash-verifies. */
+  private def ivfTopkCtes: String =
+    s"""$EMB,
+       |$ivfCentCte,
+       |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
+       |cells AS (SELECT vec_id AS nid, emb AS nv, cid FROM rk WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, emb AS qv, cid FROM rk WHERE vec_id < 5 AND crank <= 2),
+       |sc AS (SELECT p.qid, c.nid, MAX(${cosSql("p.qv", "c.nv")}) AS cos
+       |         FROM cells c JOIN probes p ON c.cid = p.cid
+       |        WHERE c.nid <> p.qid GROUP BY p.qid, c.nid),
+       |r AS (SELECT qid, nid,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |        FROM sc)""".stripMargin
+
+  /** Brute-force cosine top-k chain (queries `bq`, scored `bs`, ranked
+    * `br`) WITHOUT the leading embeddings CTE, so it can be appended to a
+    * WITH list that already defines `e` — shared by q_ann_topk and
+    * q_ann_recall (the recall gate's ground truth IS the q_ann_topk
+    * answer). */
+  private def bruteTopkCtesNoEmb: String =
+    s"""bq AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 5),
+       |bs AS (SELECT bq.qid, e.vec_id AS nid, ${cosSql("bq.qv", "e.emb")} AS cos
+       |         FROM e, bq WHERE e.vec_id <> bq.qid),
+       |br AS (SELECT qid, nid, cos,
+       |              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |         FROM bs)""".stripMargin
+
+  private def bruteTopkCtes: String = s"$EMB,\n$bruteTopkCtesNoEmb"
+
   /** The trained-IVF blocked near-dup pair chain (cells via pinned centers,
     * within-cell scored pairs in `s`) — shared by q_neardup_blocked and
     * q_semdedup so the two gates can never verify divergent blockings. */
@@ -207,6 +239,19 @@ object ExtensionOracles {
          |$jaccardSelect
          | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5
          | ORDER BY a, b""".stripMargin,
+    // cross-source leakage matrix over the SAME verified pair set as
+    // q_minhash_lsh (shared minhashCtes + jaccard predicate): endpoint
+    // sources, pair normalized LEAST/GREATEST, counted per source pair
+    "q_source_leak" ->
+      s"""WITH $minhashCtes,
+         |vp AS ($jaccardSelect
+         |        WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
+         |src AS (SELECT doc_id, source FROM $DOCS)
+         |SELECT LEAST(x.source, y.source) AS src_a,
+         |       GREATEST(x.source, y.source) AS src_b,
+         |       CAST(COUNT(*) AS BIGINT) AS pairs
+         |  FROM vp JOIN src x ON vp.a = x.doc_id JOIN src y ON vp.b = y.doc_id
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // clusters = connected components over the verified LSH pairs, via a
     // recursive transitive closure (cluster id = min reachable doc_id) —
     // the engine's iterative min-label propagation must land on the same
@@ -407,28 +452,23 @@ object ExtensionOracles {
          |SELECT a, b, hamming FROM e ORDER BY a, b""".stripMargin,
     // ---- similarity search ----
     "q_ann_topk" ->
-      s"""WITH $EMB,
-         |q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 5),
-         |s AS (SELECT q.qid, e.vec_id AS nid, ${cosSql("q.qv", "e.emb")} AS cos
-         |        FROM e, q WHERE e.vec_id <> q.qid),
-         |r AS (SELECT qid, nid, cos,
-         |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
-         |        FROM s)
-         |SELECT qid, nid, rank, cos FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $bruteTopkCtes
+         |SELECT qid, nid, rank, cos FROM br WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_ann_ivf" ->
-      s"""WITH $EMB,
-         |$ivfCentCte,
-         |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
-         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
-         |cells AS (SELECT vec_id AS nid, emb AS nv, cid FROM rk WHERE crank = 1),
-         |probes AS (SELECT vec_id AS qid, emb AS qv, cid FROM rk WHERE vec_id < 5 AND crank <= 2),
-         |sc AS (SELECT p.qid, c.nid, MAX(${cosSql("p.qv", "c.nv")}) AS cos
-         |         FROM cells c JOIN probes p ON c.cid = p.cid
-         |        WHERE c.nid <> p.qid GROUP BY p.qid, c.nid),
-         |r AS (SELECT qid, nid,
-         |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
-         |        FROM sc)
+      s"""WITH $ivfTopkCtes
          |SELECT qid, nid, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // IVF recall@k: |IVF top-10 ∩ brute-force top-10| per query — both
+    // sides are the SAME CTE chains the q_ann_ivf / q_ann_topk gates
+    // verify, so this gate can never measure recall of a divergent index
+    "q_ann_recall" ->
+      s"""WITH $ivfTopkCtes,
+         |$bruteTopkCtesNoEmb,
+         |h AS (SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |        FROM r JOIN br ON r.qid = br.qid AND r.nid = br.nid
+         |       WHERE r.rank <= 10 AND br.rank <= 10 GROUP BY r.qid)
+         |SELECT bq.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |  FROM bq LEFT JOIN h ON bq.qid = h.qid ORDER BY bq.qid""".stripMargin,
     "q_neardup_cos" ->
       s"""WITH $EMB,
          |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos

@@ -23,7 +23,8 @@ object Profile {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_minhash_lsh", "q_exact_outlier_count", "q_hw2_pipeline",
         "q_ngram_jaccard", "q_ann_ivf", "q_simhash_pairs",
-        "q_prefix_jaccard", "q_pagerank", "q_triangles", "q_emb_lsh_pairs")
+        "q_prefix_jaccard", "q_pagerank", "q_triangles", "q_emb_lsh_pairs",
+        "q_semdedup", "q_neardup_blocked", "q_ngram_containment")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       def once(): Double = {
         val t0 = System.nanoTime()

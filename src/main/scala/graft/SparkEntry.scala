@@ -146,9 +146,11 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => Dedup.simhash(Sources.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Sources.documents(s, dir))),
     "q_pair_degrees" -> ((s, dir) => Dedup.pairDegrees(Sources.documents(s, dir))),
+    "q_source_leak" -> ((s, dir) => Dedup.crossSourceLeak(Sources.documents(s, dir))),
     // ---- M7 extensions: similarity search ----
     "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),
+    "q_ann_recall" -> ((s, dir) => Similarity.annRecall(Sources.embeddings(s, dir))),
     "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => KMeans.kmeans(Sources.embeddings(s, dir))),
     // ---- M7 extensions: multimodal plumbing (stub decode) ----

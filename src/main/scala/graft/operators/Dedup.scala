@@ -156,6 +156,30 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame =
     lshPairs(docs, h, rows, threshold).orderBy("a", "b")
 
+  /** Cross-source duplicate-leakage matrix over the verified near-dup pair
+    * graph — the provenance view a corpus audit runs before mixing sources:
+    * a diagonal entry (src, src) counts internal near-dups (template reuse
+    * within one crawl), an off-diagonal entry (src_a, src_b) counts pairs
+    * straddling two sources — i.e. content leaking between crawls, the
+    * signal that two "independent" sources overlap and their mixture
+    * weights double-count. Pair endpoints map to sources via two equi-joins
+    * whose right side is the 2-column (doc_id, source) projection; the pair
+    * is normalized (LEAST, GREATEST) so each unordered source pair lands in
+    * one cell, and the final aggregation is over |pairs| rows into at most
+    * |sources|² cells — nothing here outgrows the already-bounded LSH pair
+    * list at any corpus size. Output (src_a, src_b, pairs). */
+  def crossSourceLeak(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    lshPairs(docs, h, rows, threshold)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Degree of each document in the verified near-dup pair graph — the
     * standard triage view before cluster merge (hub documents = boilerplate
     * templates). One unionAll of the two endpoint columns + one hash

@@ -195,6 +195,31 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF recall@k — the quality measurement an ANN deployment ships next to
+    * the index itself: for each query, the fraction of the brute-force
+    * cosine top-k ([[annBruteForce]], the ground truth) that the IVF probe
+    * ([[annIvf]]) recovered. This is exactly how recall is measured at
+    * 100 TB: ground truth is only ever computed for the SAMPLED query set
+    * (n·|Q| work, |Q| constant), never all-pairs, so the whole evaluation
+    * stays linear in corpus size. The equi-join of the two top-k lists is
+    * |Q|·k rows a side; queries with zero recovered neighbors still emit a
+    * row (left join against the query list). Output (qid, hits, recall)
+    * with recall = hits/k — both engines divide the same small integers, so
+    * the double is bit-identical. */
+  def annRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                nprobe: Int = 2): DataFrame = {
+    val exact = annBruteForce(emb, nQueries, k).select("qid", "nid")
+    val approx = annIvf(emb, nQueries, k, nprobe).select("qid", "nid")
+    val hits = approx.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
     *
     * The pair loop runs as a typed `mapPartitions` kernel against a broadcast

@@ -189,6 +189,54 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
     assert(!sw.contains("xylophone") && !sw.contains("cat"))
   }
 
+  test("annRecall: one row per query, hits consistent with the two top-k lists") {
+    val emb = Sources.embeddings(spark, dir)
+    val nQ = 3; val k = 5
+    val got = Similarity.annRecall(emb, nQueries = nQ, k = k, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == (0L until nQ).toSet, "every query emits exactly one row")
+    // recompute the intersection from the two public operators directly
+    val exact = Similarity.annBruteForce(emb, nQ, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvf(emb, nQ, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (qid, (hits, recall)) =>
+      val want = approx.count { case (q, n) => q == qid && exact((q, n)) }
+      assert(hits == want.toLong, s"qid=$qid hits")
+      assert(recall == hits.toDouble / k, s"qid=$qid recall")
+      assert(hits >= 0L && hits <= k)
+    }
+  }
+
+  test("crossSourceLeak: cells sum to the pair count, sources normalized") {
+    import spark.implicits._
+    // three sources; near-identical texts within s1 and across s1/s3 (the
+    // fixture at sf0.001 has no verified LSH pairs, so build a corpus whose
+    // pair structure is known: 1~2 same-source, 3~4 cross-source)
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, base + "tail one", "s1"),
+      (2L, base + "tail two", "s1"),
+      (3L, base + "other a", "s3"),
+      (4L, base + "other b", "s2"),
+      (5L, "completely different text with nothing shared at all here", "s2")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val leak = Dedup.crossSourceLeak(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(leak.values.sum == pairs.length.toLong,
+      "matrix cells must partition the verified pair set")
+    leak.keys.foreach { case (a, b) =>
+      assert(a <= b, "source pair must be LEAST/GREATEST normalized") }
+    // doc 5 shares nothing: no pair may touch it
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // the known same-source and cross-source pairs land in the right cells
+    if (pairs.contains((1L, 2L))) assert(leak.getOrElse(("s1", "s1"), 0L) >= 1L)
+    if (pairs.contains((3L, 4L))) assert(leak.getOrElse(("s2", "s3"), 0L) >= 1L)
+    assert(pairs.nonEmpty, "fixture must produce at least one verified pair")
+  }
+
   test("pageRank truncates lineage every 10 rounds: iters=25 plans stay shallow") {
     val docs = Sources.documents(spark, dir)
     def planLines(df: DataFrame): Int =
