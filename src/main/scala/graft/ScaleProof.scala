@@ -226,6 +226,24 @@ object ScaleProof {
     checks += "triangles_ge_cliques_plus_crossed" ->
       (tri10 >= cliqueTri * nDocs + reps.toLong * reps * reps * baseTri)
 
+    // cross-source leak matrix at 10x docs: the cells must PARTITION the
+    // verified MinHash-LSH pair set, whose 10x count has the same closed
+    // form as the prefix join — identical-copy families collide in every
+    // band (jaccard 1, never missed) and a base pair missed by banding is
+    // missed by all reps² copies alike (signatures are functions of the
+    // text, which replication preserves). Equality therefore proves BOTH
+    // the pair pipeline at volume AND that the two source equi-joins
+    // neither drop nor duplicate a single pair.
+    val (baseMhPairs, _) = timed(
+      Dedup.minhashLshPairs(Sources.documents(spark, sfDir)).count())
+    val (leakTotal, tLeak) = timed(
+      Dedup.crossSourceLeak(docs)
+        .agg(coalesce(sum("pairs"), lit(0L))).head.getLong(0))
+    results += "source_leak_10x" -> tLeak
+    checks += "source_leak_closed_form" ->
+      (leakTotal ==
+        reps.toLong * (reps - 1) / 2 * nShingled + reps.toLong * reps * baseMhPairs)
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
