@@ -164,6 +164,23 @@ object ExtensionOracles {
        |                      JOIN sh sb ON cand.b = sb.doc_id AND sa.s = sb.s
        |           GROUP BY cand.a, cand.b)""".stripMargin
 
+  /** Recursive transitive-closure chain over the verified LSH pairs,
+    * ending in per-doc labels `lab` (cluster id = min reachable doc_id) —
+    * the ONE copy of the cluster-merge SQL, shared by q_dedup_clusters,
+    * q_dedup_survivors and q_dedup_retention so the three gates can never
+    * verify divergent clusterings. Callers must open WITH RECURSIVE. */
+  private def ccLabCtes: String =
+    s"""$minhashCtes,
+       |prs AS ($jaccardSelect
+       |         WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
+       |edges AS (SELECT a AS u, b AS w FROM prs UNION SELECT b AS u, a AS w FROM prs),
+       |verts AS (SELECT DISTINCT u AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.w = rc.v),
+       |lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // ---- text analysis ----
     "q_token_counts" ->
@@ -257,34 +274,31 @@ object ExtensionOracles {
     // the engine's iterative min-label propagation must land on the same
     // fixpoint
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |pairs AS ($jaccardSelect
-         |           WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
-         |edges AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b AS u, a AS w FROM pairs),
-         |verts AS (SELECT DISTINCT u AS v FROM edges),
-         |reach(v, r) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.w = rc.v)
-         |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ccLabCtes
+         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
     // survivors = all docs minus non-representative cluster members
     // (representative = min doc_id = the cluster label) — same recursive
     // closure as q_dedup_clusters, then an anti-join against the corpus
     "q_dedup_survivors" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |pairs AS ($jaccardSelect
-         |           WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
-         |edges AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b AS u, a AS w FROM pairs),
-         |verts AS (SELECT DISTINCT u AS v FROM edges),
-         |reach(v, r) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.w = rc.v),
-         |lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+      s"""WITH RECURSIVE $ccLabCtes
          |SELECT d.doc_id FROM $DOCS d
          | WHERE NOT EXISTS (SELECT 1 FROM lab
          |                    WHERE lab.doc_id = d.doc_id AND lab.cluster_id <> lab.doc_id)
          | ORDER BY doc_id""".stripMargin,
+    // per-source retention after near-dup removal: same closure, dropped =
+    // non-representative members, aggregated per source
+    "q_dedup_retention" ->
+      s"""WITH RECURSIVE $ccLabCtes,
+         |sel AS (SELECT d.source,
+         |               CASE WHEN EXISTS (SELECT 1 FROM lab
+         |                                  WHERE lab.doc_id = d.doc_id
+         |                                    AND lab.cluster_id <> lab.doc_id)
+         |                    THEN 1 ELSE 0 END AS dropped
+         |          FROM $DOCS d)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_survivors,
+         |       CAST(COUNT(*) - SUM(dropped) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
+         |  FROM sel GROUP BY source ORDER BY source""".stripMargin,
     // ---- repetition metrics (bigrams via per-doc index ranges; 1-based
     // list subscripts pair token i with i+1, mirroring element_at) ----
     "q_repetition" ->

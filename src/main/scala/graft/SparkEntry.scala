@@ -147,6 +147,7 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Sources.documents(s, dir))),
     "q_pair_degrees" -> ((s, dir) => Dedup.pairDegrees(Sources.documents(s, dir))),
     "q_source_leak" -> ((s, dir) => Dedup.crossSourceLeak(Sources.documents(s, dir))),
+    "q_dedup_retention" -> ((s, dir) => Dedup.dedupRetention(Sources.documents(s, dir))),
     // ---- M7 extensions: similarity search ----
     "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

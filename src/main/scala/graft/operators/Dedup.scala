@@ -653,6 +653,33 @@ object Dedup {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** Per-source dedup retention — the number the mixture designer reads off
+    * a dedup run: how much of each source survives near-dup removal. A
+    * boilerplate-heavy crawl retains far less than a curated source, and
+    * mixture weights computed on PRE-dedup counts silently over-weight it;
+    * this view closes that loop. Composes the same cluster merge as
+    * [[nearDupSurvivors]]: dropped docs = non-representative cluster
+    * members (tiny next to the corpus, so the membership join broadcasts at
+    * any scale), then one aggregation over |docs| rows into |sources|
+    * cells. retention = survivors/docs divides the same small integers in
+    * both engines — bit-identical. Output (source, n_docs, n_survivors,
+    * retention). */
+  def dedupRetention(docs: DataFrame): DataFrame = {
+    val dropped = connectedComponents(lshPairs(docs, 16, 4, 0.5))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("is_drop"))
+    docs.select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_dropped")).as("n_survivors"),
+        ((col("n_docs") - col("n_dropped")).cast("double") /
+          col("n_docs").cast("double")).as("retention"))
+      .orderBy("source")
+  }
+
   /** 32-bit SimHash over whitespace tokens (with multiplicity): per bit b,
     * sign-sum of token-hash bits; simhash bit b set iff the sum is positive.
     *

@@ -237,6 +237,35 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
     assert(pairs.nonEmpty, "fixture must produce at least one verified pair")
   }
 
+  test("dedupRetention: per-source counts reconcile with the survivor set") {
+    import spark.implicits._
+    // known structure: 1~2~3 form one near-identical cluster spanning s1/s2
+    // (reps 1 survives), 4 and 5 are unique
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, base + "tail one", "s1"),
+      (2L, base + "tail two", "s1"),
+      (3L, base + "tail three", "s2"),
+      (4L, "some entirely different document about other matters here", "s2"),
+      (5L, "yet another unique text body with its own words", "s3")
+    ).toDF("doc_id", "text", "source")
+    val survivors = Dedup.nearDupSurvivors(docs).collect().map(_.getLong(0)).toSet
+    val ret = Dedup.dedupRetention(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(ret.keySet == Set("s1", "s2", "s3"), "every source emits a row")
+    // totals reconcile against the survivor pipeline exactly, per source
+    val bySource = Map("s1" -> Seq(1L, 2L), "s2" -> Seq(3L, 4L), "s3" -> Seq(5L))
+    bySource.foreach { case (s, ids) =>
+      val (nDocs, nSurv, retention) = ret(s)
+      assert(nDocs == ids.length.toLong, s"$s n_docs")
+      assert(nSurv == ids.count(survivors).toLong, s"$s n_survivors")
+      assert(retention == nSurv.toDouble / nDocs.toDouble, s"$s retention")
+    }
+    // the cluster dropped someone: at least one source retains < 1.0
+    assert(ret.values.exists(_._3 < 1.0), "fixture must drop a duplicate")
+  }
+
   test("pageRank truncates lineage every 10 rounds: iters=25 plans stay shallow") {
     val docs = Sources.documents(spark, dir)
     def planLines(df: DataFrame): Int =
