@@ -164,6 +164,14 @@ object ExtensionOracles {
        |                      JOIN sh sb ON cand.b = sb.doc_id AND sa.s = sb.s
        |           GROUP BY cand.a, cand.b)""".stripMargin
 
+  /** Verified near-dup pairs CTE (named `vp`): the LSH candidates with
+    * exact Jaccard ≥ 0.5 — the ONE copy of the verification predicate,
+    * shared by q_minhash_lsh, q_source_leak and (via [[ccLabCtes]]) the
+    * whole cluster family, so no gate can verify a divergent pair set. */
+  private def verifiedPairsCte: String =
+    s"""vp AS ($jaccardSelect
+       |        WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5)""".stripMargin
+
   /** Recursive transitive-closure chain over the verified LSH pairs,
     * ending in per-doc labels `lab` (cluster id = min reachable doc_id) —
     * the ONE copy of the cluster-merge SQL, shared by q_dedup_clusters,
@@ -171,9 +179,8 @@ object ExtensionOracles {
     * verify divergent clusterings. Callers must open WITH RECURSIVE. */
   private def ccLabCtes: String =
     s"""$minhashCtes,
-       |prs AS ($jaccardSelect
-       |         WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
-       |edges AS (SELECT a AS u, b AS w FROM prs UNION SELECT b AS u, a AS w FROM prs),
+       |$verifiedPairsCte,
+       |edges AS (SELECT a AS u, b AS w FROM vp UNION SELECT b AS u, a AS w FROM vp),
        |verts AS (SELECT DISTINCT u AS v FROM edges),
        |reach(v, r) AS (
        |  SELECT v, v FROM verts
@@ -252,17 +259,15 @@ object ExtensionOracles {
          |       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_docs
          |  FROM $DOCS""".stripMargin,
     "q_minhash_lsh" ->
-      s"""WITH $minhashCtes
-         |$jaccardSelect
-         | WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5
-         | ORDER BY a, b""".stripMargin,
+      s"""WITH $minhashCtes,
+         |$verifiedPairsCte
+         |SELECT a, b, jaccard FROM vp ORDER BY a, b""".stripMargin,
     // cross-source leakage matrix over the SAME verified pair set as
-    // q_minhash_lsh (shared minhashCtes + jaccard predicate): endpoint
-    // sources, pair normalized LEAST/GREATEST, counted per source pair
+    // q_minhash_lsh (shared verifiedPairsCte): endpoint sources, pair
+    // normalized LEAST/GREATEST, counted per source pair
     "q_source_leak" ->
       s"""WITH $minhashCtes,
-         |vp AS ($jaccardSelect
-         |        WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
+         |$verifiedPairsCte,
          |src AS (SELECT doc_id, source FROM $DOCS)
          |SELECT LEAST(x.source, y.source) AS src_a,
          |       GREATEST(x.source, y.source) AS src_b,
@@ -407,8 +412,7 @@ object ExtensionOracles {
     // degree of each doc in the verified LSH pair graph
     "q_pair_degrees" ->
       s"""WITH $minhashCtes,
-         |vp AS ($jaccardSelect
-         |        WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5)
+         |$verifiedPairsCte
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
          |  FROM (SELECT a AS doc_id FROM vp UNION ALL SELECT b AS doc_id FROM vp)
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -680,8 +684,7 @@ object ExtensionOracles {
     // rank by (jaccard desc, nbr asc), keep 3 — same window both engines
     "q_top_similar" ->
       s"""WITH $minhashCtes,
-         |vp AS ($jaccardSelect
-         |        WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= 0.5),
+         |$verifiedPairsCte,
          |sym AS (SELECT a AS doc_id, b AS nbr, jaccard FROM vp
          |        UNION ALL SELECT b AS doc_id, a AS nbr, jaccard FROM vp),
          |r AS (SELECT doc_id, nbr, jaccard,

@@ -226,22 +226,25 @@ object ScaleProof {
     checks += "triangles_ge_cliques_plus_crossed" ->
       (tri10 >= cliqueTri * nDocs + reps.toLong * reps * reps * baseTri)
 
-    // cross-source leak matrix at 10x docs: the cells must PARTITION the
-    // verified MinHash-LSH pair set, whose 10x count has the same closed
-    // form as the prefix join — identical-copy families collide in every
-    // band (jaccard 1, never missed) and a base pair missed by banding is
-    // missed by all reps² copies alike (signatures are functions of the
-    // text, which replication preserves). Equality therefore proves BOTH
-    // the pair pipeline at volume AND that the two source equi-joins
-    // neither drop nor duplicate a single pair.
+    // cross-source leak matrix at 10x docs, two independent assertions:
+    // (1) PARTITION — the cells must sum to exactly the verified
+    // MinHash-LSH pair count already measured above (lsh), so the two
+    // source equi-joins neither drop nor duplicate a single pair; (2) the
+    // 10x pair count itself has the same closed form as the prefix join —
+    // identical-copy families collide in every band (jaccard 1, never
+    // missed) and a base pair missed by banding is missed by all reps²
+    // copies alike (signatures are functions of the text, which
+    // replication preserves). Splitting them keeps a closed-form failure
+    // from being misattributed to the joins and vice versa.
     val (baseMhPairs, _) = timed(
       Dedup.minhashLshPairs(Sources.documents(spark, sfDir)).count())
     val (leakTotal, tLeak) = timed(
       Dedup.crossSourceLeak(docs)
         .agg(coalesce(sum("pairs"), lit(0L))).head.getLong(0))
     results += "source_leak_10x" -> tLeak
-    checks += "source_leak_closed_form" ->
-      (leakTotal ==
+    checks += "source_leak_partitions_pairs" -> (leakTotal == lsh._2)
+    checks += "mh_pairs_closed_form" ->
+      (lsh._2 ==
         reps.toLong * (reps - 1) / 2 * nShingled + reps.toLong * reps * baseMhPairs)
 
     val total = results.values.sum

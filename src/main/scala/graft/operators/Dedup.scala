@@ -646,12 +646,20 @@ object Dedup {
     * merge and a left_anti join — the full "dedup a corpus" pipeline as one
     * call; the anti join's right side is only the clustered docs (tiny next
     * to the corpus), so AQE broadcasts it at any corpus size. */
-  def nearDupSurvivors(docs: DataFrame): DataFrame = {
-    val clusters = connectedComponents(lshPairs(docs, 16, 4, 0.5))
-    docs.join(clusters.filter(col("doc_id") =!= col("cluster_id")),
-        Seq("doc_id"), "left_anti")
+  def nearDupSurvivors(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                       threshold: Double = 0.5): DataFrame =
+    docs.join(droppedMembers(docs, h, rows, threshold), Seq("doc_id"), "left_anti")
       .select(col("doc_id")).orderBy("doc_id")
-  }
+
+  /** Non-representative near-dup cluster members — the docs a dedup run
+    * DROPS. The one copy of the drop rule, shared by [[nearDupSurvivors]]
+    * and [[dedupRetention]] so the retention view can never summarize a
+    * different dedup run than the survivor list it claims to describe. */
+  private def droppedMembers(docs: DataFrame, h: Int, rows: Int,
+                             threshold: Double): DataFrame =
+    connectedComponents(lshPairs(docs, h, rows, threshold))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
 
   /** Per-source dedup retention — the number the mixture designer reads off
     * a dedup run: how much of each source survives near-dup removal. A
@@ -664,10 +672,10 @@ object Dedup {
     * cells. retention = survivors/docs divides the same small integers in
     * both engines — bit-identical. Output (source, n_docs, n_survivors,
     * retention). */
-  def dedupRetention(docs: DataFrame): DataFrame = {
-    val dropped = connectedComponents(lshPairs(docs, 16, 4, 0.5))
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"), lit(1L).as("is_drop"))
+  def dedupRetention(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                     threshold: Double = 0.5): DataFrame = {
+    val dropped = droppedMembers(docs, h, rows, threshold)
+      .withColumn("is_drop", lit(1L))
     docs.select(col("doc_id"), col("source"))
       .join(dropped, Seq("doc_id"), "left")
       .groupBy("source")
