@@ -143,7 +143,11 @@ object ExtensionOracles {
     * q_minhash_lsh and q_dedup_clusters); mirrors [[graft.operators.Dedup]]
     * bit-for-bit — base h60 per shingle, rotate+xor variant k, 4-row bands,
     * exact Jaccard via shingle intersection. */
-  private def minhashCtes: String =
+  /** The signature+banding CTE prefix (shingles → 60-bit hashes → h=16
+    * minima → 4-row band signatures, ending in `bands`) — factored out of
+    * [[minhashCtes]] so the cross-set incremental gate (q_incr_dedup) bands
+    * with the exact same SQL as the self-join pair gates. */
+  private def minhashBandCtes: String =
     s"""$SH,
        |ks AS (SELECT k, (k*7+3)%60 AS r,
        |              CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS c
@@ -154,7 +158,10 @@ object ExtensionOracles {
        |         FROM bh, ks GROUP BY doc_id, k),
        |bands AS (SELECT doc_id, CAST(FLOOR(k / CAST(4 AS DOUBLE)) AS INT) AS band,
        |                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY k) AS sig
-       |            FROM mh GROUP BY 1, 2),
+       |            FROM mh GROUP BY 1, 2)""".stripMargin
+
+  private def minhashCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |           FROM bands x JOIN bands y
        |             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -274,6 +281,40 @@ object ExtensionOracles {
          |       CAST(COUNT(*) AS BIGINT) AS pairs
          |  FROM vp JOIN src x ON vp.a = x.doc_id JOIN src y ON vp.b = y.doc_id
          | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // incremental ingestion screen: batch = src17, corpus = every other
+    // source; exact = digest equi-join, near = cross-set band join over the
+    // SAME banding prefix as the pair gates (shared minhashBandCtes), then
+    // the same jaccard-≥-0.5 verification shape; exact wins precedence
+    "q_incr_dedup" ->
+      s"""WITH $minhashBandCtes,
+         |src AS (SELECT doc_id, source, text FROM $DOCS),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |           FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+         |           JOIN src sx ON x.doc_id = sx.doc_id
+         |           JOIN src sy ON y.doc_id = sy.doc_id
+         |          WHERE sx.source = 'src17' AND sy.source <> 'src17'),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+         |inter AS (SELECT cand.a, cand.b, CAST(COUNT(*) AS BIGINT) AS inter
+         |            FROM cand JOIN sh sa ON cand.a = sa.doc_id
+         |                      JOIN sh sb ON cand.b = sb.doc_id AND sa.s = sb.s
+         |           GROUP BY cand.a, cand.b),
+         |near AS (SELECT i.a AS doc_id, MIN(i.b) AS m
+         |           FROM inter i JOIN sz ca ON i.a = ca.doc_id JOIN sz cb ON i.b = cb.doc_id
+         |          WHERE CAST(i.inter AS DOUBLE)/CAST(ca.c + cb.c - i.inter AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+         |          GROUP BY i.a),
+         |exact AS (SELECT b.doc_id, MIN(c.doc_id) AS m
+         |            FROM src b JOIN src c ON md5(b.text) = md5(c.text)
+         |           WHERE b.source = 'src17' AND c.source <> 'src17'
+         |           GROUP BY b.doc_id)
+         |SELECT b.doc_id AS doc_id,
+         |       CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+         |            WHEN n.m IS NOT NULL THEN 'near_dup'
+         |            ELSE 'new' END AS status,
+         |       COALESCE(e.m, n.m) AS match_id
+         |  FROM src b LEFT JOIN exact e ON b.doc_id = e.doc_id
+         |             LEFT JOIN near n ON b.doc_id = n.doc_id
+         | WHERE b.source = 'src17'
+         | ORDER BY b.doc_id""".stripMargin,
     // clusters = connected components over the verified LSH pairs, via a
     // recursive transitive closure (cluster id = min reachable doc_id) —
     // the engine's iterative min-label propagation must land on the same

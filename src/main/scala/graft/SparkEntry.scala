@@ -148,6 +148,8 @@ object SparkEntry {
     "q_pair_degrees" -> ((s, dir) => Dedup.pairDegrees(Sources.documents(s, dir))),
     "q_source_leak" -> ((s, dir) => Dedup.crossSourceLeak(Sources.documents(s, dir))),
     "q_dedup_retention" -> ((s, dir) => Dedup.dedupRetention(Sources.documents(s, dir))),
+    "q_incr_dedup" -> ((s, dir) =>
+      Dedup.incrementalDedup(Sources.documents(s, dir), "src17")),
     // ---- M7 extensions: similarity search ----
     "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -180,6 +180,67 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Incremental ingestion dedup: classify each document of an incoming
+    * batch (source == batchSource) against the existing corpus (every other
+    * source) as `exact_dup` (byte-identical text exists in the corpus),
+    * `near_dup` (a corpus doc shares an LSH band and verifies at
+    * jaccard ≥ threshold), or `new`. This is the shape a continuously-fed
+    * 100 TB pipeline actually runs: the full self-join dedup
+    * ([[minhashLshPairs]]) happens once to bootstrap, then every arriving
+    * batch is screened against the standing corpus — work proportional to
+    * the BATCH, never corpus².
+    *
+    * Scale shape: the exact path joins on the 128-bit text digest, so the
+    * exchange moves 16-byte keys, not document bytes; the near path
+    * equi-joins the batch's band table (|batch|·h/rows short rows) against
+    * the corpus band table — in production the corpus side is the
+    * precomputed, bucketed signature store written by the bootstrap run, so
+    * a batch screen is a probe into it, and candidate verification fetches
+    * only the matched corpus docs' signature rows. Both sides here derive
+    * from one [[docSignatures]] kernel pass over the union (memoized under
+    * the Verify harness's shared-kernel mode). `match_id` = the smallest
+    * matching corpus doc_id (exact match wins over near). Output
+    * (doc_id, status, match_id) for every batch doc, doc_id-ordered. */
+  def incrementalDedup(docs: DataFrame, batchSource: String,
+                       h: Int = 16, rows: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    val ids = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), col("text"))
+    val batch = ids.filter(col("source") === batchSource)
+    val corpus = ids.filter(col("source") =!= batchSource)
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("hsh"))
+      .join(corpus.select(md5(col("text")).as("hsh"), col("doc_id").as("cid")),
+        "hsh")
+      .groupBy("doc_id").agg(min(col("cid")).as("em"))
+    val docAgg = sharedSignatures(docs, h)
+      .getOrElse(docSignatures(docs, h).localCheckpoint())
+    val srcOf = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"))
+    val bands = bandTable(docAgg, h, rows).join(srcOf, "doc_id")
+    val cand = bands.filter(col("source") === batchSource).as("x")
+      .join(bands.filter(col("source") =!= batchSource).as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val near = cand
+      .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
+      .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+      .filter((col("inter").cast("double") /
+        (col("ca.c") + col("cb.c") - col("inter")).cast("double")) >= threshold)
+      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("nm"))
+    batch.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("em").isNotNull, lit("exact_dup"))
+          .when(col("nm").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("em"), col("nm")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
   /** Degree of each document in the verified near-dup pair graph — the
     * standard triage view before cluster merge (hub documents = boilerplate
     * templates). One unionAll of the two endpoint columns + one hash
@@ -311,17 +372,25 @@ object Dedup {
     * slices of the sig array; verification intersects the two distinct
     * hash SETS per candidate row — integer counts, so the jaccard double
     * divides identically to the oracle's string-join-count formulation. */
-  /** Banded LSH candidate pairs (a < b, distinct) over a [[docSignatures]]
-    * table — the shared front half of [[lshPairs]] and [[minhashEstimates]]. */
-  private def lshCandidates(docAgg: DataFrame, h: Int, rows: Int): DataFrame = {
+  /** LSH band table (doc_id, band, bsig) from a [[docSignatures]] table —
+    * each signature sliced into h/rows bands, the band's hashes joined into
+    * one string key. Shared by [[lshCandidates]] (self-join form) and
+    * [[incrementalDedup]] (cross-set form) so both band identically. */
+  private def bandTable(docAgg: DataFrame, h: Int, rows: Int): DataFrame = {
     val nBands = (h + rows - 1) / rows
     val bandCols = array((0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
         concat_ws("-", transform(slice(col("sig"), bd * rows + 1, rows),
           _.cast("string"))).as("bsig"))
     }: _*)
-    val bands = docAgg.select(col("doc_id"), explode(bandCols).as("bs"))
+    docAgg.select(col("doc_id"), explode(bandCols).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
+  /** Banded LSH candidate pairs (a < b, distinct) over a [[docSignatures]]
+    * table — the shared front half of [[lshPairs]] and [[minhashEstimates]]. */
+  private def lshCandidates(docAgg: DataFrame, h: Int, rows: Int): DataFrame = {
+    val bands = bandTable(docAgg, h, rows)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))

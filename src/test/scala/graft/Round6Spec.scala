@@ -289,4 +289,64 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
     assert(r1.toSeq == r2.toSeq, "long-horizon pageRank must stay deterministic")
     assert(r1.nonEmpty)
   }
+
+  test("incrementalDedup: statuses partition the batch, precedence and witnesses hold") {
+    import spark.implicits._
+    // handcrafted corpus: d1 in-batch exact-dups corpus d10 AND near-dups
+    // d11 (exact must win); d2 near-dups d11 (one char changed of ~40);
+    // d3 is novel; d4 is sub-shingle-length (no signature rows — must
+    // still classify, as new); d5 exact-dups ONLY within the batch itself
+    // (batch-internal dup is NOT a corpus dup — must stay new)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, "en", "batch", base.length.toLong),
+      (2L, base.replace("again and again", "again and AGAIN"), "en", "batch", base.length.toLong),
+      (3L, "completely unrelated text with nothing shared at all here", "en", "batch", 58L),
+      (4L, "tiny", "en", "batch", 4L),
+      (5L, "batch internal duplicate content right here", "en", "batch", 44L),
+      (6L, "batch internal duplicate content right here", "en", "batch", 44L),
+      (10L, base, "en", "corpus", base.length.toLong),
+      (11L, base.replace("dog", "cat"), "en", "corpus", base.length.toLong),
+      (12L, "some other corpus document that matches nobody in the batch", "en", "corpus", 59L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalDedup(docs, "batch").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "every batch doc classified exactly once, corpus docs absent")
+    assert(out(1L) == ("exact_dup", 10L), "exact match wins over near")
+    assert(out(2L)._1 == "near_dup" && Set(10L, 11L)(out(2L)._2))
+    assert(out(3L) == ("new", -1L))
+    assert(out(4L) == ("new", -1L), "sub-shingle doc classifies as new")
+    assert(out(5L) == ("new", -1L) && out(6L) == ("new", -1L),
+      "batch-internal dups are not corpus dups")
+  }
+
+  test("incrementalDedup agrees with the self-join pair gate on cross-set pairs") {
+    // consistency with minhashLshPairs: a batch doc is near_dup-or-better
+    // iff the full self-join pair list contains a verified pair straddling
+    // the batch/corpus split (restricted to docs with signatures)
+    val docs = Sources.documents(spark, dir)
+    val batchSrc = "src3"
+    val inc = Dedup.incrementalDedup(docs, batchSrc).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val src = docs.select(col("doc_id").cast("long"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val crossPaired = Dedup.minhashLshPairs(docs).collect().flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (src(a) == batchSrc, src(b) == batchSrc) match {
+        case (true, false) => Seq(a)
+        case (false, true) => Seq(b)
+        case _ => Seq.empty
+      }
+    }.toSet
+    val nearOrExact = inc.collect { case (id, s) if s != "new" => id }.toSet
+    assert(crossPaired.subsetOf(nearOrExact),
+      "every cross-set verified pair endpoint must be flagged by the screen")
+    // and a near_dup flag not in the pair list can only come from the exact path
+    (nearOrExact -- crossPaired).foreach { id =>
+      assert(inc(id) == "exact_dup",
+        s"doc $id flagged ${inc(id)} but no cross-set verified pair exists")
+    }
+  }
 }
