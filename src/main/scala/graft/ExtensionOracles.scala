@@ -721,6 +721,46 @@ object ExtensionOracles {
          |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
          |  FROM b GROUP BY w1, w2 HAVING COUNT(*) >= 2
          | ORDER BY w1, w2""".stripMargin,
+    // unigram surprisal in whole bits: floor_log2 via exact bin-string
+    // lengths, so every aggregate is an exact int64 sum and only the final
+    // per-doc means divide — mirrors TextAnalysis.unigramScore
+    "q_unigram" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m FROM t GROUP BY doc_id, tok),
+         |cf AS (SELECT tok, CAST(SUM(m) AS BIGINT) AS cf FROM tf GROUP BY tok),
+         |tot AS (SELECT CAST(length(bin(CAST(SUM(cf) AS BIGINT))) - 1 AS BIGINT) AS tbits FROM cf),
+         |g AS (SELECT tf.doc_id,
+         |             CAST(SUM(tf.m) AS BIGINT) AS n_tokens,
+         |             CAST(SUM(tf.m * cf.cf) AS BIGINT) AS sum_cf,
+         |             CAST(SUM(tf.m * (tot.tbits - (length(bin(cf.cf)) - 1))) AS BIGINT) AS surprisal_bits,
+         |             CAST(SUM(CASE WHEN cf.cf = 1 THEN tf.m ELSE 0 END) AS BIGINT) AS n_hapax
+         |        FROM tf JOIN cf ON tf.tok = cf.tok, tot
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, n_tokens, sum_cf, surprisal_bits, n_hapax,
+         |       CAST(sum_cf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_cf,
+         |       CAST(surprisal_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_bits
+         |  FROM g ORDER BY doc_id""".stripMargin,
+    // bigram lift = p(ab)/(p(a)p(b)) with the log deliberately untaken —
+    // exact integer counts, pinned division/multiply order, no libm gate;
+    // mirrors TextAnalysis.bigramLift cast-for-cast
+    "q_bigram_lift" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM $DOCS),
+         |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+         |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+         |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+         |        FROM t, unnest(range(1, len(toks))) u(i)
+         |       WHERE len(toks) >= 2),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM p),
+         |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |         FROM p GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+         |SELECT bg.w1, bg.w2, bg.c_ab, a.c AS c_a, b.c AS c_b,
+         |       (CAST(bg.c_ab AS DOUBLE) / CAST(nb.nb AS DOUBLE)) /
+         |       ((CAST(a.c AS DOUBLE) / CAST(nu.nu AS DOUBLE)) *
+         |        (CAST(b.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))) AS lift
+         |  FROM bg JOIN uni a ON bg.w1 = a.tok
+         |          JOIN uni b ON bg.w2 = b.tok, nb, nu
+         | ORDER BY bg.w1, bg.w2""".stripMargin,
     // per-doc top-k similar over the verified LSH pair graph: symmetrize,
     // rank by (jaccard desc, nbr asc), keep 3 — same window both engines
     "q_top_similar" ->

@@ -92,6 +92,30 @@ object RelationalOracles {
          |  FROM '<sfDir>/lineitem.parquet'
          | GROUP BY ROLLUP (l_returnflag, l_linestatus)
          | ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    // SCD-1 upsert: latest-per-user windows either side of the split
+    // instant, full-outer merged with insert/update/keep provenance —
+    // mirrors Relational.userProfileUpsert (same tiebreak, same coalesce
+    // precedence, value untouched)
+    "q_upsert" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value, ts
+         |             FROM '<sfDir>/events.parquet'),
+         |b AS (SELECT user_id, event_id, event_type, value FROM (
+         |        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                    ORDER BY ts DESC, event_id DESC) AS rn
+         |          FROM e WHERE ts < TIMESTAMP '2024-01-21 00:00:00') WHERE rn = 1),
+         |u AS (SELECT user_id, event_id, event_type, value FROM (
+         |        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |                    ORDER BY ts DESC, event_id DESC) AS rn
+         |          FROM e WHERE ts >= TIMESTAMP '2024-01-21 00:00:00') WHERE rn = 1)
+         |SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+         |       COALESCE(u.event_id, b.event_id) AS last_event_id,
+         |       COALESCE(u.event_type, b.event_type) AS last_type,
+         |       COALESCE(u.value, b.value) AS last_value,
+         |       CASE WHEN u.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'update'
+         |            WHEN u.user_id IS NOT NULL THEN 'insert'
+         |            ELSE 'keep' END AS action
+         |  FROM b FULL OUTER JOIN u ON b.user_id = u.user_id
+         | ORDER BY 1""".stripMargin,
     "q_semi_anti" ->
       s"""SELECT
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/customer.parquet' c

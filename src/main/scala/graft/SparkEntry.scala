@@ -172,6 +172,8 @@ object SparkEntry {
     "q_sessions" -> ((s, dir) => Relational.sessionize(s, dir)),
     "q_dedup_keep" -> ((s, dir) => Dedup.dedupedDocIds(Sources.documents(s, dir))),
     "q_vocab" -> ((s, dir) => TextAnalysis.vocabulary(Sources.documents(s, dir))),
+    "q_unigram" -> ((s, dir) => TextAnalysis.unigramScore(Sources.documents(s, dir))),
+    "q_bigram_lift" -> ((s, dir) => TextAnalysis.bigramLift(Sources.documents(s, dir))),
     "q_cms_tokens" -> ((s, dir) =>
       Sketches.cmsTokenEstimates(Sources.documents(s, dir))),
     "q_hll_users" -> ((s, dir) =>
@@ -179,6 +181,7 @@ object SparkEntry {
     // ---- round-2 relational widening ----
     "q_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customersSemiAnti(s, dir)),
+    "q_upsert" -> ((s, dir) => Relational.userProfileUpsert(s, dir)),
     "q_pivot" -> ((s, dir) => Relational.docsPivot(s, dir)),
     "q_rolling" -> ((s, dir) => Relational.eventsRolling(s, dir)),
     "q_setops" -> ((s, dir) => Relational.docsSetOps(s, dir)),

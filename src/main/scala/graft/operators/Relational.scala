@@ -332,6 +332,47 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** SCD-1 upsert (MERGE INTO semantics) on a per-user profile: the base
+    * snapshot is each user's latest event before the split instant, the
+    * update batch each user's latest event at-or-after it; the merge keeps
+    * untouched profiles (`keep`), overwrites matched ones with the batch row
+    * (`update`), and inserts first-seen users (`insert`). This is the
+    * lakehouse maintenance primitive every incrementally-refreshed serving
+    * table runs on — expressed as latest-per-key windows on both sides plus
+    * ONE full-outer equi-join on the key. At scale the base side is the
+    * stored, bucketed-by-key table, so the merge shuffles only the batch to
+    * the base's layout; output width is the profile row, never event
+    * history. `value` passes through unmodified (no arithmetic — exact
+    * cross-engine). Output (user_id, last_event_id, last_type, last_value,
+    * action), user-ordered. */
+  def userProfileUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    // 2024-01-21T00:00Z as epoch nanos (ts arrives as long nanos)
+    val splitNs = java.time.LocalDate.of(2024, 1, 21).toEpochDay *
+      86400L * 1000000000L
+    val ev = Sources.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+    def latest(df: DataFrame, p: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as(s"${p}_event_id"),
+          col("event_type").as(s"${p}_type"), col("value").as(s"${p}_value"))
+    }
+    val base = latest(ev.filter(col("ts") < splitNs), "b")
+    val batch = latest(ev.filter(col("ts") >= splitNs), "u")
+    base.join(batch, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("u_event_id"), col("b_event_id")).as("last_event_id"),
+        coalesce(col("u_type"), col("b_type")).as("last_type"),
+        coalesce(col("u_value"), col("b_value")).as("last_value"),
+        when(col("u_event_id").isNotNull && col("b_event_id").isNotNull,
+          lit("update"))
+          .when(col("u_event_id").isNotNull, lit("insert"))
+          .otherwise(lit("keep")).as("action"))
+      .orderBy("user_id")
+  }
+
   /** Semi/anti join surface: customers with at least one order vs none,
     * as one summary row (left_semi + left_anti counts). */
   def customersSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {

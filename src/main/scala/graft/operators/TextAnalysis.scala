@@ -159,6 +159,79 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
       .orderBy("w1", "w2")
 
+  /** Per-doc unigram-LM scoring against the corpus's own token
+    * distribution — the self-trained proxy for the CCNet/Gopher-style
+    * "language-model quality" filter. Per token, the surprisal
+    * -log2 p(tok) is quantized to WHOLE BITS via exact integer bit
+    * lengths (floor_log2(x) = length(bin(x)) - 1, pure string-of-bits
+    * arithmetic both engines compute identically), so every aggregate is
+    * an exact int64 sum — order-free, hash-gateable — and only the final
+    * per-doc means divide. A doc of corpus-typical tokens scores low
+    * mean_bits; rare/garbled text scores high; `n_hapax` counts tokens
+    * whose corpus frequency is 1 (the OOV-ish tail). One tokens pass, one
+    * (doc_id, tok) aggregation, one token-frequency aggregation, and a
+    * broadcast one-row total — map-side partials carry everything at
+    * corpus scale. Output (doc_id, n_tokens, sum_cf, surprisal_bits,
+    * n_hapax, mean_cf, mean_bits). */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val tf = tokens(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+    val cf = tf.groupBy("tok").agg(sum(col("m")).as("cf"))
+    val tot = cf.agg((length(bin(sum(col("cf")))) - 1).cast("long").as("tbits"))
+    tf.join(cf, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("m")).as("n_tokens"),
+        sum(col("m") * col("cf")).as("sum_cf"),
+        sum(col("m") * (col("tbits") -
+          (length(bin(col("cf"))) - 1).cast("long"))).as("surprisal_bits"),
+        sum(when(col("cf") === 1L, col("m")).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cf"),
+        col("surprisal_bits"), col("n_hapax"),
+        (col("sum_cf").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_cf"),
+        (col("surprisal_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram association strength (PMI's argument, kept in ratio space):
+    * lift = p(w1,w2) / (p(w1)·p(w2)) — the phrase-mining signal that
+    * separates collocations ("machine learning") from chance adjacency.
+    * The log is deliberately NOT taken: every input is an exact integer
+    * count, so the pinned expression tree (one division per probability,
+    * one multiply, one final division) is correctly-rounded double
+    * arithmetic both engines reproduce bit-identically, where a
+    * transcendental log would gate on libm rounding. Unigram and bigram
+    * totals are corpus scalars (broadcast one-row frames); the only wide
+    * exchanges are the two count aggregations and the two tiny
+    * frequency joins. Output (w1, w2, c_ab, c_a, c_b, lift),
+    * c_ab ≥ minCount. */
+  def bigramLift(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val uni = tokens(docs).groupBy("tok").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val pairs = docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val nb = pairs.agg(count(lit(1)).as("nb"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") / col("nb").cast("double")) /
+          ((col("c_a").cast("double") / col("nu").cast("double")) *
+            (col("c_b").cast("double") / col("nu").cast("double"))))
+          .as("lift"))
+      .orderBy("w1", "w2")
+  }
+
   /** Token counts: whitespace tokens + a chars/4 BPE-style estimate (the
     * published rule-of-thumb for English BPE vocabularies). */
   def tokenCounts(docs: DataFrame): DataFrame =

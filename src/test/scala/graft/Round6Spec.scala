@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, KMeans, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** Round-6 hardening: the trained fixed-k IVF coarse quantizer (the round-5
@@ -348,5 +348,64 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
       assert(inc(id) == "exact_dup",
         s"doc $id flagged ${inc(id)} but no cross-set verified pair exists")
     }
+  }
+
+  test("unigramScore: whole-bit surprisal from exact bit lengths") {
+    import spark.implicits._
+    // corpus: "a" x4, "b" x2, "c" x1, "d" x1 → T=8, tbits=3
+    // floor_log2: cf(a)=4→2, cf(b)=2→1, cf(c)=cf(d)=1→0
+    val docs = Seq(
+      (1L, "a a b c", "en", "s", 7L),
+      (2L, "a a b d", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.unigramScore(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: tokens a,a,b,c → bits = 2*(3-2) + (3-1) + (3-0) = 7; sum_cf = 4+4+2+1 = 11
+    assert(r(1L).getLong(1) == 4L && r(1L).getLong(2) == 11L)
+    assert(r(1L).getLong(3) == 7L, "surprisal_bits doc1")
+    assert(r(1L).getLong(4) == 1L, "hapax c")
+    assert(r(1L).getDouble(6) == 7.0 / 4.0, "mean_bits")
+    assert(r(2L).getLong(3) == 7L && r(2L).getLong(4) == 1L)
+  }
+
+  test("bigramLift: collocations score above chance, independents near 1") {
+    import spark.implicits._
+    // "x y" always adjacent (a collocation); "p"/"q" co-occur only by chance
+    val rows = (0 until 20).map { i =>
+      (i.toLong, if (i % 2 == 0) "x y p x y q x y p" else "p q x y q p q x y",
+        "en", "s", 0L)
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val lift = TextAnalysis.bigramLift(docs, minCount = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val xy = lift(("x", "y"))
+    assert(xy > 2.0, s"collocation lift $xy must exceed chance")
+    // every x is followed by y: p(xy)=p(x) → lift = 1/p(y) exactly; with
+    // counts nx=ny, lift = Nu²/(Nb·ny) — sanity-bound it
+    lift.get(("q", "p")).foreach(qp => assert(qp < xy))
+  }
+
+  test("userProfileUpsert: actions partition users, profiles pick the split-side latest") {
+    val out = Relational.userProfileUpsert(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
+    val splitNs = java.time.LocalDate.of(2024, 1, 21).toEpochDay *
+      86400L * 1000000000L
+    val ev = Sources.table(spark, dir, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val latestOf = (rows: Seq[(Long, Long, Long)]) =>
+      rows.groupBy(_._1).view.mapValues(_.maxBy(e => (e._3, e._2))._2).toMap
+    val base = latestOf(ev.filter(_._3 < splitNs).toSeq)
+    val batch = latestOf(ev.filter(_._3 >= splitNs).toSeq)
+    assert(out.keySet == base.keySet ++ batch.keySet, "one row per known user")
+    out.foreach { case (u, (eid, action)) =>
+      (base.contains(u), batch.contains(u)) match {
+        case (true, true)  => assert(action == "update" && eid == batch(u))
+        case (false, true) => assert(action == "insert" && eid == batch(u))
+        case (true, false) => assert(action == "keep" && eid == base(u))
+        case _ => fail(s"user $u in output but in neither side")
+      }
+    }
+    assert(out.values.exists(_._2 == "update"), "fixture exercises update")
   }
 }
