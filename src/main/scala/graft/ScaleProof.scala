@@ -247,6 +247,28 @@ object ScaleProof {
       (lsh._2 ==
         reps.toLong * (reps - 1) / 2 * nShingled + reps.toLong * reps * baseMhPairs)
 
+    // incremental ingestion screen at repsx CORPUS with the batch pinned:
+    // replicate every non-batch source (ids offset upward), keep the batch
+    // rows original — statuses AND witnesses must be IDENTICAL to the base
+    // run. Copies are textually identical with larger ids, so a batch doc
+    // collides with a replica iff it collides with the original (signatures
+    // are functions of the text) and the min-id witness stays the original;
+    // a screen that drops or fabricates a candidate at volume breaks the
+    // set equality.
+    val batchSrc = "src17"
+    val baseDocs = Sources.documents(spark, sfDir)
+    def screenSet(d: DataFrame) =
+      Dedup.incrementalDedup(d, batchSrc).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val (baseScreen, _) = timed(screenSet(baseDocs))
+    val corpusAug = baseDocs.filter(col("source") === batchSrc)
+      .unionAll(replicate(
+        baseDocs.filter(col("source") =!= batchSrc), "doc_id", 10000000L))
+    val (screen10, tIncr) = timed(screenSet(corpusAug))
+    results += "incr_screen_10x" -> tIncr
+    checks += "incr_screen_invariant" -> (screen10 == baseScreen)
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

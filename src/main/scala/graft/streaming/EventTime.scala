@@ -99,6 +99,40 @@ object EventTime {
     * executors instead of living on one driver thread. Emits the updated
     * running row for every key touched in a batch; state is per-key constant
     * size, so it scales with distinct keys, not stream length. */
+  final case class UserEvent(user_id: Long, event_id: Long,
+                             event_type: String, value: Double, ts: Long)
+  final case class UserProfile(user_id: Long, last_event_id: Long,
+                               last_type: String, last_value: Double,
+                               ts: Long, n_merges: Long)
+
+  /** Streaming SCD-1 upsert: the mapGroupsWithState twin of
+    * [[graft.operators.Relational.userProfileUpsert]] — per-user latest-event
+    * profiles maintained continuously instead of batch-merged. Each batch
+    * folds its events into the stored profile by (ts, event_id) max, so
+    * arrival order (within and across batches) cannot change the converged
+    * state: after any replay of the same event set, the state equals the
+    * batch latest-per-key window exactly (asserted in EventTimeSpec).
+    * State is one profile row per user — scales with distinct keys, never
+    * stream length; `n_merges` counts the batches that touched the key (the
+    * emit ordinal a memory-sink reader needs to pick the final row). */
+  def profileUpsertStream(events: Dataset[UserEvent]): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserProfile]) =>
+          val prev = state.getOption
+          val cands = prev.iterator ++ batch.map(e =>
+            UserProfile(uid, e.event_id, e.event_type, e.value, e.ts, 0L))
+          val best = cands.maxBy(p => (p.ts, p.last_event_id))
+          val next = best.copy(
+            n_merges = prev.map(_.n_merges).getOrElse(0L) + 1L)
+          state.update(next)
+          next
+      }
+  }
+
   def runningCounts(items: Dataset[ItemEvent]): Dataset[ItemRunning] = {
     val spark = items.sparkSession
     import spark.implicits._

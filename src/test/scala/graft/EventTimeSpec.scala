@@ -91,4 +91,44 @@ class EventTimeSpec extends AnyFunSuite with SharedSpark {
     assert(last(1L).total == 3L && last(1L).batches == 2L)
     assert(last(2L).total == 1L && last(2L).batches == 1L)
   }
+
+  test("profileUpsertStream converges to the batch upsert's merged profile") {
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[EventTime.UserEvent].collect()
+    // adversarial replay: round-robin split so each user's events interleave
+    // across batches, each batch internally ts-REVERSED — arrival order must
+    // not matter
+    val batches = ev.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1).sortBy(e => (-e.ts, e.event_id)).toSeq)
+    val ms = MemoryStream[EventTime.UserEvent]
+    val q = EventTime.profileUpsertStream(ms.toDS())
+      .writeStream.format("memory").queryName("t_upsert")
+      .outputMode(OutputMode.Update()).start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val fin = spark.table("t_upsert").as[EventTime.UserProfile].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_merges)).toMap
+    val expect = ev.groupBy(_.user_id).view
+      .mapValues(_.maxBy(e => (e.ts, e.event_id))).toMap
+    assert(fin.keySet == expect.keySet.toSet)
+    fin.foreach { case (u, p) =>
+      val e = expect(u)
+      assert(p.last_event_id == e.event_id && p.last_type == e.event_type &&
+        p.last_value == e.value && p.ts == e.ts, s"user $u")
+    }
+    // and the batch MERGE (q_upsert) agrees on every profile column
+    val merged = graft.operators.Relational.userProfileUpsert(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toMap
+    assert(merged.keySet == fin.keySet)
+    merged.foreach { case (u, (eid, tpe, v)) =>
+      assert(fin(u).last_event_id == eid && fin(u).last_type == tpe &&
+        fin(u).last_value == v, s"user $u vs batch merge")
+    }
+  }
 }
