@@ -315,6 +315,32 @@ object ExtensionOracles {
          |             LEFT JOIN near n ON b.doc_id = n.doc_id
          | WHERE b.source = 'src17'
          | ORDER BY b.doc_id""".stripMargin,
+    // sorted-neighborhood method: the oracle ranks with ONE global window —
+    // the engine's two-level bucket rank composes to the identical
+    // (key, doc_id) total order, so the w-window pair sets must agree
+    "q_sorted_neighbors" ->
+      s"""WITH d AS (SELECT doc_id, lower(substr(text, 1, 40)) AS key,
+         |                  lower(substr(text, 1, 64)) AS norm
+         |             FROM $DOCS WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id, norm,
+         |             row_number() OVER (ORDER BY key, doc_id) AS rank
+         |        FROM d)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev
+         |  FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank <= 7
+         | WHERE levenshtein(a.norm, b.norm) <= 12
+         | ORDER BY a, b""".stripMargin,
+    // short-text edit-distance near-dups: the oracle is the naive quadratic
+    // join the engine's Δ-band equi-join must reproduce pair-for-pair
+    "q_editdist_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t,
+         |                  CAST(length(text) AS BIGINT) AS len
+         |             FROM $DOCS WHERE text IS NOT NULL AND length(text) <= 200)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 16
+         | WHERE levenshtein(a.t, b.t) <= 16
+         | ORDER BY a, b""".stripMargin,
     // clusters = connected components over the verified LSH pairs, via a
     // recursive transitive closure (cluster id = min reachable doc_id) —
     // the engine's iterative min-label propagation must land on the same

@@ -150,6 +150,10 @@ object SparkEntry {
     "q_dedup_retention" -> ((s, dir) => Dedup.dedupRetention(Sources.documents(s, dir))),
     "q_incr_dedup" -> ((s, dir) =>
       Dedup.incrementalDedup(Sources.documents(s, dir), "src17")),
+    "q_sorted_neighbors" -> ((s, dir) =>
+      Dedup.sortedNeighborPairs(Sources.documents(s, dir))),
+    "q_editdist_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Sources.documents(s, dir))),
     // ---- M7 extensions: similarity search ----
     "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

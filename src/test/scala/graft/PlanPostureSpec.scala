@@ -33,7 +33,9 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_ann_recall", // brute-force ground-truth side of the recall measure
     "q_neardup_blocked", "q_semi_anti", "q_outlier_summary", "q_hw2_pipeline",
     "q_hll_users", // n_exact x (s, v_zero): two SINGLE-ROW aggregates
-    "q_mixture") // |langs| rates x the SINGLE-ROW quantized-weight total
+    "q_mixture", // |langs| rates x the SINGLE-ROW quantized-weight total
+    "q_bigram_lift", // SINGLE-ROW unigram/bigram totals x the pair counts
+    "q_unigram") // SINGLE-ROW corpus-token total x the per-token rows
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

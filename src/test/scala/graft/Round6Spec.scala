@@ -408,4 +408,50 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
     }
     assert(out.values.exists(_._2 == "update"), "fixture exercises update")
   }
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("sortedNeighborPairs: two-level bucket rank equals one global window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Sources.documents(spark, sf01)
+    val got = Dedup.sortedNeighborPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: ONE global window over the same (key, doc_id) total order,
+    // theta-joined on rank adjacency — no bucketing anywhere
+    val d = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        lower(substring(col("text"), 1, 40)).as("key"),
+        lower(substring(col("text"), 1, 64)).as("norm"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy("key", "doc_id")).cast("long"))
+    val want = d.as("x").join(d.as("y"),
+        col("y.rank") > col("x.rank") && col("y.rank") - col("x.rank") <= 7)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        levenshtein(col("x.norm"), col("y.norm")).cast("long").as("lev"))
+      .filter(col("lev") <= 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == want.toSet, "SNM pair set must match the global window")
+    assert(got.length == got.toSet.size, "each pair emitted exactly once")
+    assert(got.nonEmpty, "fixture must exercise the window")
+  }
+
+  test("editDistancePairs: band join equals the naive quadratic answer") {
+    val docs = Sources.documents(spark, sf01)
+    val got = Dedup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d = docs.filter(col("text").isNotNull && length(col("text")) <= 200)
+      .select(col("doc_id").cast("long").as("doc_id"), lower(col("text")).as("t"))
+    val want = d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        levenshtein(col("x.t"), col("y.t")).cast("long").as("lev"))
+      .filter(col("lev") <= 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == want.toSet,
+      "Δ-band candidates must cover every qualifying pair exactly")
+    assert(got.length == got.toSet.size, "each pair emitted exactly once")
+    assert(got.nonEmpty, "fixture must exercise the band join")
+    // order respected: identical short docs are 0 edits apart, and every
+    // pair's endpoints differ in length by at most the edit bound
+    got.foreach { case (_, _, lev) => assert(lev >= 0 && lev <= 16) }
+  }
 }
