@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan inspector: prints `.explain("formatted")` for the named queries
   * (all queries when none given) — the review loop for pushdown, broadcast
@@ -8,14 +7,7 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkLocal.session("8")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
     names.foreach { n =>
       println(s"\n===== $n =====")

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan inspection + timing harness: for each query name (args, or the
   * built-in hot list), runs the query cold and warm and optionally prints the
@@ -9,17 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", SparkLocal.localDir)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkLocal.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_minhash_lsh", "q_exact_outlier_count", "q_hw2_pipeline",
         "q_ngram_jaccard", "q_ann_ivf", "q_simhash_pairs",

@@ -49,6 +49,11 @@ object RelationalOracles {
          |       CAST(COUNT(*) AS BIGINT) AS n,
          |       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS qsum
          |  FROM '<sfDir>/events.parquet' GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_events_ts" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts,
+         |       CAST(SUM(epoch_us(ts) - 1704067200000000) AS BIGINT) AS us_checksum
+         |  FROM '<sfDir>/events.parquet'""".stripMargin,
     "q_events_daily" ->
       s"""SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
          |       CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.ExactOutliers
@@ -40,29 +39,22 @@ object SkewProof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hotN = sys.env.getOrElse("SPARK_GRAFT_HOT", "100000").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // knobs for the A/B: AQE's skew detection is INPUT-bytes-based, and a
-      // hot cell's 4 MB of rows sits far below the 256 MB default even when
-      // its join OUTPUT is 1e10 rows — lower these to force a split and
-      // measure whether the join form can win at all
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "256m"))
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-        sys.env.getOrElse("SPARK_GRAFT_SKEW_FACTOR", "5.0"))
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "10m"))
-      .config("spark.local.dir", SparkLocal.localDir)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkLocal.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      extraConf = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        // knobs for the A/B: AQE's skew detection is INPUT-bytes-based, and a
+        // hot cell's 4 MB of rows sits far below the 256 MB default even when
+        // its join OUTPUT is 1e10 rows — lower these to force a split and
+        // measure whether the join form can win at all
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "256m"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+          sys.env.getOrElse("SPARK_GRAFT_SKEW_FACTOR", "5.0"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+          sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"),
+        "spark.sql.autoBroadcastJoinThreshold" ->
+          sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "10m")))
     val d = SparkEntry.D
     val m = SparkEntry.M
 

@@ -167,6 +167,7 @@ object SparkEntry {
     "q_join_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_top_orders" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "q_events_daily" -> ((s, dir) => Relational.eventsDaily(s, dir)),
+    "q_events_ts" -> ((s, dir) => Relational.eventsTsCanary(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     "q_parquet_roundtrip" -> ((s, dir) => Sources.parquetRoundTrip(s, dir)),
     "q_json_roundtrip" -> ((s, dir) => Sources.jsonRoundTrip(s, dir)),
@@ -181,7 +182,7 @@ object SparkEntry {
     "q_cms_tokens" -> ((s, dir) =>
       Sketches.cmsTokenEstimates(Sources.documents(s, dir))),
     "q_hll_users" -> ((s, dir) =>
-      Sketches.hllDistinct(Sources.table(s, dir, "events"), "user_id")),
+      Sketches.hllDistinct(Sources.events(s, dir), "user_id")),
     // ---- round-2 relational widening ----
     "q_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customersSemiAnti(s, dir)),

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Shared local-mode session tuning.
   *
   * The container's /tmp sits on a virtual disk whose burst throughput
@@ -9,6 +11,42 @@ package graft
   * `spark.local.dir` at tmpfs when available.
   */
 object SparkLocal {
+
+  /** One session builder for every harness main (Verify/Bench/Profile/
+    * ScaleProof/SkewProof/Explain/pin generators). Before round 7 the same
+    * six config lines were copy-pasted across ten mains and drifted: Bench
+    * never pinned the session timezone, so any timestamp-typed read outside
+    * the Verify gate would have been host-timezone-dependent. Centralizing
+    * makes the config a single point of truth:
+    *
+    *  - `session.timeZone=UTC` — pinned EVERYWHERE. `Sources.events`
+    *    normalizes TIMESTAMP/TIMESTAMP_NTZ columns to epoch nanos via a
+    *    session-tz-dependent cast; UTC makes that cast the identity the
+    *    DuckDB oracles (`epoch_ns(ts)`) compute.
+    *  - `nanosAsLong` — testdata generations have shipped `events.ts` as
+    *    both TIMESTAMP(NANOS) and timestamp[us]; with this set, nanos read
+    *    as long and micros read as TIMESTAMP_NTZ, and the source loader
+    *    handles both (the round-6 regression was exactly this drift).
+    *  - shuffle partitions = thread count — local[n] has n execution slots;
+    *    the 200 default just multiplies scheduling overhead.
+    *  - AQE on — the runtime re-planner we rely on at cluster scale;
+    *    keeping it on locally means the measured plans are the shipped plans.
+    */
+  def session(threads: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+              extraConf: Seq[(String, String)] = Nil): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
   def localDir: String = {
     val shm = new java.io.File("/dev/shm/graft-spark")
     if ((shm.isDirectory || shm.mkdirs()) && shm.canWrite) {

@@ -51,7 +51,7 @@ object AsOfJoin {
   /** Driver-contract instance: each event looks up the customer's most recent
     * order at-or-before the event time (micros on both sides). */
   def eventsAsOfOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Sources.table(spark, sfDir, "events")
+    val ev = Sources.events(spark, sfDir)
       .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
         col("event_id").as("leftId"))
     val od = Sources.table(spark, sfDir, "orders")

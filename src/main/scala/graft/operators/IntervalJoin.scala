@@ -47,7 +47,7 @@ object IntervalJoin {
   def eventPairs(spark: SparkSession, sfDir: String,
                  deltaUs: Long = 300L * 1000000L): DataFrame =
     within(
-      Sources.table(spark, sfDir, "events")
+      Sources.events(spark, sfDir)
         .select(col("user_id").as("key"), expr("ts div 1000").as("t"),
           col("event_id").as("rowId")),
       deltaUs)

@@ -74,16 +74,18 @@ object Relational {
     * hash-gateable. Scale posture: map-side combine reduces each partition to
     * |bins| rows before the single tiny exchange. */
   def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100.0).cast("long")).as("qsum"))
       .orderBy("bin")
 
-  /** Daily event rollup. `ts` arrives as long nanoseconds (nanosAsLong read);
-    * the day key is exact integer division — no double rounding at 1e18. */
+  /** Daily event rollup. `ts` arrives as long nanoseconds (normalized at the
+    * source boundary by [[graft.sources.Sources.events]] regardless of the
+    * parquet physical type); the day key is exact integer division — no
+    * double rounding at 1e18. */
   def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(col("event_type"), expr("ts div 86400000000000").as("day"),
         col("value"), col("user_id"))
       .groupBy("event_type", "day")
@@ -100,7 +102,7 @@ object Relational {
     * integer arithmetic on the nanosecond timestamps — no double rounding),
     * then one partial+final hash aggregation over |windows| cells. */
   def eventsHopping(spark: SparkSession, sfDir: String): DataFrame =
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(expr("ts div 3600000000000").as("h"), col("value"))
       .select(explode(array(col("h") - 1, col("h"))).as("win"), col("value"))
       .groupBy("win")
@@ -119,7 +121,7 @@ object Relational {
                  gapMicros: Long = 30L * 60 * 1000000L): DataFrame = {
     // event_id tie-break: equal timestamps would make lag order unstable
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
       .withColumn("new_session",
         when(col("ts") - lag(col("ts"), 1).over(byUser) > gapMicros ||
@@ -214,7 +216,7 @@ object Relational {
     * is days, not users. */
   def cumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       .groupBy("user_id").agg(min(col("day")).as("day"))
       .groupBy("day").agg(count(lit(1)).as("new_users"))
@@ -231,7 +233,7 @@ object Relational {
   def eventTypeMode(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("cnt").desc, col("event_type").asc)
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -263,7 +265,7 @@ object Relational {
     * the gate to disagree on). */
   def eventLagDeltas(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"))
       .withColumn("prev_event_id", lag(col("event_id"), 1).over(byUser))
       .withColumn("gap_us", col("ts") - lag(col("ts"), 1).over(byUser))
@@ -277,7 +279,7 @@ object Relational {
     * cumulative distribution reaches p — a data value, not an interpolation,
     * so there is no midpoint arithmetic for engines to disagree on. */
   def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -323,7 +325,7 @@ object Relational {
   def eventsRangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"))
       .rangeBetween(-3600000000L, Window.currentRow)
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .withColumn("hr_sum", sum(col("k")).over(w))
@@ -349,7 +351,7 @@ object Relational {
     // 2024-01-21T00:00Z as epoch nanos (ts arrives as long nanos)
     val splitNs = java.time.LocalDate.of(2024, 1, 21).toEpochDay *
       86400L * 1000000000L
-    val ev = Sources.table(spark, sfDir, "events")
+    val ev = Sources.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts"))
     def latest(df: DataFrame, p: String): DataFrame = {
@@ -403,7 +405,7 @@ object Relational {
   def eventsRolling(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-2, Window.currentRow)
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("roll_sum",
         sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
@@ -437,7 +439,7 @@ object Relational {
 
   /** JSON property extraction + integer aggregation (exact long sums). */
   def eventsJsonStats(spark: SparkSession, sfDir: String): DataFrame =
-    Sources.table(spark, sfDir, "events")
+    Sources.events(spark, sfDir)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
@@ -447,4 +449,23 @@ object Relational {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy("event_type")
+
+  /** Schema-drift canary for the events time column (round-7 hard lesson:
+    * a testdata regeneration flipped `ts` from TIMESTAMP(NANOS) to
+    * timestamp[us] and silently broke nine event-time queries at analysis
+    * time). This query hash-gates the NORMALIZED nanos — count, endpoints,
+    * and a order-independent checksum over every value (sum of µs-resolution
+    * offsets from a fixed epoch day, exact in int64) — against DuckDB's
+    * native `epoch_ns` read. If the generator drifts to a physical type
+    * [[graft.sources.Sources.events]] mishandles, this fails as ONE named
+    * diff pointing at the source boundary, not nine downstream failures. */
+  def eventsTsCanary(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.events(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        // ts div 1000: µs resolution; minus a 2024-01-01 base so the int64
+        // sum of ~60k sf0.1 values stays far from overflow at any sf
+        sum(expr("ts div 1000") - lit(1704067200000000L)).as("us_checksum"))
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Source-boundary loaders (SURVEY.md §2.1 S1-S4, FIXTURES.md).
   *
@@ -15,6 +16,50 @@ object Sources {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table with `ts` NORMALIZED to epoch nanoseconds (long) —
+    * the single source boundary every event-time operator reads through.
+    *
+    * Testdata generations have shipped `events.ts` under two different
+    * physical parquet types: TIMESTAMP(NANOS) (reads as long under the
+    * `nanosAsLong` legacy conf — round ≤5) and timestamp[us] (reads as
+    * TIMESTAMP_NTZ — round 6, which broke every `ts`-arithmetic query at
+    * analysis time because integer math on a timestamp column doesn't
+    * resolve). The engine cannot control the generator, so the type
+    * decision lives HERE, once, instead of as an assumption spread over a
+    * dozen operators:
+    *
+    *  - `LongType` (nanos-as-long read): passthrough.
+    *  - `TimestampType` (µs instant): `unix_micros * 1000` — timezone-free.
+    *  - `TimestampNTZType` (µs wall-clock): the wall-clock digits are the
+    *    value; `unix_micros(cast(ts as timestamp))` equals those digits'
+    *    epoch micros only when the session timezone is UTC (the cast
+    *    interprets wall time in session tz). All graft sessions pin UTC
+    *    (`SparkLocal.session`); the require makes a drifted caller fail
+    *    loudly here rather than produce host-timezone-shifted nanos.
+    *
+    * Any OTHER physical type fails loudly with the drift explanation — the
+    * schema canary (`q_events_ts`) hash-gates min/max/count of the
+    * normalized nanos against DuckDB's `epoch_ns` so a future generator
+    * change surfaces as one named failure, not nine mysterious ones. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: normalization to epoch nanos needs " +
+            "spark.sql.session.timeZone=UTC (use SparkLocal.session)")
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => sys.error(
+        s"events.ts: unhandled physical type $other — testdata generator " +
+          "drifted again; extend Sources.events (the ONE place ts physical " +
+          "type is interpreted)")
+    }
+  }
 
   /** Fixture 1 — 2-D point set for HW1 outlier detection.
     * SQL twin: `SELECT l_orderkey*10+l_linenumber AS id, l_quantity AS x,
@@ -40,7 +85,9 @@ object Sources {
   /** Fixture 3 — integer item stream for HW3 frequent items:
     * `SELECT event_id AS seq, user_id % 50 AS item FROM events ORDER BY seq`. */
   def streamItems(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events").select(
+    // via the normalized loader for uniformity; ts is pruned away, so the
+    // normalization projection costs nothing here
+    events(spark, sfDir).select(
       col("event_id").as("seq"), (col("user_id") % 50).as("item"))
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =

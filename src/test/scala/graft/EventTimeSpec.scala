@@ -95,7 +95,7 @@ class EventTimeSpec extends AnyFunSuite with SharedSpark {
   test("profileUpsertStream converges to the batch upsert's merged profile") {
     implicit val ctx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val ev = graft.sources.Sources.table(spark, dir, "events")
+    val ev = graft.sources.Sources.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts"))
       .as[EventTime.UserEvent].collect()

@@ -64,7 +64,7 @@ class Round3WideningSpec extends AnyFunSuite with SharedSpark {
   test("percentile_disc picks actual data values with cume_dist >= p") {
     val r = Relational.valuePercentiles(spark, dir)
       .as[(String, Long, Double, Double, Double, Double)].collect()
-    val values = Sources.table(spark, dir, "events")
+    val values = Sources.events(spark, dir)
       .select(col("event_type"), col("value")).as[(String, Double)]
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     r.foreach { case (et, n, p50, p90, vmin, vmax) =>

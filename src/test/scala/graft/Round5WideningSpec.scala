@@ -37,7 +37,7 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
 
   test("value histogram bins cover every event exactly once") {
     val h = Relational.valueHistogram(spark, dir).collect()
-    val total = Sources.table(spark, dir, "events").count()
+    val total = Sources.events(spark, dir).count()
     assert(h.map(_.getLong(1)).sum == total)
     assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted)
   }
@@ -94,7 +94,7 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("hll estimate lands within the b=8 error envelope of the exact count") {
-    val r = Sketches.hllDistinct(Sources.table(spark, dir, "events"), "user_id")
+    val r = Sketches.hllDistinct(Sources.events(spark, dir), "user_id")
       .head()
     val (exact, vZero, raw) = (r.getLong(0), r.getLong(1), r.getDouble(2))
     assert(exact > 0)
@@ -109,7 +109,7 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
 
   test("hopping windows cover each event exactly twice") {
     val h = Relational.eventsHopping(spark, dir)
-    val total = Sources.table(spark, dir, "events").count()
+    val total = Sources.events(spark, dir).count()
     assert(h.agg(sum("n_events")).head.getLong(0) == 2 * total)
     // distinct strictly-increasing window keys (the fixture's event hours
     // are sparse, so gaps between windows are expected)
@@ -185,7 +185,7 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
   test("deterministic mode picks the max count with the lexicographic tie-break") {
     val m = Relational.eventTypeMode(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val g = Sources.table(spark, dir, "events")
+    val g = Sources.events(spark, dir)
       .groupBy("user_id", "event_type").count().collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .groupBy(_._1)

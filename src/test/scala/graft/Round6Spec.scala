@@ -390,7 +390,7 @@ class Round6Spec extends AnyFunSuite with SharedSpark {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
     val splitNs = java.time.LocalDate.of(2024, 1, 21).toEpochDay *
       86400L * 1000000000L
-    val ev = Sources.table(spark, dir, "events")
+    val ev = Sources.events(spark, dir)
       .select("user_id", "event_id", "ts").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val latestOf = (rows: Seq[(Long, Long, Long)]) =>
