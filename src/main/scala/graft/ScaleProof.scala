@@ -260,6 +260,49 @@ object ScaleProof {
     results += "incr_screen_10x" -> tIncr
     checks += "incr_screen_invariant" -> (screen10 == baseScreen)
 
+    // sorted-neighborhood (SNM) pairs at repsx on the unique-key sub-corpus
+    // (r6 verdict #6: the operator shipped without a volume invariant).
+    // Restricting to base docs whose 40-char sort key is globally UNIQUE
+    // makes each doc's reps copies a rank-ADJACENT family in the composed
+    // global order (identical key; within a key the order is doc_id), so
+    // the window-pair count has an exact closed form:
+    //  - within-family: Σ_{g=1..w−1}(reps−g) per family, lev 0, always kept;
+    //  - cross-family: families hold reps > w−1 members, so only
+    //    CONSECUTIVE families in key order can meet inside a window,
+    //    contributing exactly C(w,2) boundary pairs iff their 64-char norms
+    //    pass the lev gate — computable from the base corpus with one lag.
+    // A rank-composition bug (bucket offsets, block probes) that loses or
+    // duplicates a window at volume breaks the equality.
+    import org.apache.spark.sql.expressions.Window
+    val keyedDocs = Sources.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        lower(substring(col("text"), 1, 40)).as("key"),
+        lower(substring(col("text"), 1, 64)).as("norm"))
+    val uniqKey = keyedDocs
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("nk") === 1).drop("nk").localCheckpoint()
+    val nFam = uniqKey.count()
+    // global lag window over the ≤|base docs| unique-key rows — proof-scale
+    // driver work, not a shipped operator shape
+    val nAdjacent = uniqKey
+      .withColumn("prev", lag(col("norm"), 1).over(Window.orderBy("key")))
+      .filter(col("prev").isNotNull &&
+        levenshtein(col("prev"), col("norm")) <= 12)
+      .count()
+    val snW = 8
+    require(reps >= snW, s"snm closed form needs reps >= $snW (family " +
+      "blocks must insulate non-consecutive families from the window)")
+    val famPairs = (1 until snW).map(g => (reps - g).toLong).sum
+    val expectedSn =
+      nFam * famPairs + nAdjacent * (snW.toLong * (snW - 1) / 2)
+    val (snPairs, tSn) = timed(
+      Dedup.sortedNeighborPairs(
+        replicate(uniqKey.select("doc_id", "text"), "doc_id", 10000000L))
+        .count())
+    results += "sorted_neighbors_10x" -> tSn
+    checks += "snm_pairs_closed_form" -> (snPairs == expectedSn)
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
