@@ -422,6 +422,22 @@ object ExtensionOracles {
          |  FROM bk JOIN cms ON bk.j = cms.j AND bk.b = cms.b
          | WHERE bk.cnt >= 50
          | GROUP BY bk.tok, bk.cnt ORDER BY tok""".stripMargin,
+    // Mergeable histogram quantile sketch: the oracle rebuilds the bucket
+    // state and inverts the CDF at the same integer-exact thresholds
+    "q_quantile_sketch" ->
+      s"""WITH h AS (SELECT event_type,
+         |                  CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+         |                  CAST(COUNT(*) AS BIGINT) AS cnt
+         |             FROM '<sfDir>/events.parquet' GROUP BY 1, 2),
+         |c AS (SELECT event_type, bucket, cnt,
+         |             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         |             SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |        FROM h)
+         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         |       MIN(CASE WHEN cum * 2 >= n THEN (bucket + 1) * 5.0 END) AS p50,
+         |       MIN(CASE WHEN cum * 10 >= n * 9 THEN (bucket + 1) * 5.0 END) AS p90,
+         |       MIN(CASE WHEN cum * 100 >= n * 99 THEN (bucket + 1) * 5.0 END) AS p99
+         |  FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // HLL registers via the shared binary-string rho; harmonic sum over
     // exact int64 terms; the two final IEEE ops replay identically
     "q_hll_users" ->

@@ -303,6 +303,24 @@ object ScaleProof {
     results += "sorted_neighbors_10x" -> tSn
     checks += "snm_pairs_closed_form" -> (snPairs == expectedSn)
 
+    // distributed-CC chain stress (r6 verdict #8): a single path graph is
+    // the WORST diameter shape — plain min-label propagation needs one
+    // round per hop (a 200k chain would blow any sane maxRounds), while
+    // the pointer-jumped loop must close it in ~log₂ rounds. Forced onto
+    // the distributed route; the answer is closed-form: one component,
+    // every vertex labeled 0.
+    val chainN = 200000L
+    val chainEdges = spark.range(chainN)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val (ccChain, tChain) = timed(
+      Dedup.connectedComponents(chainEdges, driverThreshold = 1L)
+        .agg(countDistinct(col("cluster_id")).as("nc"),
+          count(lit(1)).as("nv"), max(col("cluster_id")).as("mx")).head())
+    results += "cc_chain_stress" -> tChain
+    checks += "cc_chain_closed_form" ->
+      (ccChain.getLong(0) == 1L && ccChain.getLong(1) == chainN + 1L &&
+        ccChain.getLong(2) == 0L)
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

@@ -183,6 +183,8 @@ object SparkEntry {
       Sketches.cmsTokenEstimates(Sources.documents(s, dir))),
     "q_hll_users" -> ((s, dir) =>
       Sketches.hllDistinct(Sources.events(s, dir), "user_id")),
+    "q_quantile_sketch" -> ((s, dir) =>
+      Sketches.quantileSketch(Sources.events(s, dir), "event_type", "value")),
     // ---- round-2 relational widening ----
     "q_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customersSemiAnti(s, dir)),

@@ -624,14 +624,23 @@ object Dedup {
     * step after near-dup pair generation (two docs 0.4-similar to a common
     * third belong to one dedup group even if not directly paired).
     *
-    * Min-label propagation to fixpoint: every vertex repeatedly adopts the
-    * smallest label among itself and its neighbors. Each round is one
-    * shuffled join + aggregation over the EDGE list (never a transitive
-    * closure materialization), and the round count is the component
-    * diameter — near-dup clusters are short chains, so this converges in a
-    * handful of rounds at any corpus size; the driver only ever sees the
-    * single convergence counter. Output: (doc_id, cluster_id = min doc_id
-    * in the component), for every doc incident to a pair. */
+    * Min-label propagation with pointer jumping, to fixpoint: every round
+    * each vertex first adopts the smallest label among itself and its
+    * neighbors (one shuffled join + aggregation over the EDGE list — never
+    * a transitive-closure materialization), then SHORTCUTS by adopting its
+    * label's own label (`l(u) := l(l(u))`, one more equi-join). The jump is
+    * the classic PRAM shortcut: labels always point to a smaller vertex of
+    * the same component, so jumping halves chain depth and the round count
+    * drops from O(component diameter) to O(log diameter) — the difference
+    * between "any near-dup cluster" and "a 100k-long boilerplate chain a
+    * 100 TB crawl will eventually contain" (the chain would need 100k
+    * neighbor-only rounds, but ~20 jumped ones; ScaleProof's
+    * `cc_chain_stress` drives exactly that shape). At the joint fixpoint
+    * the neighbor step forces equal labels across every edge and
+    * `l(x) ≤ x` forces the shared label to be the component minimum, so
+    * convergence implies exactness. The driver only ever sees the single
+    * convergence counter. Output: (doc_id, cluster_id = min doc_id in the
+    * component), for every doc incident to a pair. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 100,
                           driverThreshold: Long = 4_000_000L): DataFrame = {
     val spark = pairs.sparkSession
@@ -680,11 +689,20 @@ object Dedup {
         val neighborMin = edges
           .join(labels, edges("v") === labels("id"))
           .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nlbl"))
+        val hopped = labels.join(neighborMin, "id")
+          .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+        // pointer jump: adopt the label's own label. Left join + coalesce:
+        // a label is always a vertex id present in `hopped` (it entered via
+        // some edge), but the outer form keeps a root's self-label total
+        // rather than relying on that invariant for row retention.
         // localCheckpoint (eager) truncates the per-round lineage — without
         // it each iteration's plan nests the previous one and analysis time
         // grows quadratically with the round count
-        val next = labels.join(neighborMin, "id")
-          .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+        val next = hopped.as("x")
+          .join(hopped.select(col("id").as("jid"), col("lbl").as("jlbl")).as("y"),
+            col("x.lbl") === col("y.jid"), "left")
+          .select(col("x.id").as("id"),
+            coalesce(col("y.jlbl"), col("x.lbl")).as("lbl"))
           .localCheckpoint()
         converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
           .filter(col("lbl") =!= col("old")).isEmpty

@@ -91,4 +91,52 @@ object Sketches {
         ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) *
           lit(9007199254740992.0) / col("s").cast("double")).as("raw_est"))
   }
+
+  /** Mergeable equi-width histogram quantile sketch — the deterministic
+    * member of the percentile family ([[Relational.sketchStats]]'s
+    * `percentile_approx` stays rows-only because GK/KLL state is
+    * merge-order-dependent; a bucket-count vector is not). The sketch
+    * STATE is (group, bucket, cnt): associative, commutative, fixed error
+    * (one bucket width), so partitions combine by plain summation — which
+    * is exactly what Spark's partial aggregation does here, and what makes
+    * this the quantile structure a 1000-executor scan can afford. Estimate
+    * read-off is CDF inversion at integer-exact thresholds (`cum·den ≥
+    * q_num·n` — no float boundary for engines to disagree on), reporting
+    * each quantile as its bucket's upper edge.
+    *
+    * [[histogramSketch]] exposes the state so callers can persist shards
+    * and merge later (re-aggregate by group+bucket); [[quantileSketch]] is
+    * the one-shot build+read. Read-off cost is |groups|·|buckets| rows —
+    * sketch-sized, corpus-independent. */
+  def histogramSketch(df: DataFrame, groupCol: String, valueCol: String,
+                      width: Double): DataFrame =
+    df.groupBy(col(groupCol),
+        floor(col(valueCol) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a (possibly re-merged) [[histogramSketch]]
+    * state. `qs` are (name, num, den) rationals, e.g. ("p90", 9, 10). */
+  def quantilesFromSketch(sketch: DataFrame, groupCol: String, width: Double,
+                          qs: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(groupCol).orderBy("bucket")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(groupCol)))
+    val qCols = qs.map { case (name, num, den) =>
+      min(when(col("cum") * den >= col("n") * num,
+        (col("bucket") + 1).cast("double") * width)).as(name)
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), qCols: _*)
+      .orderBy(groupCol)
+  }
+
+  /** One-shot contract instance: per-group quantile estimates of `valueCol`
+    * via the mergeable histogram sketch. */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+                     width: Double = 5.0): DataFrame =
+    quantilesFromSketch(histogramSketch(df, groupCol, valueCol, width),
+      groupCol, width,
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
 }

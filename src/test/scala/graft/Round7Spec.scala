@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sketches}
+import graft.sources.Sources
+
+/** Round-7 widening: the mergeable histogram quantile sketch and the
+  * pointer-jumped distributed connected-components loop. */
+class Round7Spec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("histogram sketch shards re-merge to the whole-corpus quantiles") {
+    val ev = Sources.events(spark, dir).localCheckpoint()
+    val whole = Sketches.quantileSketch(ev, "event_type", "value")
+    // shard by event parity, build a sketch per shard, merge by summation —
+    // the associativity contract that makes the state mergeable at all
+    val shardA = Sketches.histogramSketch(
+      ev.filter(col("event_id") % 2 === 0), "event_type", "value", 5.0)
+    val shardB = Sketches.histogramSketch(
+      ev.filter(col("event_id") % 2 === 1), "event_type", "value", 5.0)
+    val merged = shardA.unionAll(shardB)
+      .groupBy("event_type", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val viaMerge =
+      Sketches.quantilesFromSketch(merged, "event_type", 5.0, qs)
+    assert(rows(viaMerge) === rows(whole))
+  }
+
+  test("sketch quantile brackets the exact discrete percentile by one bucket") {
+    val ev = Sources.events(spark, dir)
+    val sk = Sketches.quantileSketch(ev, "event_type", "value")
+      .select("event_type", "p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, v) =>
+      val est = sk(g)
+      // upper-edge convention: the estimate is the upper edge of the bucket
+      // holding the q-th value — strictly above it, by at most one width
+      assert(est > v && est <= v + 5.0, s"group $g: est $est vs exact $v")
+    }
+  }
+
+  private def cc(edges: Seq[(Long, Long)], driverThreshold: Long,
+                 maxRounds: Int = 100): Set[(Long, Long)] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("a", "b"), maxRounds,
+        driverThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("distributed CC equals the driver union-find on adversarial shapes") {
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val star = (1L to 50L).map(i => (0L, i))
+    val clique = for (i <- 0L until 12L; j <- i + 1 until 12L) yield (i, j)
+    // two components + id gaps + reversed pair order
+    val split = Seq((5L, 3L), (3L, 9L), (100L, 102L), (101L, 102L))
+    for (g <- Seq(chain, star, clique, split)) {
+      val viaDriver = cc(g, driverThreshold = 4_000_000L)
+      val viaDistributed = cc(g, driverThreshold = 1L)
+      assert(viaDistributed === viaDriver)
+    }
+  }
+
+  test("pointer jumping closes a 5000-edge chain well under its diameter") {
+    // neighbor-only min-label propagation needs one round per hop (5000);
+    // the jumped loop must converge within 30 — convergence inside that
+    // budget (no IllegalStateException) plus the closed-form answer IS the
+    // O(log diameter) evidence
+    val chain = (0L until 5000L).map(i => (i, i + 1))
+    val labels = cc(chain, driverThreshold = 1L, maxRounds = 30)
+    assert(labels.size === 5001 && labels.forall(_._2 == 0L))
+  }
+}
