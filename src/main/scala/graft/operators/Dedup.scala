@@ -676,13 +676,28 @@ object Dedup {
       parent.keys.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
         .orderBy("doc_id")
     } else {
+      // hash-partitioned ON THE PROBE KEY before caching: every round's
+      // neighbor-min join requires distribution by v, so the cached
+      // partitioning satisfies it and only the (smaller) label side moves —
+      // the "reuse one partitioning across stages" rule applied to the one
+      // relation every iteration rescans
       val edges = p.select(col("a").as("u"), col("b").as("v"))
         .unionByName(p.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("v"))
         .cache()
       var labels = edges.select(col("u").as("id"))
         .distinct()
         .select(col("id"), col("id").as("lbl"))
         .localCheckpoint()
+      // Convergence gauge: labels only ever DECREASE, so the round changed
+      // something iff the exact label total dropped — one tiny aggregation
+      // instead of a full self-join diff per round. decimal(38,0): 4M+
+      // labels of ~1e18 ids overflow an int64 sum, and a wrapped total
+      // could alias a real change to "no change" and exit early with wrong
+      // labels.
+      def labelTotal(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevTotal = labelTotal(labels)
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
@@ -704,8 +719,9 @@ object Dedup {
           .select(col("x.id").as("id"),
             coalesce(col("y.jlbl"), col("x.lbl")).as("lbl"))
           .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).isEmpty
+        val nextTotal = labelTotal(next)
+        converged = nextTotal.compareTo(prevTotal) == 0
+        prevTotal = nextTotal
         labels.unpersist()
         labels = next
         round += 1
