@@ -766,6 +766,30 @@ object ExtensionOracles {
     // unigram surprisal in whole bits: floor_log2 via exact bin-string
     // lengths, so every aggregate is an exact int64 sum and only the final
     // per-doc means divide — mirrors TextAnalysis.unigramScore
+    // Sparse TF-IDF cosine pairs: whole-bit idf (bin-length floor-log2),
+    // exact-integer threshold (squared through HUGEINT), IEEE cosine
+    "q_tfidf_pairs" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+         |d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+         |p AS (SELECT tf.doc_id, tf.tok,
+         |             tf.tf * CAST(length(bin(n.n // d.df)) - 1 AS BIGINT) AS w
+         |        FROM tf JOIN d ON tf.tok = d.tok, n
+         |       WHERE d.df <= 50 AND length(bin(n.n // d.df)) - 1 >= 1),
+         |nm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS ss FROM p GROUP BY 1),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |              CAST(SUM(x.w * y.w) AS BIGINT) AS num
+         |         FROM p x JOIN p y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT pr.a, pr.b, pr.num,
+         |       CAST(pr.num AS DOUBLE) /
+         |         (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cos
+         |  FROM pr JOIN nm na ON pr.a = na.doc_id
+         |  JOIN nm nb ON pr.b = nb.doc_id
+         | WHERE CAST(2 * pr.num AS HUGEINT) * CAST(2 * pr.num AS HUGEINT)
+         |       >= CAST(na.ss AS HUGEINT) * CAST(nb.ss AS HUGEINT)
+         | ORDER BY a, b""".stripMargin,
     "q_unigram" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m FROM t GROUP BY doc_id, tok),

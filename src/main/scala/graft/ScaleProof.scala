@@ -303,6 +303,30 @@ object ScaleProof {
     results += "sorted_neighbors_10x" -> tSn
     checks += "snm_pairs_closed_form" -> (snPairs == expectedSn)
 
+    // TF-IDF cosine pairs at repsx with the df cap FIXED — the actual scale
+    // contract: boilerplate is excluded by ABSOLUTE df, so at repsx corpus
+    // only tokens with base df <= dfCap/reps survive the cap. N div df is
+    // invariant under scaling both by reps (floor(kN/kd) = floor(N/d)), so
+    // every surviving whole-bit weight, norm and dot product is unchanged
+    // and the integer-exact threshold admits precisely the replicated pair
+    // set: each vector-bearing doc's copy family is C(reps,2) cos-1 pairs,
+    // each base pair crosses into reps² copy pairs. The fixed cap is also
+    // the perf proof — posting-join work at repsx is BOUNDED by the cap
+    // (never the corpus), the property that keeps it linear at 100 TB.
+    // (A scaled cap would instead grow join work reps² — measured 19+ min
+    // vs 85 s for the rest of this suite; that design was rejected.)
+    val baseCap = 50L / reps
+    val (baseTfp, _) = timed(TextAnalysis.tfidfCosinePairs(
+      Sources.documents(spark, sfDir), dfCap = baseCap).count())
+    val (tfp10, tTfp) = timed(TextAnalysis.tfidfCosinePairs(docs).count())
+    results += "tfidf_pairs_10x" -> tTfp
+    val nPostDocs = TextAnalysis.tfidfPostings(
+        Sources.documents(spark, sfDir), dfCap = baseCap)
+      .select("doc_id").distinct().count()
+    checks += "tfidf_pairs_closed_form" ->
+      (tfp10 ==
+        reps.toLong * (reps - 1) / 2 * nPostDocs + reps.toLong * reps * baseTfp)
+
     // distributed-CC chain stress (r6 verdict #8): a single path graph is
     // the WORST diameter shape — plain min-label propagation needs one
     // round per hop (a 200k chain would blow any sane maxRounds), while

@@ -194,6 +194,8 @@ object SparkEntry {
     "q_setops" -> ((s, dir) => Relational.docsSetOps(s, dir)),
     "q_asof" -> ((s, dir) => AsOfJoin.eventsAsOfOrders(s, dir)),
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(Sources.documents(s, dir))),
+    "q_tfidf_pairs" -> ((s, dir) =>
+      TextAnalysis.tfidfCosinePairs(Sources.documents(s, dir))),
     // Approximate sketches (HLL++/quantile): rows-only by design.
     "q_sketch_stats" -> ((s, dir) => Relational.sketchStats(s, dir)),
     // ---- round-2 training-pipeline depth ----

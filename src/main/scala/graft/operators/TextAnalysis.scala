@@ -407,6 +407,67 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Sparse TF-IDF cosine similarity pairs via a posting-list join — the
+    * lexical document-similarity member between the set-overlap family
+    * (n-gram Jaccard/containment) and the dense-embedding family
+    * (`Similarity.neardupCosine`): weighted bag-of-words, so shared RARE
+    * vocabulary counts more than shared boilerplate.
+    *
+    * Determinism contract (the same moves as [[unigramScore]] /
+    * [[tfidfTopTerms]]): idf is the WHOLE-BIT form floor(log2(N/df)) —
+    * exact via binary-string length, no libm — making every weight, norm
+    * and dot product an int64; the cosine threshold is tested in exact
+    * integer space ((tDen·num)² ≥ (tNum)²·ssa·ssb, squared through
+    * decimal(37,0) headroom) so no float boundary decides membership; the
+    * reported cosine is IEEE ops over exact ints (sqrt is
+    * correctly-rounded), bit-identical cross-engine.
+    *
+    * Scale shape: tokens with df > dfCap are EXCLUDED from the measure by
+    * contract (they are the boilerplate cosine should ignore — whole-bit
+    * idf already zeroes df > N/2), which caps the posting-list join at
+    * Σ_t df_t² ≤ dfCap·Σ df_t — linear in corpus for fixed cap, never n².
+    * Norms and postings come off one checkpointed posting table.
+    *
+    * Output: (a, b, num, cos) for pairs with cos ≥ tNum/tDen.
+    *
+    * [[tfidfPostings]] is the shared (doc_id, tok, w) posting table —
+    * public so ScaleProof's replication closed form counts the same
+    * vector-bearing docs the pair join sees. */
+  def tfidfPostings(docs: DataFrame, dfCap: Long = 50L): DataFrame = {
+    val tf = tokens(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n"))
+    tf.join(dfTab.filter(col("df") <= dfCap), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bits", (length(bin(expr("n div df"))) - 1).cast("long"))
+      .filter(col("bits") >= 1L)
+      .select(col("doc_id"), col("tok"), (col("tf") * col("bits")).as("w"))
+  }
+
+  def tfidfCosinePairs(docs: DataFrame, dfCap: Long = 50L,
+                       tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val post = tfidfPostings(docs, dfCap)
+      .localCheckpoint() // three readers: both join sides + norms
+    val norms = post.groupBy("doc_id").agg(sum(col("w") * col("w")).as("ss"))
+    val dots = post.as("x").join(post.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(sum(col("x.w") * col("y.w")).as("num"))
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("ss").as("ssa")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("ss").as("ssb")), "b")
+      .filter(
+        (col("num") * tDen.toLong).cast("decimal(18,0)") *
+          (col("num") * tDen.toLong).cast("decimal(18,0)") >=
+          (col("ssa") * (tNum.toLong * tNum)).cast("decimal(18,0)") *
+            col("ssb").cast("decimal(18,0)"))
+      .select(col("a"), col("b"), col("num"),
+        (col("num").cast("double") /
+          (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
+          .as("cos"))
+      .orderBy("a", "b")
+  }
+
   /** Per-(lang, source) corpus statistics over the document table. */
   def docStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang", "source")

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Sketches}
+import graft.operators.{Dedup, Sketches, TextAnalysis}
 import graft.sources.Sources
 
-/** Round-7 widening: the mergeable histogram quantile sketch and the
-  * pointer-jumped distributed connected-components loop. */
+/** Round-7 widening: the mergeable histogram quantile sketch, the
+  * pointer-jumped distributed connected-components loop, and sparse
+  * TF-IDF cosine pairs. */
 class Round7Spec extends AnyFunSuite with SharedSpark {
 
   private val dir = "/root/testdata/sf0.001"
@@ -46,6 +47,25 @@ class Round7Spec extends AnyFunSuite with SharedSpark {
       // holding the q-th value — strictly above it, by at most one width
       assert(est > v && est <= v + 5.0, s"group $g: est $est vs exact $v")
     }
+  }
+
+  test("tf-idf cosine pairs: whole-bit idf, boilerplate zeroed, exact threshold") {
+    import spark.implicits._
+    // N=4. "common" is in every doc: N div df = 1 → 0 bits → excluded.
+    // alpha/beta df=2 → 1 bit; gamma df=1 → 2 bits. tf multiplies: doc 1's
+    // doubled alpha weighs 2. Vectors: d1=(alpha 2, beta 1) ss=5,
+    // d2=(alpha 1, beta 1, gamma 2) ss=6, d3/d4 share no scored token with
+    // anyone. Only pair: (1,2) num=3, (2·3)²=36 ≥ 5·6 → cos=3/√30 kept.
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "alpha beta gamma common"),
+      (3L, "delta epsilon common"),
+      (4L, "zeta eta common")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosinePairs(docs).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 3L)))
+    assert(r.getDouble(3) === 3.0 / math.sqrt(30.0))
   }
 
   private def cc(edges: Seq[(Long, Long)], driverThreshold: Long,
