@@ -116,6 +116,40 @@ object ExtensionOracles {
        |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
        |        FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)""".stripMargin
 
+  /** Pinned per-subspace PQ codebooks ([[PqPins]], regenerate with
+    * `runMain graft.PqCenterPin`) as one (s, cid, cv) VALUES relation —
+    * the same E0-literal discipline as [[ivfCentCte]]. */
+  private def pqCentCte: String = {
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val rows = PqPins.embeddingsM8K16I2.flatMap { case (s, book) =>
+      book.map { case (cid, cv) =>
+        s"(CAST($s AS INT), CAST($cid AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
+      }
+    }.mkString(", ")
+    s"pqc AS (SELECT s, cid, cv FROM (VALUES $rows) t(s, cid, cv))"
+  }
+
+  private def sqdistSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+
+  /** PQ encode chain ending in (vec_id, codes LIST) rows `enc` — shared by
+    * q_pq_codes and q_pq_adc so the ADC gate can never verify codes a
+    * divergent encoder produced. Mirrors
+    * [[graft.operators.Similarity.pqEncode]]: per (vector, subspace),
+    * argmin squared distance over the 16 pinned sub-centers with the
+    * (d asc, cid asc) tie-break. */
+  private def pqEncCtes: String =
+    s"""$EMB,
+       |$pqCentCte,
+       |pa AS (SELECT e.vec_id, c.s, c.cid,
+       |              ${sqdistSql("list_slice(e.emb, c.s*8 + 1, c.s*8 + 8)", "c.cv")} AS d
+       |         FROM e, pqc c),
+       |prk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM pa),
+       |enc AS (SELECT vec_id, list(cid ORDER BY s) AS codes FROM prk WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) / " +
       s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
@@ -570,6 +604,40 @@ object ExtensionOracles {
          |SELECT bq.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
          |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
          |  FROM bq LEFT JOIN h ON bq.qid = h.qid ORDER BY bq.qid""".stripMargin,
+    // PQ codes: per-vector 8 sub-codes from the pinned trained codebooks,
+    // packed little-endian into one int64 nibble word (exact integer ops —
+    // scalar, so the hash gate digests it; lists aren't hashable there)
+    "q_pq_codes" ->
+      s"""WITH $pqEncCtes
+         |SELECT vec_id,
+         |       CAST(codes[1] + codes[2]*16 + codes[3]*256 + codes[4]*4096 +
+         |            codes[5]*65536 + codes[6]*1048576 + codes[7]*16777216 +
+         |            codes[8]*268435456 AS BIGINT) AS code
+         |  FROM enc ORDER BY vec_id""".stripMargin,
+    // ADC top-k: reconstruct each candidate from its codes (list concat in
+    // subspace order) and fold ONE sqdist over all 64 dims — the same
+    // index-order summation as the engine's SqDiffSum over the flattened
+    // reconstruction, so the raw adc doubles hash bit-identically
+    "q_pq_adc" ->
+      s"""WITH $pqEncCtes,
+         |rec AS (SELECT n.vec_id,
+         |               c0.cv || c1.cv || c2.cv || c3.cv || c4.cv || c5.cv || c6.cv || c7.cv AS rv
+         |          FROM enc n
+         |          JOIN pqc c0 ON c0.s = 0 AND c0.cid = n.codes[1]
+         |          JOIN pqc c1 ON c1.s = 1 AND c1.cid = n.codes[2]
+         |          JOIN pqc c2 ON c2.s = 2 AND c2.cid = n.codes[3]
+         |          JOIN pqc c3 ON c3.s = 3 AND c3.cid = n.codes[4]
+         |          JOIN pqc c4 ON c4.s = 4 AND c4.cid = n.codes[5]
+         |          JOIN pqc c5 ON c5.s = 5 AND c5.cid = n.codes[6]
+         |          JOIN pqc c6 ON c6.s = 6 AND c6.cid = n.codes[7]
+         |          JOIN pqc c7 ON c7.s = 7 AND c7.cid = n.codes[8]),
+         |q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 5),
+         |sc AS (SELECT q.qid, r.vec_id AS nid, ${sqdistSql("q.qv", "r.rv")} AS adc
+         |         FROM q, rec r WHERE r.vec_id <> q.qid),
+         |rkd AS (SELECT qid, nid, adc,
+         |               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS BIGINT) AS rank
+         |          FROM sc)
+         |SELECT qid, nid, adc, rank FROM rkd WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_neardup_cos" ->
       s"""WITH $EMB,
          |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos

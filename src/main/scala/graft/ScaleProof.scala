@@ -327,6 +327,23 @@ object ScaleProof {
       (tfp10 ==
         reps.toLong * (reps - 1) / 2 * nPostDocs + reps.toLong * reps * baseTfp)
 
+    // PQ at repsx: replication with disjoint vec_ids leaves training
+    // EXACTLY invariant — init is the k lowest vec_ids (the rep-0 copies
+    // of the base init rows), every cluster's quantized int64 sum and
+    // count both multiply by reps, and (reps·q)/(reps·n) is the same IEEE
+    // division on exactly-represented operands — so every copy gets its
+    // base vector's codes and the packed-code histogram scales exactly
+    // reps×.
+    val basePq = Similarity.pqPackedCodes(Sources.embeddings(spark, sfDir))
+      .groupBy("code").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (pq10, tPq) = timed(
+      Similarity.pqPackedCodes(emb).groupBy("code").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    results += "pq_codes_10x" -> tPq
+    checks += "pq_hist_scales_exactly" ->
+      (pq10 == basePq.map { case (c, n) => c -> n * reps })
+
     // distributed-CC chain stress (r6 verdict #8): a single path graph is
     // the WORST diameter shape — plain min-label propagation needs one
     // round per hop (a 200k chain would blow any sane maxRounds), while

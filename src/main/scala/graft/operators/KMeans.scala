@@ -78,6 +78,79 @@ object KMeans {
     }.toSeq.sortBy(_._1)
   }
 
+  /** All-subspace PQ codebook training fused into ONE pass per Lloyd
+    * round: a single narrow projection computes every subspace's argmin
+    * (m·k loop-codegen'd [[graft.functions.SqDiffSum]] folds per row,
+    * explode to one row per (vector, subspace)), and the centroid update
+    * is one posexplode + hash-agg over (s, cid, dim) — 2 scans per round
+    * total instead of [[trainCenters]]'s 2·m. The math is bit-identical
+    * to training each subspace separately: same init rows (the k lowest
+    * vec_ids, sliced), same order-free quantized int64 sums, same two
+    * IEEE divisions on exactly-represented operands — so the pinned
+    * [[graft.PqPins]] oracle literals stay valid (Round7Spec asserts the
+    * fused-vs-separate equality). */
+  def trainSubCenters(emb: DataFrame, m: Int, subDim: Int, k: Int,
+                      iters: Int): Seq[Seq[(Long, Array[Double])]] = {
+    if (!sharedKernels) return trainSubCentersImpl(emb, m, subDim, k, iters)
+    // same opt-in harness-side memo as [[trainCenters]] — q_pq_codes and
+    // q_pq_adc train the identical books inside one Verify JVM
+    val key = (emb.queryExecution.analyzed.semanticHash(), m, subDim, k, iters)
+    val cached = subCenterMemo.get(key)
+    if (cached != null) cached
+    else {
+      val fresh = trainSubCentersImpl(emb, m, subDim, k, iters)
+      subCenterMemo.put(key, fresh)
+      fresh
+    }
+  }
+
+  private val subCenterMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int, Int, Int), Seq[Seq[(Long, Array[Double])]]]
+
+  private def trainSubCentersImpl(emb: DataFrame, m: Int, subDim: Int,
+      k: Int, iters: Int): Seq[Seq[(Long, Array[Double])]] = {
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("emb"))
+    val init = vecs.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    var books: Seq[Seq[(Long, Array[Double])]] =
+      (0 until m).map(s => init.map { case (cid, v) =>
+        (cid, v.slice(s * subDim, (s + 1) * subDim))
+      })
+    var round = 1
+    while (round < iters) {
+      val assigned = vecs.select(
+        explode(array((0 until m).map { s =>
+          val sub = slice(col("emb"), s * subDim + 1, subDim)
+          struct(lit(s).as("s"),
+            array_min(array(books(s).map { case (cid, cv) =>
+              struct(graft.functions.SqDiffSum.sqDiffSum(sub,
+                array(cv.map(lit(_)): _*)).as("d"), lit(cid).as("cid"))
+            }: _*)).getField("cid").as("cid"),
+            sub.as("emb"))
+        }: _*)).as("a"))
+      val rows = assigned
+        .select(col("a.s").as("s"), col("a.cid").as("cid"),
+          posexplode(col("a.emb")).as(Seq("dim", "e")))
+        .groupBy("s", "cid", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("e") * lit(Q30)).cast("long")).as("qsum"))
+        .select(col("s"), col("cid"), col("dim"),
+          ((col("qsum").cast("double") / col("n").cast("double")) / lit(Q30))
+            .as("c"))
+        .collect()
+      books = (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s).groupBy(_.getLong(1)).map { case (cid, rs) =>
+          val arr = new Array[Double](rs.map(_.getInt(2)).max + 1)
+          rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          (cid, arr)
+        }.toSeq.sortBy(_._1)
+      }
+      round += 1
+    }
+    books
+  }
+
   /** The trained center set after `iters` Lloyd rounds (same round counting
     * as [[kmeans]]: iters=1 returns the init centers — the k lowest vec_ids —
     * and each further round applies one exact quantized-integer centroid

@@ -326,6 +326,96 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- Product quantization (Jégou et al. '11) ----
+
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqSubDim = 8 // 64-dim embeddings
+  private[graft] val PqCodebookSize = 16
+  private[graft] val PqTrainIters = 2
+
+  /** Per-subspace PQ codebooks: the 64-dim space cut into 8 contiguous
+    * 8-dim slices, each with its own deterministic k=16 Lloyd codebook —
+    * all 8 trained in ONE fused pass per round
+    * ([[KMeans.trainSubCenters]], bit-identical to 8 separate
+    * [[KMeans.trainCenters]] runs, so the whole train→encode→search chain
+    * stays oracle-verifiable; the sf0.01 books are pinned as
+    * [[graft.PqPins]] for the DuckDB side). Driver state: 8·16·8 doubles —
+    * constant in corpus size. */
+  def pqCodebooks(emb: DataFrame): Seq[Seq[(Long, Array[Double])]] =
+    KMeans.trainSubCenters(emb, PqSubspaces, PqSubDim,
+      PqCodebookSize, PqTrainIters)
+
+  /** Argmin sub-code for subspace `s`: 16 loop-codegen'd
+    * [[graft.functions.SqDiffSum]] folds over the slice, struct-min with
+    * the (d asc, cid asc) tie-break — the [[KMeans.assign]] discipline. */
+  private def subCode(vecCol: Column, s: Int,
+                      book: Seq[(Long, Array[Double])]): Column =
+    array_min(array(book.map { case (cid, cv) =>
+      struct(graft.functions.SqDiffSum.sqDiffSum(
+        slice(vecCol, s * PqSubDim + 1, PqSubDim),
+        array(cv.map(lit(_)): _*)).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** PQ encode: every vector becomes 8 sub-codes — 8 bytes of index
+    * payload standing in for 512 bytes of float64 (the compression that
+    * lets a 100 TB embedding corpus fit an in-memory ANN tier). One
+    * narrow literal-codebook projection: zero exchanges, codes never
+    * wider than the input. Output (vec_id, codes). */
+  def pqEncode(emb: DataFrame): DataFrame =
+    pqEncodeWith(emb, pqCodebooks(emb))
+
+  /** The dumpable form of [[pqEncode]]: the 8 sub-codes (each < 16) packed
+    * little-endian into ONE int64 nibble word — the literal 4-bytes-per-
+    * vector payload a PQ index ships, and a scalar the hash gate can
+    * digest (list columns aren't hashable driver-side). Output
+    * (vec_id, code). */
+  def pqPackedCodes(emb: DataFrame): DataFrame =
+    pqEncode(emb).select(col("vec_id"),
+      (0 until PqSubspaces).map(s =>
+        col("codes").getItem(s) * lit(1L << (4 * s))).reduce(_ + _).as("code"))
+      .orderBy("vec_id")
+
+  private def pqEncodeWith(emb: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
+    emb.select(col("vec_id"),
+      array((0 until PqSubspaces).map(s =>
+        subCode(col("emb"), s, books(s))): _*).as("codes"))
+
+  /** ADC (asymmetric distance) top-k over PQ codes: the query stays
+    * full-precision, every candidate is scored against its RECONSTRUCTION
+    * (per-subspace codebook lookup — `element_at` on a literal map, robust
+    * to empty-cluster cid gaps), so distances are Σₛ‖qₛ − cₛ‖² computed as
+    * ONE [[graft.functions.SqDiffSum]] fold over the flattened 64-dim
+    * reconstruction — index order, bit-identical to the oracle's
+    * `list_sum` over the concatenated codebook rows. Candidate state is
+    * the 8-byte code, not the vector: the scan that reads 64× less than
+    * [[annBruteForce]] at 100 TB (and composes with the IVF cells for
+    * sublinear probe sets). Output (qid, nid, adc, rank) — the raw ADC
+    * distance is part of the hash gate, not just the rank order. */
+  def pqAdcTopk(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val books = pqCodebooks(emb)
+    val recon = flatten(array((0 until PqSubspaces).map { s =>
+      element_at(
+        map(books(s).flatMap { case (cid, cv) =>
+          Seq(lit(cid), array(cv.map(lit(_)): _*))
+        }: _*),
+        col("codes").getItem(s))
+    }: _*))
+    val cand = pqEncodeWith(emb, books)
+      .select(col("vec_id").as("nid"), recon.as("nv"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
+    cand.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.SqDiffSum.sqDiffSum(col("qv"), col("nv")).as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("adc"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** SemDedup-style embedding dedup over the trained IVF cells (Abbas et
     * al. '23: semantic duplicates cluster together, so near-dup removal
     * inside coarse cells approximates global near-dup removal at a

@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Sketches, TextAnalysis}
 import graft.sources.Sources
 
 /** Round-7 widening: the mergeable histogram quantile sketch, the
-  * pointer-jumped distributed connected-components loop, and sparse
-  * TF-IDF cosine pairs. */
+  * pointer-jumped distributed connected-components loop, sparse TF-IDF
+  * cosine pairs, and the product-quantization ANN family. */
 class Round7Spec extends AnyFunSuite with SharedSpark {
 
   private val dir = "/root/testdata/sf0.001"
@@ -66,6 +66,55 @@ class Round7Spec extends AnyFunSuite with SharedSpark {
     val r = got.head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 3L)))
     assert(r.getDouble(3) === 3.0 / math.sqrt(30.0))
+  }
+
+  test("fused one-pass PQ training equals per-subspace Lloyd training") {
+    import org.apache.spark.sql.functions.slice
+    val emb = Sources.embeddings(spark, dir)
+    val fused = Similarity.pqCodebooks(emb)
+    val separate = (0 until 8).map { s =>
+      graft.operators.KMeans.trainCenters(
+        emb.select(col("vec_id"), slice(col("emb"), s * 8 + 1, 8).as("emb")),
+        16, 2)
+    }
+    assert(fused.map(_.map { case (c, v) => (c, v.toSeq) })
+      === separate.map(_.map { case (c, v) => (c, v.toSeq) }))
+  }
+
+  test("pq: packed codes are 8 nibbles; adc equals a driver-side recompute") {
+    val emb = Sources.embeddings(spark, dir).localCheckpoint()
+    val packed = Similarity.pqPackedCodes(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed.size === emb.count())
+    assert(packed.values.forall(c => c >= 0L && c < (1L << 32)))
+
+    // independent driver-side replay of encode + reconstruct + ADC: unpack
+    // each candidate's nibbles, look the sub-centroids up in the trained
+    // books, and fold sq-diffs in index order — must equal the engine's
+    // SqDiffSum doubles BITWISE, proving the map-lookup reconstruction
+    // and the packed codes describe the same index
+    val books = Similarity.pqCodebooks(emb).map(_.toMap)
+    val vecs = emb.select("vec_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def adc(qv: Array[Double], code: Long): Double = {
+      var s = 0.0
+      for (sub <- 0 until 8) {
+        val cv = books(sub)((code >> (4 * sub)) & 15L)
+        var i = 0
+        while (i < 8) {
+          val d = qv(sub * 8 + i) - cv(i); s += d * d; i += 1
+        }
+      }
+      s
+    }
+    val got = Similarity.pqAdcTopk(emb).collect()
+    assert(got.length === 50) // 5 queries x top-10
+    got.foreach { r =>
+      val (qid, nid, a, rank) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(nid != qid && rank >= 1L && rank <= 10L)
+      assert(a === adc(vecs(qid), packed(nid)), s"adc mismatch q$qid n$nid")
+    }
   }
 
   private def cc(edges: Seq[(Long, Long)], driverThreshold: Long,
