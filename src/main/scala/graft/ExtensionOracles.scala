@@ -150,6 +150,33 @@ object ExtensionOracles {
        |prk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM pa),
        |enc AS (SELECT vec_id, list(cid ORDER BY s) AS codes FROM prk WHERE rn = 1 GROUP BY vec_id)""".stripMargin
 
+  /** The ADC chain on top of [[pqEncCtes]]: reconstructions `rec` (list
+    * concat in subspace order), query set `q`, scored `sc`, ranked `rkd` —
+    * shared by q_pq_adc and q_pq_recall so the recall gate measures
+    * exactly the ADC ranking q_pq_adc hash-verifies. The single sqdist
+    * fold over all 64 reconstructed dims is the same index-order
+    * summation as the engine's SqDiffSum over the flattened
+    * reconstruction, so the raw adc doubles hash bit-identically. */
+  private def pqAdcCtes: String =
+    s"""$pqEncCtes,
+       |rec AS (SELECT n.vec_id,
+       |               c0.cv || c1.cv || c2.cv || c3.cv || c4.cv || c5.cv || c6.cv || c7.cv AS rv
+       |          FROM enc n
+       |          JOIN pqc c0 ON c0.s = 0 AND c0.cid = n.codes[1]
+       |          JOIN pqc c1 ON c1.s = 1 AND c1.cid = n.codes[2]
+       |          JOIN pqc c2 ON c2.s = 2 AND c2.cid = n.codes[3]
+       |          JOIN pqc c3 ON c3.s = 3 AND c3.cid = n.codes[4]
+       |          JOIN pqc c4 ON c4.s = 4 AND c4.cid = n.codes[5]
+       |          JOIN pqc c5 ON c5.s = 5 AND c5.cid = n.codes[6]
+       |          JOIN pqc c6 ON c6.s = 6 AND c6.cid = n.codes[7]
+       |          JOIN pqc c7 ON c7.s = 7 AND c7.cid = n.codes[8]),
+       |q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 5),
+       |sc AS (SELECT q.qid, r.vec_id AS nid, ${sqdistSql("q.qv", "r.rv")} AS adc
+       |         FROM q, rec r WHERE r.vec_id <> q.qid),
+       |rkd AS (SELECT qid, nid, adc,
+       |               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS BIGINT) AS rank
+       |          FROM sc)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) / " +
       s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
@@ -614,30 +641,24 @@ object ExtensionOracles {
          |            codes[5]*65536 + codes[6]*1048576 + codes[7]*16777216 +
          |            codes[8]*268435456 AS BIGINT) AS code
          |  FROM enc ORDER BY vec_id""".stripMargin,
-    // ADC top-k: reconstruct each candidate from its codes (list concat in
-    // subspace order) and fold ONE sqdist over all 64 dims — the same
-    // index-order summation as the engine's SqDiffSum over the flattened
-    // reconstruction, so the raw adc doubles hash bit-identically
     "q_pq_adc" ->
-      s"""WITH $pqEncCtes,
-         |rec AS (SELECT n.vec_id,
-         |               c0.cv || c1.cv || c2.cv || c3.cv || c4.cv || c5.cv || c6.cv || c7.cv AS rv
-         |          FROM enc n
-         |          JOIN pqc c0 ON c0.s = 0 AND c0.cid = n.codes[1]
-         |          JOIN pqc c1 ON c1.s = 1 AND c1.cid = n.codes[2]
-         |          JOIN pqc c2 ON c2.s = 2 AND c2.cid = n.codes[3]
-         |          JOIN pqc c3 ON c3.s = 3 AND c3.cid = n.codes[4]
-         |          JOIN pqc c4 ON c4.s = 4 AND c4.cid = n.codes[5]
-         |          JOIN pqc c5 ON c5.s = 5 AND c5.cid = n.codes[6]
-         |          JOIN pqc c6 ON c6.s = 6 AND c6.cid = n.codes[7]
-         |          JOIN pqc c7 ON c7.s = 7 AND c7.cid = n.codes[8]),
-         |q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 5),
-         |sc AS (SELECT q.qid, r.vec_id AS nid, ${sqdistSql("q.qv", "r.rv")} AS adc
-         |         FROM q, rec r WHERE r.vec_id <> q.qid),
-         |rkd AS (SELECT qid, nid, adc,
-         |               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS BIGINT) AS rank
-         |          FROM sc)
+      s"""WITH $pqAdcCtes
          |SELECT qid, nid, adc, rank FROM rkd WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // PQ recall@k against the EXACT squared-L2 top-k (ADC's own metric):
+    // both sides are the SAME CTE chains the q_pq_adc gate verifies
+    "q_pq_recall" ->
+      s"""WITH $pqAdcCtes,
+         |bs AS (SELECT q.qid, e.vec_id AS nid, ${sqdistSql("q.qv", "e.emb")} AS d
+         |         FROM q, e WHERE e.vec_id <> q.qid),
+         |br AS (SELECT qid, nid,
+         |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |         FROM bs),
+         |h AS (SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |        FROM rkd r JOIN br ON r.qid = br.qid AND r.nid = br.nid
+         |       WHERE r.rank <= 10 AND br.rank <= 10 GROUP BY r.qid)
+         |SELECT q.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |  FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
     "q_neardup_cos" ->
       s"""WITH $EMB,
          |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos

@@ -416,6 +416,35 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** PQ recall@k — the quality gauge the 64×-compressed index ships with
+    * (the [[annRecall]] counterpart for the ADC path): per query, the
+    * fraction of the EXACT squared-L2 top-k (ADC's own metric — cosine
+    * ground truth would conflate quantization loss with metric mismatch)
+    * that the ADC top-k recovers. Ground truth is only evaluated on the
+    * sampled query set — linear in corpus. */
+  def pqRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val wl2 = Window.partitionBy("qid").orderBy(col("d").asc, col("nid").asc)
+    val exact = emb.select(col("vec_id").as("nid"), col("emb").as("nv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.SqDiffSum.sqDiffSum(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(wl2))
+      .filter(col("rank") <= k)
+      .select("qid", "nid")
+    val approx = pqAdcTopk(emb, nQueries, k).select("qid", "nid")
+    val hits = approx.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   /** SemDedup-style embedding dedup over the trained IVF cells (Abbas et
     * al. '23: semantic duplicates cluster together, so near-dup removal
     * inside coarse cells approximates global near-dup removal at a

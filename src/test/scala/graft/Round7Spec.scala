@@ -115,6 +115,13 @@ class Round7Spec extends AnyFunSuite with SharedSpark {
       assert(nid != qid && rank >= 1L && rank <= 10L)
       assert(a === adc(vecs(qid), packed(nid)), s"adc mismatch q$qid n$nid")
     }
+
+    val rec = Similarity.pqRecall(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rec.length === 5)
+    rec.foreach { case (_, hits, recall) =>
+      assert(hits >= 0L && hits <= 10L && recall === hits / 10.0)
+    }
   }
 
   private def cc(edges: Seq[(Long, Long)], driverThreshold: Long,
