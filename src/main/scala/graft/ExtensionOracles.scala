@@ -72,16 +72,22 @@ object ExtensionOracles {
     s"cent AS (SELECT cid, cv FROM (VALUES $rows) t(cid, cv))"
   }
 
-  /** IVF probe→score→rank chain ending in ranked (qid, nid, rank) rows `r`
-    * — shared by q_ann_ivf and q_ann_recall so the recall gate measures
-    * exactly the index pipeline q_ann_ivf hash-verifies. */
-  private def ivfTopkCtes: String =
+  /** IVF assignment + probe chain ending in `cells` / `probes` — shared
+    * by the cosine-IVF gates and q_ivfpq so every consumer probes the
+    * identical trained cells. */
+  private def ivfProbeCtes: String =
     s"""$EMB,
        |$ivfCentCte,
        |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
        |cells AS (SELECT vec_id AS nid, emb AS nv, cid FROM rk WHERE crank = 1),
-       |probes AS (SELECT vec_id AS qid, emb AS qv, cid FROM rk WHERE vec_id < 5 AND crank <= 2),
+       |probes AS (SELECT vec_id AS qid, emb AS qv, cid FROM rk WHERE vec_id < 5 AND crank <= 2)""".stripMargin
+
+  /** IVF probe→score→rank chain ending in ranked (qid, nid, rank) rows `r`
+    * — shared by q_ann_ivf and q_ann_recall so the recall gate measures
+    * exactly the index pipeline q_ann_ivf hash-verifies. */
+  private def ivfTopkCtes: String =
+    s"""$ivfProbeCtes,
        |sc AS (SELECT p.qid, c.nid, MAX(${cosSql("p.qv", "c.nv")}) AS cos
        |         FROM cells c JOIN probes p ON c.cid = p.cid
        |        WHERE c.nid <> p.qid GROUP BY p.qid, c.nid),
@@ -141,9 +147,12 @@ object ExtensionOracles {
     * [[graft.operators.Similarity.pqEncode]]: per (vector, subspace),
     * argmin squared distance over the 16 pinned sub-centers with the
     * (d asc, cid asc) tie-break. */
-  private def pqEncCtes: String =
-    s"""$EMB,
-       |$pqCentCte,
+  private def pqEncCtes: String = s"$EMB,\n$pqEncCtesNoEmb"
+
+  /** [[pqEncCtes]] without the leading embeddings CTE, so it can compose
+    * with a WITH list that already defines `e` (q_ivfpq). */
+  private def pqEncCtesNoEmb: String =
+    s"""$pqCentCte,
        |pa AS (SELECT e.vec_id, c.s, c.cid,
        |              ${sqdistSql("list_slice(e.emb, c.s*8 + 1, c.s*8 + 8)", "c.cv")} AS d
        |         FROM e, pqc c),
@@ -157,9 +166,10 @@ object ExtensionOracles {
     * fold over all 64 reconstructed dims is the same index-order
     * summation as the engine's SqDiffSum over the flattened
     * reconstruction, so the raw adc doubles hash bit-identically. */
-  private def pqAdcCtes: String =
-    s"""$pqEncCtes,
-       |rec AS (SELECT n.vec_id,
+  /** The reconstruction CTE `rec` over `enc`+`pqc` (list concat in
+    * subspace order) — shared by the ADC chain and q_ivfpq. */
+  private def pqRecCte: String =
+    s"""rec AS (SELECT n.vec_id,
        |               c0.cv || c1.cv || c2.cv || c3.cv || c4.cv || c5.cv || c6.cv || c7.cv AS rv
        |          FROM enc n
        |          JOIN pqc c0 ON c0.s = 0 AND c0.cid = n.codes[1]
@@ -169,7 +179,11 @@ object ExtensionOracles {
        |          JOIN pqc c4 ON c4.s = 4 AND c4.cid = n.codes[5]
        |          JOIN pqc c5 ON c5.s = 5 AND c5.cid = n.codes[6]
        |          JOIN pqc c6 ON c6.s = 6 AND c6.cid = n.codes[7]
-       |          JOIN pqc c7 ON c7.s = 7 AND c7.cid = n.codes[8]),
+       |          JOIN pqc c7 ON c7.s = 7 AND c7.cid = n.codes[8])""".stripMargin
+
+  private def pqAdcCtes: String =
+    s"""$pqEncCtes,
+       |$pqRecCte,
        |q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 5),
        |sc AS (SELECT q.qid, r.vec_id AS nid, ${sqdistSql("q.qv", "r.rv")} AS adc
        |         FROM q, rec r WHERE r.vec_id <> q.qid),
@@ -659,6 +673,23 @@ object ExtensionOracles {
          |SELECT q.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
          |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
          |  FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
+    // IVF-PQ: the q_ann_ivf probe chain over the q_pq_codes candidate
+    // payload — members of probed cells ranked by cosine against their
+    // codebook RECONSTRUCTIONS (identical codes => identical recon => real
+    // cosine ties, broken by nid on both sides)
+    "q_ivfpq" ->
+      s"""WITH $ivfProbeCtes,
+         |$pqEncCtesNoEmb,
+         |$pqRecCte,
+         |psc AS (SELECT p.qid, c.nid, MAX(${cosSql("p.qv", "r2.rv")}) AS cos
+         |          FROM cells c
+         |          JOIN rec r2 ON c.nid = r2.vec_id
+         |          JOIN probes p ON c.cid = p.cid
+         |         WHERE c.nid <> p.qid GROUP BY p.qid, c.nid),
+         |pr AS (SELECT qid, nid, cos,
+         |              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |         FROM psc)
+         |SELECT qid, nid, cos, rank FROM pr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_neardup_cos" ->
       s"""WITH $EMB,
          |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos

@@ -392,17 +392,23 @@ object Similarity {
     * [[annBruteForce]] at 100 TB (and composes with the IVF cells for
     * sublinear probe sets). Output (qid, nid, adc, rank) — the raw ADC
     * distance is part of the hash gate, not just the rank order. */
-  def pqAdcTopk(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val books = pqCodebooks(emb)
-    val recon = flatten(array((0 until PqSubspaces).map { s =>
+  /** Reconstruction of a coded vector: per-subspace codebook lookup
+    * (`element_at` on a literal map — robust to empty-cluster cid gaps),
+    * flattened back to the full 64 dims in subspace order. */
+  private def pqReconCol(books: Seq[Seq[(Long, Array[Double])]],
+                         codes: Column): Column =
+    flatten(array((0 until PqSubspaces).map { s =>
       element_at(
         map(books(s).flatMap { case (cid, cv) =>
           Seq(lit(cid), array(cv.map(lit(_)): _*))
         }: _*),
-        col("codes").getItem(s))
+        codes.getItem(s))
     }: _*))
+
+  def pqAdcTopk(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val books = pqCodebooks(emb)
     val cand = pqEncodeWith(emb, books)
-      .select(col("vec_id").as("nid"), recon.as("nv"))
+      .select(col("vec_id").as("nid"), pqReconCol(books, col("codes")).as("nv"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qv"))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid").asc)
@@ -413,6 +419,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("adc"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ — the composed production ANN shape: the trained coarse cells
+    * ([[KMeans.trainCenters]], the same quantizer `q_ann_ivf` /
+    * `q_neardup_blocked` verify) bound the PROBE SET, and the PQ codes
+    * ([[pqCodebooks]]) bound the candidate MEMORY — at 100 TB both are
+    * mandatory: the probe bounds how much you read, the codes bound what
+    * a read costs. One narrow literal pass computes each vector's cell
+    * AND its reconstruction (the candidate table carries 4 B of code
+    * payload, never the raw vector); a query probes its `nprobe` nearest
+    * cells and ranks members by cosine against reconstructions — the
+    * SAME metric and fold as [[annIvf]], with the reconstruction standing
+    * in for the raw vector, so the gate isolates exactly the quantization
+    * effect. Output (qid, nid, cos, rank). */
+  def annIvfPq(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+               nprobe: Int = 2): DataFrame = {
+    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
+    val books = pqCodebooks(emb)
+    val cand = emb.select(col("vec_id").as("nid"),
+      array_min(centerStructs(col("emb"), centers)).getField("cid").as("cid"),
+      pqReconCol(books,
+        array((0 until PqSubspaces).map(s =>
+          subCode(col("emb"), s, books(s))): _*)).as("nv"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"),
+        explode(slice(array_sort(centerStructs(col("emb"), centers)), 1, nprobe))
+          .as("m"))
+      .select(col("qid"), col("qv"), col("m.cid").as("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cand.join(broadcast(probes), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .groupBy("qid", "nid").agg(max(col("cos")).as("cos")) // mirror the oracle's GROUP BY
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
       .orderBy("qid", "rank")
   }
 

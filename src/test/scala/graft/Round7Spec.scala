@@ -122,6 +122,26 @@ class Round7Spec extends AnyFunSuite with SharedSpark {
     rec.foreach { case (_, hits, recall) =>
       assert(hits >= 0L && hits <= 10L && recall === hits / 10.0)
     }
+
+    // ivfpq: same driver-side replay for the composed index — each ranked
+    // cos must equal the cosine of the query against the candidate's
+    // reconstruction, folded in index order
+    def reconOf(code: Long): Array[Double] =
+      (0 until 8).flatMap(sub => books(sub)((code >> (4 * sub)) & 15L)).toArray
+    def cosOf(q: Array[Double], r: Array[Double]): Double = {
+      var dot = 0.0; var nq = 0.0; var nr = 0.0; var i = 0
+      while (i < 64) { dot += q(i) * r(i); nq += q(i) * q(i); nr += r(i) * r(i); i += 1 }
+      dot / (math.sqrt(nq) * math.sqrt(nr))
+    }
+    val ivfpq = Similarity.annIvfPq(emb).collect()
+    assert(ivfpq.length === 50)
+    ivfpq.foreach { r =>
+      val (qid, nid, c, rank) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(nid != qid && rank >= 1L && rank <= 10L)
+      assert(c === cosOf(vecs(qid), reconOf(packed(nid))),
+        s"ivfpq cos mismatch q$qid n$nid")
+    }
   }
 
   private def cc(edges: Seq[(Long, Long)], driverThreshold: Long,
