@@ -327,6 +327,36 @@ object ScaleProof {
       (tfp10 ==
         reps.toLong * (reps - 1) / 2 * nPostDocs + reps.toLong * reps * baseTfp)
 
+    // edit-distance pairs at repsx — the r6 scale-killer, staged in r7:
+    // copies carry identical texts (same band, same histogram, lev 0), so
+    // every short-doc copy family adds C(reps,2) pairs and every base pair
+    // crosses into reps² copy pairs. Candidates within length bands grow
+    // ~reps² — the check proves the staged verify (histogram prefilter →
+    // repartition → banded DP) absorbs exactly the growth that cost 102 s
+    // unstaged at 1×.
+    val (baseEd, _) = timed(
+      Dedup.editDistancePairs(Sources.documents(spark, sfDir)).count())
+    val nShort = Sources.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) <= 200).count()
+    val (ed10, tEd) = timed(Dedup.editDistancePairs(docs).count())
+    results += "editdist_pairs_10x" -> tEd
+    checks += "editdist_pairs_closed_form" ->
+      (ed10 ==
+        reps.toLong * (reps - 1) / 2 * nShort + reps.toLong * reps * baseEd)
+
+    // simhash pairs at repsx: copies tokenize to identical 32-bit codes
+    // (hamming 0 — same bands, always candidates), so the banded pair set
+    // replicates in the same closed form; in-band density grows reps×, so
+    // this also stresses the band-bucket join's reps² candidate growth.
+    val (baseSim, _) = timed(
+      Dedup.simhashPairs(Sources.documents(spark, sfDir)).count())
+    val nSim = Dedup.simhash(Sources.documents(spark, sfDir)).count()
+    val (sim10, tSim) = timed(Dedup.simhashPairs(docs).count())
+    results += "simhash_pairs_10x" -> tSim
+    checks += "simhash_pairs_closed_form" ->
+      (sim10 ==
+        reps.toLong * (reps - 1) / 2 * nSim + reps.toLong * reps * baseSim)
+
     // PQ at repsx: replication with disjoint vec_ids leaves training
     // EXACTLY invariant — init is the k lowest vec_ids (the rep-0 copies
     // of the base init rows), every cluster's quantized int64 sum and
