@@ -191,6 +191,23 @@ object ExtensionOracles {
        |               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS BIGINT) AS rank
        |          FROM sc)""".stripMargin
 
+  /** IVF-PQ probe→reconstruct→score→rank chain ending in ranked
+    * (qid, nid, cos, rank) rows `pr` — shared by q_ivfpq and
+    * q_ivfpq_recall so the recall gate measures exactly the composed
+    * index q_ivfpq hash-verifies. */
+  private def ivfPqCtes: String =
+    s"""$ivfProbeCtes,
+       |$pqEncCtesNoEmb,
+       |$pqRecCte,
+       |psc AS (SELECT p.qid, c.nid, MAX(${cosSql("p.qv", "r2.rv")}) AS cos
+       |          FROM cells c
+       |          JOIN rec r2 ON c.nid = r2.vec_id
+       |          JOIN probes p ON c.cid = p.cid
+       |         WHERE c.nid <> p.qid GROUP BY p.qid, c.nid),
+       |pr AS (SELECT qid, nid, cos,
+       |              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |         FROM psc)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) / " +
       s"(SQRT(list_sum(list_transform($a, v -> v*v))) * " +
@@ -678,18 +695,20 @@ object ExtensionOracles {
     // codebook RECONSTRUCTIONS (identical codes => identical recon => real
     // cosine ties, broken by nid on both sides)
     "q_ivfpq" ->
-      s"""WITH $ivfProbeCtes,
-         |$pqEncCtesNoEmb,
-         |$pqRecCte,
-         |psc AS (SELECT p.qid, c.nid, MAX(${cosSql("p.qv", "r2.rv")}) AS cos
-         |          FROM cells c
-         |          JOIN rec r2 ON c.nid = r2.vec_id
-         |          JOIN probes p ON c.cid = p.cid
-         |         WHERE c.nid <> p.qid GROUP BY p.qid, c.nid),
-         |pr AS (SELECT qid, nid, cos,
-         |              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
-         |         FROM psc)
+      s"""WITH $ivfPqCtes
          |SELECT qid, nid, cos, rank FROM pr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // IVF-PQ recall@k vs the brute-force cosine ground truth: folds probe
+    // misses AND quantization error into one gauge; both sides are the
+    // SAME CTE chains the q_ivfpq / q_ann_topk gates verify
+    "q_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |$bruteTopkCtesNoEmb,
+         |h AS (SELECT pr.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |        FROM pr JOIN br ON pr.qid = br.qid AND pr.nid = br.nid
+         |       WHERE pr.rank <= 10 AND br.rank <= 10 GROUP BY pr.qid)
+         |SELECT bq.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |  FROM bq LEFT JOIN h ON bq.qid = h.qid ORDER BY bq.qid""".stripMargin,
     "q_neardup_cos" ->
       s"""WITH $EMB,
          |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos

@@ -161,6 +161,7 @@ object SparkEntry {
     "q_pq_adc" -> ((s, dir) => Similarity.pqAdcTopk(Sources.embeddings(s, dir))),
     "q_pq_recall" -> ((s, dir) => Similarity.pqRecall(Sources.embeddings(s, dir))),
     "q_ivfpq" -> ((s, dir) => Similarity.annIvfPq(Sources.embeddings(s, dir))),
+    "q_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(Sources.embeddings(s, dir))),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(Sources.embeddings(s, dir))),
     "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => KMeans.kmeans(Sources.embeddings(s, dir))),

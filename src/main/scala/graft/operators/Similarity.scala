@@ -488,6 +488,25 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Recall@k of the composed IVF-PQ index against the brute-force cosine
+    * ground truth — the number a deployment actually watches, since it
+    * folds BOTH loss sources together: probe misses (the IVF side) and
+    * quantization error (the PQ side). Completes the
+    * {ivf, pq, ivfpq} × {topk, recall} matrix. */
+  def ivfPqRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                  nprobe: Int = 2): DataFrame = {
+    val exact = annBruteForce(emb, nQueries, k).select("qid", "nid")
+    val approx = annIvfPq(emb, nQueries, k, nprobe).select("qid", "nid")
+    val hits = approx.join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   /** SemDedup-style embedding dedup over the trained IVF cells (Abbas et
     * al. '23: semantic duplicates cluster together, so near-dup removal
     * inside coarse cells approximates global near-dup removal at a

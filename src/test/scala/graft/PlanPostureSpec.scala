@@ -33,6 +33,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_ann_recall", // brute-force ground-truth side of the recall measure
     "q_pq_adc", // ADC scan x the broadcast 5-row query side
     "q_pq_recall", // exact-L2 ground-truth side of the PQ recall measure
+    "q_ivfpq_recall", // brute-force ground-truth side of the composed-index recall
     "q_neardup_blocked", "q_semi_anti", "q_outlier_summary", "q_hw2_pipeline",
     "q_hll_users", // n_exact x (s, v_zero): two SINGLE-ROW aggregates
     "q_mixture", // |langs| rates x the SINGLE-ROW quantized-weight total

@@ -133,6 +133,13 @@ class Round7Spec extends AnyFunSuite with SharedSpark {
       while (i < 64) { dot += q(i) * r(i); nq += q(i) * q(i); nr += r(i) * r(i); i += 1 }
       dot / (math.sqrt(nq) * math.sqrt(nr))
     }
+    val comboRec = Similarity.ivfPqRecall(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(comboRec.length === 5)
+    comboRec.foreach { case (_, hits, recall) =>
+      assert(hits >= 0L && hits <= 10L && recall === hits / 10.0)
+    }
+
     val ivfpq = Similarity.annIvfPq(emb).collect()
     assert(ivfpq.length === 50)
     ivfpq.foreach { r =>
