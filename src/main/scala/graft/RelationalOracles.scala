@@ -37,6 +37,51 @@ object RelationalOracles {
          |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
          |    FROM '<sfDir>/orders.parquet')
          | WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts
+         |             FROM '<sfDir>/events.parquet'),
+         |s1 AS (SELECT user_id, MIN(ts) AS t_view FROM e
+         |        WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM e
+         |         JOIN s1 USING (user_id)
+         |        WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM e
+         |         JOIN s2 USING (user_id)
+         |        WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+         |SELECT s1.user_id, s1.t_view,
+         |       CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+         |              + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth,
+         |       COALESCE(s2.t_click, -1) AS t_click,
+         |       COALESCE(s3.t_purchase, -1) AS t_purchase
+         |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         | ORDER BY user_id""".stripMargin,
+    "q_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts, event_id
+         |             FROM '<sfDir>/events.parquet'),
+         |t AS (SELECT event_type AS src,
+         |             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+         |             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts AS gap_us
+         |        FROM e)
+         |SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+         |  FROM t WHERE dst IS NOT NULL
+         | GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    "q_cohorts" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
+         |             FROM '<sfDir>/events.parquet'),
+         |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+         |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+         |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+         |  FROM e JOIN c USING (user_id)
+         | GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_bloom_join" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |       ${dsum(dec("l_extendedprice"))} AS revenue
+         |  FROM '<sfDir>/lineitem.parquet' l
+         | WHERE EXISTS (SELECT 1 FROM '<sfDir>/orders.parquet' o
+         |                WHERE o.o_orderkey = l.l_orderkey
+         |                  AND o.o_totalprice > 450000.0)
+         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_hopping" ->
       s"""SELECT win, CAST(COUNT(*) AS BIGINT) AS n_events,
          |       ${dsum("CAST(value AS DECIMAL(18,6))")} AS total_value

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
-import graft.operators.{AsOfJoin, Clustering, Curation, Dedup, ExactOutliers,
-  GridOutliers, IntervalJoin, KMeans, Layout, Multimodal, Relational,
-  Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Clustering, Curation, Dedup,
+  ExactOutliers, GridOutliers, IntervalJoin, KMeans, Layout, Multimodal,
+  Relational, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, FrequentItemsStream, ReservoirAgg}
 
@@ -254,6 +254,11 @@ object SparkEntry {
       TextAnalysis.chunkIndex(Sources.documents(s, dir))),
     "q_mode" -> ((s, dir) => Relational.eventTypeMode(s, dir)),
     "q_cum_users" -> ((s, dir) => Relational.cumulativeUsers(s, dir)),
+    // ---- round-7 widening: sequence/cohort analytics + join reduction ----
+    "q_funnel" -> ((s, dir) => Relational.funnel(s, dir)),
+    "q_transitions" -> ((s, dir) => Relational.eventTransitions(s, dir)),
+    "q_cohorts" -> ((s, dir) => Relational.cohortRetention(s, dir)),
+    "q_bloom_join" -> ((s, dir) => BloomJoin.bloomSemiJoinRevenue(s, dir)),
     "q_bigrams" -> ((s, dir) =>
       TextAnalysis.bigramCounts(Sources.documents(s, dir))),
     "q_top_similar" -> ((s, dir) =>

@@ -450,6 +450,73 @@ object Relational {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * earliest view, the earliest click STRICTLY AFTER that view, and the
+    * earliest purchase strictly after that click — the sequential
+    * constraint that distinguishes a funnel from three independent mins.
+    * Formulated as three conditional min-aggregations chained by equi-joins,
+    * ALL keyed on user_id: the per-stage tables shrink monotonically
+    * (stage k+1 ⊆ stage k's users), so at cluster scale the chain is one
+    * user_id exchange reused across stages plus joins against
+    * ever-smaller (eventually broadcast-able) stage tables. Times are µs
+    * (DuckDB's TIMESTAMP resolution); missing stages surface as the -1
+    * sentinel rather than nulls so the gate has no null-ordering to
+    * disagree on. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("depth"),
+        coalesce(col("t_click"), lit(-1L)).as("t_click"),
+        coalesce(col("t_purchase"), lit(-1L)).as("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Event-type transition matrix (the first-order Markov view of user
+    * behavior): for every consecutive (ts, event_id)-ordered pair within a
+    * user, count src→dst transitions and total the µs gaps. One user_id
+    * shuffle for the lead window, then a partial+final hash aggregation over
+    * |types|² cells — the window is per-user (bounded partitions, no global
+    * order), so the shape survives any user cardinality. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+      .withColumn("gap_us", lead(col("ts"), 1).over(byUser) - col("ts"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy("src", "dst")
+  }
+
+  /** Weekly cohort-retention matrix: users are cohorted by the ISO-epoch
+    * week of their FIRST event; each (cohort, weeks-since-cohort) cell
+    * counts the distinct cohort members active that week. Two hash
+    * aggregations and one join, all keyed on user_id, then a distinct-count
+    * over |weeks|² cells. Week keys are exact integer division on the
+    * nanosecond timestamps (no date rendering for engines to disagree on). */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Schema-drift canary for the events time column (round-7 hard lesson:
     * a testdata regeneration flipped `ts` from TIMESTAMP(NANOS) to
     * timestamp[us] and silently broke nine event-time queries at analysis

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BloomJoin, Relational}
+import graft.sources.Sources
+
+/** Round-7 widening #6: sequence/cohort analytics over the events table
+  * (funnel, transition matrix, cohort retention) and the Bloom-prefiltered
+  * exact semi-join. */
+class Round7WideningSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel stages are strictly ordered and depth matches the sentinels") {
+    val f = Relational.funnel(spark, dir).localCheckpoint()
+    assert(f.count() > 0)
+    // a stage reached implies all earlier stages reached, strictly later
+    assert(f.filter(col("t_click") =!= -1L &&
+      col("t_click") <= col("t_view")).count() === 0)
+    assert(f.filter(col("t_purchase") =!= -1L &&
+      (col("t_click") === -1L || col("t_purchase") <= col("t_click")))
+      .count() === 0)
+    val depthMismatch = f.filter(
+      col("depth") =!= lit(1L)
+        + when(col("t_click") =!= -1L, 1L).otherwise(0L)
+        + when(col("t_purchase") =!= -1L, 1L).otherwise(0L))
+    assert(depthMismatch.count() === 0)
+    // the funnel is a funnel: stage populations are non-increasing
+    val d1 = f.count()
+    val d2 = f.filter(col("depth") >= 2).count()
+    val d3 = f.filter(col("depth") === 3).count()
+    assert(d1 >= d2 && d2 >= d3)
+  }
+
+  test("every user's transitions count to events-1 (chain conservation)") {
+    val ev = Sources.events(spark, dir)
+    val totalEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val t = Relational.eventTransitions(spark, dir)
+    val totalTransitions =
+      t.agg(sum("n")).collect()(0).getLong(0)
+    // each user contributes (its event count - 1) consecutive pairs
+    assert(totalTransitions === totalEvents - nUsers)
+    // gaps are per-user time-ordered, so every summed gap is non-negative
+    assert(t.filter(col("sum_gap_us") < 0).count() === 0)
+  }
+
+  test("cohort offset-0 cell counts the whole cohort; members never exceed it") {
+    val c = Relational.cohortRetention(spark, dir).localCheckpoint()
+    val ev = Sources.events(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+    val sizes = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("size"))
+    // offset 0 holds every member (their first event IS in the cohort week)
+    val zero = c.filter(col("week_offset") === 0)
+      .join(sizes, "cohort_week")
+      .filter(col("n_users") =!= col("size"))
+    assert(zero.count() === 0)
+    // no later cell can exceed the cohort's size
+    val over = c.join(sizes, "cohort_week")
+      .filter(col("n_users") > col("size"))
+    assert(over.count() === 0)
+    assert(c.filter(col("week_offset") < 0).count() === 0)
+  }
+
+  test("bloom candidates bracket the true match set; final answer is exact") {
+    val minPrice = 450000.0
+    val keys = BloomJoin.selectiveOrderKeys(spark, dir, minPrice)
+      .localCheckpoint()
+    val li = Sources.table(spark, dir, "lineitem")
+    val exactMatches = li
+      .join(keys, li("l_orderkey") === keys("key"), "left_semi")
+    val candidates = BloomJoin.bloomCandidates(spark, dir, minPrice)
+      .localCheckpoint()
+    val nExact = exactMatches.count()
+    val nCand = candidates.count()
+    val nProbe = li.count()
+    // no false negatives (every true match passes the bitset), and the
+    // prefilter genuinely reduces the probe side
+    assert(nCand >= nExact, s"bloom dropped true matches: $nCand < $nExact")
+    assert(nCand < nProbe, s"prefilter removed nothing: $nCand of $nProbe")
+    // candidates minus exact = false positives; the final semi-join must
+    // remove every one of them — answer equals the plain semi-join's
+    val viaBloom = BloomJoin.bloomSemiJoinRevenue(spark, dir, minPrice)
+    val exact = exactMatches
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+    assert(viaBloom.collect().toSeq.map(_.toSeq)
+      === exact.collect().toSeq.map(_.toSeq))
+  }
+}
