@@ -82,6 +82,27 @@ object RelationalOracles {
          |                WHERE o.o_orderkey = l.l_orderkey
          |                  AND o.o_totalprice > 450000.0)
          | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scd2" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts, event_id
+         |             FROM '<sfDir>/events.parquet'),
+         |m AS (SELECT user_id, event_type, ts, event_id,
+         |             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |        FROM e),
+         |ch AS (SELECT user_id, event_type, ts, event_id FROM m
+         |        WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+         |       event_type AS state, ts AS valid_from,
+         |       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, -1) AS valid_to
+         |  FROM ch ORDER BY user_id, version""".stripMargin,
+    "q_routed_join" ->
+      s"""SELECT n.n_name,
+         |       ${dsum(s"${dec("l.l_extendedprice")} * ($one - ${dec("l.l_discount")})")} AS revenue,
+         |       CAST(COUNT(*) AS BIGINT) AS n_items
+         |  FROM '<sfDir>/lineitem.parquet' l
+         |  JOIN '<sfDir>/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+         |  JOIN '<sfDir>/nation.parquet' n ON s.s_nationkey = n.n_nationkey
+         | GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "q_hopping" ->
       s"""SELECT win, CAST(COUNT(*) AS BIGINT) AS n_events,
          |       ${dsum("CAST(value AS DECIMAL(18,6))")} AS total_value

@@ -517,6 +517,31 @@ object Relational {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** SCD-2 history build: each user's event stream becomes slowly-changing-
+    * dimension rows with validity intervals — the batch twin of
+    * [[graft.streaming.EventTime.profileUpsertStream]]'s SCD-1 "latest
+    * wins" (type 2 keeps every state with [valid_from, valid_to] instead of
+    * overwriting). The tracked state is the event type; consecutive repeats
+    * collapse (SCD-2 records CHANGES), `valid_to` is the µs before the next
+    * change (-1 = still current), `version` numbers a user's states in
+    * order. Two per-user windows on one user_id shuffle — the second runs on
+    * the change rows only, already co-partitioned by the first. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to",
+        coalesce(lead(col("ts"), 1).over(byUser) - 1, lit(-1L)))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
   /** Schema-drift canary for the events time column (round-7 hard lesson:
     * a testdata regeneration flipped `ts` from TIMESTAMP(NANOS) to
     * timestamp[us] and silently broke nine event-time queries at analysis

