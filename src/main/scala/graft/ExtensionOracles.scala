@@ -532,6 +532,37 @@ object ExtensionOracles {
          |  FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // HLL registers via the shared binary-string rho; harmonic sum over
     // exact int64 terms; the two final IEEE ops replay identically
+    "q_hll_daily" ->
+      s"""WITH h AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |             FROM '<sfDir>/events.parquet'),
+         |x AS (SELECT day, (h >> 52) & 255 AS bucket,
+         |             h & ((CAST(1 AS BIGINT) << 52) - 1) AS low FROM h),
+         |r AS (SELECT day, bucket, CASE WHEN low = 0 THEN 53
+         |                               ELSE strpos(lpad(bin(low), 52, '0'), '1') END AS rho
+         |        FROM x),
+         |daily AS (SELECT day, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM h),
+         |spine AS (SELECT g AS bucket FROM generate_series(0, 255) t(g)),
+         |cum AS (SELECT g.day, g.bucket,
+         |               CAST(MAX(COALESCE(daily.rho, 0)) OVER (PARTITION BY g.bucket ORDER BY g.day
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS reg
+         |          FROM (SELECT d.day, s.bucket FROM days d CROSS JOIN spine s) g
+         |          LEFT JOIN daily ON g.day = daily.day AND g.bucket = daily.bucket),
+         |perday AS (SELECT day,
+         |                  CAST(SUM(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s,
+         |                  CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+         |             FROM cum GROUP BY 1),
+         |firsts AS (SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS day
+         |             FROM '<sfDir>/events.parquet' GROUP BY 1),
+         |newu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS nu FROM firsts GROUP BY 1),
+         |ecum AS (SELECT d.day,
+         |                CAST(SUM(COALESCE(n.nu, 0)) OVER (ORDER BY d.day
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_exact_cum
+         |           FROM days d LEFT JOIN newu n ON d.day = n.day)
+         |SELECT p.day, e.n_exact_cum, p.v_zero,
+         |       (0.7213/(1.0 + 1.079/256.0)) * 65536.0 * 9007199254740992.0 / CAST(p.s AS DOUBLE) AS raw_est
+         |  FROM perday p JOIN ecum e ON p.day = e.day ORDER BY p.day""".stripMargin,
     "q_hll_users" ->
       s"""WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
          |             FROM '<sfDir>/events.parquet'),

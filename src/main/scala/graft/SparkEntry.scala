@@ -186,6 +186,8 @@ object SparkEntry {
     "q_bigram_lift" -> ((s, dir) => TextAnalysis.bigramLift(Sources.documents(s, dir))),
     "q_cms_tokens" -> ((s, dir) =>
       Sketches.cmsTokenEstimates(Sources.documents(s, dir))),
+    "q_hll_daily" -> ((s, dir) =>
+      Sketches.hllCumulative(Sources.events(s, dir), "user_id")),
     "q_hll_users" -> ((s, dir) =>
       Sketches.hllDistinct(Sources.events(s, dir), "user_id")),
     "q_quantile_sketch" -> ((s, dir) =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashes
@@ -90,6 +91,60 @@ object Sketches {
       .select(col("n_exact"), col("v_zero"),
         ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) *
           lit(9007199254740992.0) / col("s").cast("double")).as("raw_est"))
+  }
+
+  /** Daily cumulative distinct-key curve from MERGED HLL registers — the
+    * property that makes HLL worth shipping at all: the day-d state is the
+    * elementwise MAX of days ≤ d's registers, so a year of daily sketches
+    * unions into any range's estimate without touching the raw keys again
+    * (the mergeable twin of [[Relational.cumulativeUsers]]'s exact curve,
+    * which needs the full key set per day).
+    *
+    * Same determinism discipline as [[hllDistinct]]: md5-derived registers,
+    * exact int64 harmonic terms, two IEEE float ops at the end. The running
+    * register merge is a window max over the dense (day × 256) grid — |days|
+    * · 256 rows however large the corpus, so the merge stage costs nothing
+    * at any scale. Output (day, n_exact_cum, v_zero, raw_est): the exact
+    * cumulative count rides along so the estimate's error is visible in the
+    * gated artifact itself. */
+  def hllCumulative(df: DataFrame, keyCol: String,
+                    dayExpr: String = "ts div 86400000000000"): DataFrame = {
+    val spark = df.sparkSession
+    val m = 256
+    val hashed = df.select(expr(dayExpr).as("day"),
+        Hashes.h60(col(keyCol).cast("string")).as("h"))
+      .select(col("day"),
+        shiftright(col("h"), 52).bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        col("h").bitwiseAND(lit((1L << 52) - 1)).as("low"))
+      .select(col("day"), col("bucket"),
+        when(col("low") === 0, lit(53))
+          .otherwise(instr(lpad(bin(col("low")), 52, "0"), "1")).as("rho"))
+    val daily = hashed.groupBy("day", "bucket").agg(max(col("rho")).as("rho"))
+    val days = df.select(expr(dayExpr).as("day")).distinct()
+    val spine = spark.range(m).select(col("id").as("bucket"))
+    val byBucket = Window.partitionBy("bucket").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = days.crossJoin(spine)
+      .join(daily, Seq("day", "bucket"), "left")
+      .withColumn("reg",
+        max(coalesce(col("rho"), lit(0))).over(byBucket).cast("int"))
+      .groupBy("day")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).as("s"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_zero"))
+    // exact cumulative distinct: first-appearance counts + running sum over
+    // |days| rows (the cumulativeUsers shape)
+    val wDays = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val firsts = df.select(col(keyCol).as("k"), expr(dayExpr).as("day"))
+      .groupBy("k").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("nu"))
+    val exactCum = days.join(firsts, Seq("day"), "left")
+      .withColumn("n_exact_cum", sum(coalesce(col("nu"), lit(0L))).over(wDays))
+    perDay.join(exactCum.select("day", "n_exact_cum"), "day")
+      .select(col("day"), col("n_exact_cum"), col("v_zero"),
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) *
+          lit(9007199254740992.0) / col("s").cast("double")).as("raw_est"))
+      .orderBy("day")
   }
 
   /** Mergeable equi-width histogram quantile sketch — the deterministic

@@ -117,6 +117,24 @@ class Round7WideningSpec extends AnyFunSuite with SharedSpark {
     assert(a.nonEmpty)
   }
 
+  test("cumulative HLL's last day equals the whole-table sketch (union law)") {
+    val ev = Sources.events(spark, dir).localCheckpoint()
+    val cum = graft.operators.Sketches.hllCumulative(ev, "user_id")
+      .collect()
+    val whole = graft.operators.Sketches.hllDistinct(ev, "user_id")
+      .collect()(0)
+    val last = cum.last
+    // merging every day's registers IS sketching the whole table
+    assert(last.getAs[Long]("v_zero") === whole.getAs[Long]("v_zero"))
+    assert(last.getAs[Double]("raw_est") === whole.getAs[Double]("raw_est"))
+    assert(last.getAs[Long]("n_exact_cum") === whole.getAs[Long]("n_exact"))
+    // registers only grow under union, so the estimate is monotone
+    cum.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("raw_est") >= a.getAs[Double]("raw_est"))
+      assert(b.getAs[Long]("n_exact_cum") >= a.getAs[Long]("n_exact_cum"))
+    }
+  }
+
   test("bloom candidates bracket the true match set; final answer is exact") {
     val minPrice = 450000.0
     val keys = BloomJoin.selectiveOrderKeys(spark, dir, minPrice)
