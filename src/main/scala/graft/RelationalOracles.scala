@@ -103,6 +103,58 @@ object RelationalOracles {
          |  JOIN '<sfDir>/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
          |  JOIN '<sfDir>/nation.parquet' n ON s.s_nationkey = n.n_nationkey
          | GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q_dq_audit" ->
+      s"""SELECT * FROM (
+         |  SELECT 'orders_fk_customer' AS check_name,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/orders.parquet') AS n_rows,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/orders.parquet' o
+         |           WHERE NOT EXISTS (SELECT 1 FROM '<sfDir>/customer.parquet' c
+         |                              WHERE c.c_custkey = o.o_custkey)) AS n_bad
+         |  UNION ALL
+         |  SELECT 'lineitem_fk_orders',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/lineitem.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/lineitem.parquet' l
+         |           WHERE NOT EXISTS (SELECT 1 FROM '<sfDir>/orders.parquet' o
+         |                              WHERE o.o_orderkey = l.l_orderkey))
+         |  UNION ALL
+         |  SELECT 'customer_pk_unique',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/customer.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |            SELECT c_custkey FROM '<sfDir>/customer.parquet'
+         |             GROUP BY 1 HAVING COUNT(*) > 1))
+         |  UNION ALL
+         |  SELECT 'orders_pk_unique',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/orders.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |            SELECT o_orderkey FROM '<sfDir>/orders.parquet'
+         |             GROUP BY 1 HAVING COUNT(*) > 1))
+         |  UNION ALL
+         |  SELECT 'lineitem_discount_domain',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/lineitem.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/lineitem.parquet'
+         |           WHERE l_discount < 0.0 OR l_discount > 1.0)
+         |  UNION ALL
+         |  SELECT 'lineitem_qty_positive',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/lineitem.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/lineitem.parquet'
+         |           WHERE l_quantity <= 0.0)
+         |  UNION ALL
+         |  SELECT 'events_props_present',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/events.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/events.parquet'
+         |           WHERE props IS NULL OR props = '')
+         |  UNION ALL
+         |  SELECT 'events_ts_in_window',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/events.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/events.parquet'
+         |           WHERE epoch_ns(ts) < 1704067200000000000
+         |              OR epoch_ns(ts) >= 1706745600000000000)
+         |  UNION ALL
+         |  SELECT 'docs_text_nonempty',
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/documents.parquet'),
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM '<sfDir>/documents.parquet'
+         |           WHERE text IS NULL OR length(text) = 0)
+         |) ORDER BY check_name""".stripMargin,
     "q_hopping" ->
       s"""SELECT win, CAST(COUNT(*) AS BIGINT) AS n_events,
          |       ${dsum("CAST(value AS DECIMAL(18,6))")} AS total_value

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, ExactOutliers, KMeans, Similarity,
-  TextAnalysis}
+import graft.operators.{BloomJoin, Curation, Dedup, ExactOutliers, KMeans,
+  Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** Scale-proof run of the heavy query family at sf1-equivalent volume
@@ -391,6 +391,78 @@ object ScaleProof {
     checks += "cc_chain_closed_form" ->
       (ccChain.getLong(0) == 1L && ccChain.getLong(1) == chainN + 1L &&
         ccChain.getLong(2) == 0L)
+
+    // events at reps×: disjoint user/event ids, identical timelines per
+    // replica — every per-user sequence operator must replicate in closed
+    // form (a broken closed form here means per-user state leaked across
+    // the partitioning key, the bug class that only shows at volume)
+    val eventsRep = {
+      val e = Sources.events(spark, sfDir)
+      e.crossJoin(spark.range(reps).select(col("id").as("_rep")))
+        .withColumn("user_id", col("user_id") + col("_rep") * 1000000L)
+        .withColumn("event_id", col("event_id") + col("_rep") * 100000000L)
+        .drop("_rep")
+    }
+    val eventsBase = Sources.events(spark, sfDir)
+    val baseDepths = Relational.funnelOf(eventsBase)
+      .groupBy("depth").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (depths10, tFun) = timed(Relational.funnelOf(eventsRep)
+      .groupBy("depth").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    results += "funnel_10x" -> tFun
+    checks += "funnel_depths_closed_form" ->
+      (depths10 == baseDepths.map { case (d, n) => d -> n * reps })
+
+    val baseTrans = Relational.eventTransitionsOf(eventsBase)
+      .agg(sum(col("n")).as("n"), sum(col("sum_gap_us")).as("g")).head()
+    val (trans10, tTrans) = timed(Relational.eventTransitionsOf(eventsRep)
+      .agg(sum(col("n")).as("n"), sum(col("sum_gap_us")).as("g")).head())
+    results += "transitions_10x" -> tTrans
+    checks += "transitions_scale_exactly" ->
+      (trans10.getLong(0) == baseTrans.getLong(0) * reps &&
+        trans10.getLong(1) == baseTrans.getLong(1) * reps)
+
+    val baseScd = Relational.scd2HistoryOf(eventsBase).count()
+    val (scd10, tScd) = timed(Relational.scd2HistoryOf(eventsRep).count())
+    results += "scd2_10x" -> tScd
+    checks += "scd2_rows_scale_exactly" -> (scd10 == baseScd * reps)
+
+    val baseCoh = Relational.cohortRetentionOf(eventsBase).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (coh10, tCoh) = timed(Relational.cohortRetentionOf(eventsRep).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    results += "cohorts_10x" -> tCoh
+    checks += "cohorts_scale_exactly" ->
+      (coh10 == baseCoh.map { case (c, n) => c -> n * reps })
+
+    // bloom semi-join at reps× keys AND probe: the bitset saturates toward
+    // its FP ceiling (4·reps·|keys| positions of 2²⁰ bits) but the answer
+    // must stay EXACT — false-positive removal belongs to the final join,
+    // not the filter. Matching key offsets keep replica orders aligned
+    // with their lineitems.
+    val ordersRep = replicate(
+      Sources.table(spark, sfDir, "orders")
+        .select("o_orderkey", "o_totalprice"), "o_orderkey", 100000000L)
+    val liRep = replicate(
+      Sources.table(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice"),
+      "l_orderkey", 100000000L)
+    val keysRep = ordersRep.filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey").as("key"))
+    val baseBloom = BloomJoin.bloomSemiJoinRevenueOf(
+      Sources.table(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").as("key")),
+      Sources.table(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (bloom10, tBloomJoin) = timed(
+      BloomJoin.bloomSemiJoinRevenueOf(keysRep, liRep)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    results += "bloom_join_10x" -> tBloomJoin
+    checks += "bloom_join_exact_under_saturation" ->
+      (bloom10 == baseBloom.map { case (f, n) => f -> n * reps })
 
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))

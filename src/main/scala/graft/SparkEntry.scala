@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
-import graft.operators.{AsOfJoin, BloomJoin, Clustering, Curation, Dedup,
-  ExactOutliers, GridOutliers, IntervalJoin, JoinRouter, KMeans, Layout,
+import graft.operators.{AsOfJoin, BloomJoin, Clustering, Curation, DataQuality,
+  Dedup, ExactOutliers, GridOutliers, IntervalJoin, JoinRouter, KMeans, Layout,
   Multimodal, Relational, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, FrequentItemsStream, ReservoirAgg}
@@ -263,6 +263,7 @@ object SparkEntry {
     "q_bloom_join" -> ((s, dir) => BloomJoin.bloomSemiJoinRevenue(s, dir)),
     "q_scd2" -> ((s, dir) => Relational.scd2History(s, dir)),
     "q_routed_join" -> ((s, dir) => JoinRouter.supplierRevenue(s, dir)),
+    "q_dq_audit" -> ((s, dir) => DataQuality.audit(s, dir)),
     "q_bigrams" -> ((s, dir) =>
       TextAnalysis.bigramCounts(Sources.documents(s, dir))),
     "q_top_similar" -> ((s, dir) =>

@@ -89,7 +89,18 @@ object BloomJoin {
                            minPrice: Double = 450000.0,
                            mBits: Int = 1 << 20): DataFrame = {
     val keys = selectiveOrderKeys(spark, sfDir, minPrice)
-    val candidates = bloomCandidates(spark, sfDir, minPrice, mBits)
+    val probe = Sources.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    bloomSemiJoinRevenueOf(keys, probe, mBits)
+  }
+
+  /** [[bloomSemiJoinRevenue]] over explicit key/probe frames (ScaleProof
+    * surface: at 10× keys the bitset saturates toward its false-positive
+    * ceiling and the answer must STAY exact — FP removal is the final
+    * join's job, not the filter's). */
+  def bloomSemiJoinRevenueOf(keys: DataFrame, probe: DataFrame,
+                             mBits: Int = 1 << 20): DataFrame = {
+    val candidates = bloomPrefilter(probe, bitPositions(keys, mBits), mBits)
     candidates
       .join(keys, candidates("l_orderkey") === keys("key"), "left_semi")
       .groupBy("l_returnflag")

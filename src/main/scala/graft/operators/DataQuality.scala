@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Constraint-audit surface: the validation pass a pipeline runs BEFORE
+  * training on a freshly-landed corpus (dbt-test / Deequ shape). Each check
+  * reports (rows examined, violations) so a clean table is a positive
+  * assertion, not an absence of output — and the all-zero case still hashes
+  * meaningfully against the oracle because n_rows rides along.
+  *
+  * Every check is one narrow scan + count or one key anti-join:
+  *  - referential integrity (orders→customer, lineitem→orders) as
+  *    left_anti equi-joins — at cluster scale these share the join key
+  *    shuffles the real queries need anyway, and a broadcast dimension
+  *    makes the FK probe shuffle-free;
+  *  - primary-key uniqueness as a groupBy-count (map-side partials
+  *    collapse the key space before the exchange);
+  *  - domain/nullness checks as pure filters (pushed to the scan).
+  * The union of |checks| 1-row aggregates is driver-trivial at any scale.
+  */
+object DataQuality {
+
+  private def check(name: String, all: DataFrame, bad: DataFrame): DataFrame = {
+    val n = all.agg(count(lit(1)).as("n_rows"))
+    val b = bad.agg(count(lit(1)).as("n_bad"))
+    n.crossJoin(b).select(lit(name).as("check_name"), col("n_rows"), col("n_bad"))
+  }
+
+  def audit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Sources.table(spark, sfDir, "orders")
+    val customer = Sources.table(spark, sfDir, "customer")
+    val lineitem = Sources.table(spark, sfDir, "lineitem")
+    val events = Sources.events(spark, sfDir)
+    val docs = Sources.documents(spark, sfDir)
+
+    val checks = Seq(
+      check("orders_fk_customer", orders,
+        orders.join(broadcast(customer.select("c_custkey")),
+          orders("o_custkey") === customer("c_custkey"), "left_anti")),
+      check("lineitem_fk_orders", lineitem,
+        lineitem.join(orders.select("o_orderkey"),
+          lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")),
+      check("customer_pk_unique", customer,
+        customer.groupBy("c_custkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)),
+      check("orders_pk_unique", orders,
+        orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)),
+      check("lineitem_discount_domain", lineitem,
+        lineitem.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0)),
+      check("lineitem_qty_positive", lineitem,
+        lineitem.filter(col("l_quantity") <= 0.0)),
+      check("events_props_present", events,
+        events.filter(col("props").isNull || col("props") === "")),
+      check("events_ts_in_window", events,
+        // the generator's declared coverage window (TESTDATA.md): Jan 2024
+        events.filter(col("ts") < 1704067200000000000L ||
+          col("ts") >= 1706745600000000000L)),
+      check("docs_text_nonempty", docs,
+        docs.filter(col("text").isNull || length(col("text")) === 0)))
+
+    checks.reduce(_.unionAll(_)).orderBy("check_name")
+  }
+}

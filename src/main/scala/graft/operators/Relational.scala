@@ -462,8 +462,14 @@ object Relational {
     * (DuckDB's TIMESTAMP resolution); missing stages surface as the -1
     * sentinel rather than nulls so the gate has no null-ordering to
     * disagree on. */
-  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Sources.events(spark, sfDir)
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOf(Sources.events(spark, sfDir))
+
+  /** [[funnel]] over an explicit events frame (ScaleProof replication
+    * surface — per-user timelines replicate under disjoint user ids, so the
+    * depth histogram has a closed form at any replication factor). */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts"))
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t_view"))
@@ -488,9 +494,12 @@ object Relational {
     * shuffle for the lead window, then a partial+final hash aggregation over
     * |types|² cells — the window is per-user (bounded partitions, no global
     * order), so the shape survives any user cardinality. */
-  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    eventTransitionsOf(Sources.events(spark, sfDir))
+
+  def eventTransitionsOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Sources.events(spark, sfDir)
+    events
       .select(col("user_id"), col("event_type"),
         expr("ts div 1000").as("ts"), col("event_id"))
       .withColumn("dst", lead(col("event_type"), 1).over(byUser))
@@ -507,8 +516,11 @@ object Relational {
     * aggregations and one join, all keyed on user_id, then a distinct-count
     * over |weeks|² cells. Week keys are exact integer division on the
     * nanosecond timestamps (no date rendering for engines to disagree on). */
-  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Sources.events(spark, sfDir)
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOf(Sources.events(spark, sfDir))
+
+  def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), expr("ts div 604800000000000").as("week"))
     val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     ev.join(cohort, "user_id")
@@ -526,9 +538,12 @@ object Relational {
     * change (-1 = still current), `version` numbers a user's states in
     * order. Two per-user windows on one user_id shuffle — the second runs on
     * the change rows only, already co-partitioned by the first. */
-  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame =
+    scd2HistoryOf(Sources.events(spark, sfDir))
+
+  def scd2HistoryOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val changes = Sources.events(spark, sfDir)
+    val changes = events
       .select(col("user_id"), col("event_type"),
         expr("ts div 1000").as("ts"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))

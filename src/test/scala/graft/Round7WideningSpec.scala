@@ -135,6 +135,26 @@ class Round7WideningSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dq audit covers every declared check and the fixtures are clean") {
+    val a = graft.operators.DataQuality.audit(spark, dir).collect()
+    assert(a.length === 9)
+    assert(a.map(_.getString(0)).distinct.length === 9)
+    // the synthetic tables are referentially intact and domain-clean —
+    // every check must report zero violations over a non-zero row count
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_rows") > 0L, r.getString(0))
+      assert(r.getAs[Long]("n_bad") === 0L, r.getString(0))
+    }
+    // and a poisoned frame is actually caught (the checks are not
+    // vacuous): drop half the orders and lineitem FK orphans appear
+    val li = Sources.table(spark, dir, "lineitem")
+    val halfOrders = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+    val orphans = li.join(halfOrders.select("o_orderkey"),
+      li("l_orderkey") === halfOrders("o_orderkey"), "left_anti").count()
+    assert(orphans > 0L)
+  }
+
   test("bloom candidates bracket the true match set; final answer is exact") {
     val minPrice = 450000.0
     val keys = BloomJoin.selectiveOrderKeys(spark, dir, minPrice)
