@@ -38,7 +38,9 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_hll_users", // n_exact x (s, v_zero): two SINGLE-ROW aggregates
     "q_mixture", // |langs| rates x the SINGLE-ROW quantized-weight total
     "q_bigram_lift", // SINGLE-ROW unigram/bigram totals x the pair counts
-    "q_unigram") // SINGLE-ROW corpus-token total x the per-token rows
+    "q_unigram", // SINGLE-ROW corpus-token total x the per-token rows
+    "q_hll_daily", // |days| x 256-bucket register spine: both sides tiny by construction
+    "q_dq_audit") // each check combines two SINGLE-ROW aggregates (n_rows x n_bad)
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {
