@@ -133,6 +133,55 @@ object EventTime {
       }
   }
 
+  final case class FunnelProgress(user_id: Long, t_view: Long, t_click: Long,
+                                  t_purchase: Long, depth: Long, n_updates: Long)
+
+  /** Streaming conversion funnel: the per-user stage state machine of
+    * [[graft.operators.Relational.funnelOf]] maintained continuously —
+    * first view, first click strictly after it, first purchase strictly
+    * after that. State is 3 longs per user who has viewed, never the event
+    * history, so it scales with distinct users at any stream length.
+    *
+    * Ordering contract: stages only ADVANCE (a funnel is monotone), so the
+    * stream must deliver each user's events in event-time order ACROSS
+    * batches — the watermark discipline every funnel deployment runs.
+    * WITHIN a batch, arrival order is irrelevant: the fold sorts the
+    * group's events by (ts, event_id) before advancing, so micro-batch
+    * carving cannot change the converged state (EventTimeSpec replays the
+    * same stream under different carvings against the batch funnel). */
+  def funnelStream(events: Dataset[UserEvent]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[FunnelProgress]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelProgress(uid, -1L, -1L, -1L, 0L, 0L))
+          var tv = prev.t_view
+          var tc = prev.t_click
+          var tp = prev.t_purchase
+          batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val t = e.ts / 1000L // µs, the batch twin's resolution
+            e.event_type match {
+              case "view" if tv == -1L => tv = t
+              case "click" if tv != -1L && tc == -1L && t > tv => tc = t
+              case "purchase" if tc != -1L && tp == -1L && t > tc => tp = t
+              case _ => // stage already reached, out of sequence, or other type
+            }
+          }
+          if (tv == -1L) Iterator.empty // no view yet: not in the funnel
+          else {
+            val depth = 1L + (if (tc != -1L) 1L else 0L) +
+              (if (tp != -1L) 1L else 0L)
+            val next = FunnelProgress(uid, tv, tc, tp, depth,
+              prev.n_updates + 1L)
+            state.update(next)
+            Iterator.single(next)
+          }
+      }
+  }
+
   def runningCounts(items: Dataset[ItemEvent]): Dataset[ItemRunning] = {
     val spark = items.sparkSession
     import spark.implicits._

@@ -131,4 +131,42 @@ class EventTimeSpec extends AnyFunSuite with SharedSpark {
         fin(u).last_value == v, s"user $u vs batch merge")
     }
   }
+
+  test("funnelStream converges to the batch funnel under any batch carving") {
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Sources.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[EventTime.UserEvent].collect()
+    // the funnel's ordering contract: event-time order ACROSS batches;
+    // WITHIN each batch the events are deliberately ts-REVERSED so the
+    // fold's internal sort is what restores order, not the carving
+    val ordered = ev.sortBy(e => (e.ts, e.event_id))
+    for (nBatches <- Seq(1, 3, 7)) {
+      val size = math.max(1, (ordered.length + nBatches - 1) / nBatches)
+      val batches = ordered.grouped(size)
+        .map(_.sortBy(e => (-e.ts, -e.event_id)).toSeq).toSeq
+      val ms = MemoryStream[EventTime.UserEvent]
+      val name = s"t_funnel_$nBatches"
+      val q = EventTime.funnelStream(ms.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val fin = spark.table(name).as[EventTime.FunnelProgress].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_updates)).toMap
+      val batchFunnel = graft.operators.Relational
+        .funnelOf(graft.sources.Sources.events(spark, dir)).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("t_view"), r.getAs[Long]("t_click"),
+            r.getAs[Long]("t_purchase"), r.getAs[Long]("depth"))).toMap
+      assert(fin.keySet == batchFunnel.keySet.toSet, s"carving $nBatches")
+      fin.foreach { case (u, p) =>
+        val (tv, tc, tp, d) = batchFunnel(u)
+        assert(p.t_view == tv && p.t_click == tc && p.t_purchase == tp &&
+          p.depth == d, s"user $u under carving $nBatches")
+      }
+    }
+  }
 }
