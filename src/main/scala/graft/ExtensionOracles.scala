@@ -678,6 +678,20 @@ object ExtensionOracles {
     "q_ann_topk" ->
       s"""WITH $bruteTopkCtes
          |SELECT qid, nid, rank, cos FROM br WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+         |              FROM '<sfDir>/embeddings.parquet'),
+         |hq AS (SELECT vec_id AS qid, label AS qlabel, emb AS qv
+         |         FROM el WHERE vec_id < 5),
+         |hs AS (SELECT hq.qid, el.vec_id AS nid, el.label AS nlabel,
+         |              ${cosSql("hq.qv", "el.emb")} AS cos
+         |         FROM el, hq
+         |        WHERE el.vec_id <> hq.qid AND el.label <> hq.qlabel),
+         |hr AS (SELECT qid, nid, nlabel, cos,
+         |              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |         FROM hs)
+         |SELECT qid, nid, nlabel, rank, cos FROM hr
+         | WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH $ivfTopkCtes
          |SELECT qid, nid, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,

@@ -133,6 +133,32 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query vector, the
+    * k MOST similar vectors carrying a DIFFERENT label — the negatives that
+    * actually teach a bi-encoder (random negatives are trivially far;
+    * same-label "negatives" are false negatives that poison the loss).
+    * Same broadcast-queries × streamed-candidates shape as
+    * [[annBruteForce]] — linear in corpus, the label filter rides the
+    * scoring scan for free — and the blocked/IVF upgrade path is the same
+    * one q_ann_ivf documents. Output (qid, nid, nlabel, rank, cos). */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("emb").as("qv")))
+    val scored = emb
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("emb").as("nv"))
+      .crossJoin(q)
+      .filter(col("nid") =!= col("qid") && col("nlabel") =!= col("qlabel"))
+      .select(col("qid"), col("nid"), col("nlabel"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "nlabel", "rank", "cos")
+      .orderBy("qid", "rank")
+  }
+
   /** Coarse-quantizer defaults shared by [[annIvf]] and
     * [[neardupCosineBlocked]]: a FIXED-k codebook trained with
     * [[KMeans.trainCenters]] (init + one exact Lloyd update). k constant in

@@ -30,6 +30,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     * construction. Every other query must stay free of nested-loop pair
     * spaces. */
   private val deliberateNestedLoop = Set("q_ann_topk", "q_ann_ivf",
+    "q_hard_negatives", // broadcast query side x candidate scan, as q_ann_topk
+
     "q_ann_recall", // brute-force ground-truth side of the recall measure
     "q_pq_adc", // ADC scan x the broadcast 5-row query side
     "q_pq_recall", // exact-L2 ground-truth side of the PQ recall measure

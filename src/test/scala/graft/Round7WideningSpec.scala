@@ -155,6 +155,26 @@ class Round7WideningSpec extends AnyFunSuite with SharedSpark {
     assert(orphans > 0L)
   }
 
+  test("hard negatives exclude the query's label and never beat the unfiltered top-1") {
+    val emb = Sources.embeddings(spark, dir).localCheckpoint()
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = graft.operators.Similarity.hardNegatives(emb).collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      val qid = r.getLong(0)
+      assert(r.getInt(2) !== labels(qid), s"query $qid got a same-label negative")
+      assert(r.getLong(1) !== qid)
+    }
+    // the label filter only REMOVES candidates: the best hard negative
+    // can never score above the unfiltered best neighbor
+    val bf = graft.operators.Similarity.annBruteForce(emb).collect()
+      .filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    hn.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getDouble(4) <= bf(r.getLong(0)) + 1e-12, s"query ${r.getLong(0)}")
+    }
+  }
+
   test("bloom candidates bracket the true match set; final answer is exact") {
     val minPrice = 450000.0
     val keys = BloomJoin.selectiveOrderKeys(spark, dir, minPrice)
