@@ -860,6 +860,22 @@ object ExtensionOracles {
          |       CAST(48 + ((n * 7) % 432) AS BIGINT) AS height,
          |       CAST(1 AS BIGINT) AS n_frames
          |  FROM m ORDER BY media_id""".stripMargin,
+    // the WAV twin: the engine writes a REAL 44-byte RIFF/PCM header and
+    // chunk-walks it back; the oracle replays the rate/channel arithmetic
+    // and the parsed-field sample/duration integer math
+    "q_audio_meta" ->
+      s"""WITH m AS (SELECT doc_id,
+         |                  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+         |             FROM $DOCS)
+         |SELECT doc_id AS media_id,
+         |       CAST(44 + n AS BIGINT) AS n_bytes,
+         |       CAST(8000 + (n * 13) % 36000 AS BIGINT) AS sample_rate,
+         |       CAST(1 + n % 2 AS BIGINT) AS n_channels,
+         |       CAST(16 AS BIGINT) AS bits,
+         |       CAST(n // ((1 + n % 2) * 2) AS BIGINT) AS n_samples,
+         |       CAST((n // ((1 + n % 2) * 2)) * 1000
+         |            // (8000 + (n * 13) % 36000) AS BIGINT) AS duration_ms
+         |  FROM m ORDER BY media_id""".stripMargin,
     "q_minhash_est" ->
       s"""WITH $minhashCtes,
          |est AS (SELECT cand.a, cand.b,

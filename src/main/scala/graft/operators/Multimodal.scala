@@ -106,6 +106,97 @@ object Multimodal {
       s"unknown container (${m.length} bytes; first=${if (m.nonEmpty) u8(0) else -1})")
   }
 
+  final case class AudioMeta(media_id: Long, n_bytes: Long, sample_rate: Long,
+                             n_channels: Long, bits: Long, n_samples: Long,
+                             duration_ms: Long)
+
+  /** WAV header length (RIFF + fmt + data chunk headers). */
+  val WavHeaderBytes = 44
+
+  /** Minimal valid PCM WAV container (RIFF spec, all fields little-endian):
+    * RIFF | size=36+data(4) | WAVE | "fmt " | 16(4) | fmt=1(2) | ch(2) |
+    * rate(4) | byteRate(4) | blockAlign(2) | bits=16(2) | "data" |
+    * dataLen(4) | payload. */
+  private[graft] def wavBytes(sampleRate: Int, channels: Int,
+                              payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](WavHeaderBytes + payload.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(payload.length)
+    System.arraycopy(payload, 0, out, WavHeaderBytes, payload.length)
+    out
+  }
+
+  /** Parse a WAV header the way any audio codec does: verify RIFF/WAVE,
+    * walk chunks to `fmt ` and `data` (the walk, not fixed offsets — real
+    * files carry LIST/INFO chunks between them). Returns
+    * (sampleRate, channels, bits, dataLen). */
+  private[graft] def decodeWavHeader(m: Array[Byte]): (Int, Int, Int, Long) = {
+    def le16(i: Int): Int = (m(i) & 0xFF) | ((m(i + 1) & 0xFF) << 8)
+    def le32(i: Int): Long = (m(i) & 0xFFL) | ((m(i + 1) & 0xFFL) << 8) |
+      ((m(i + 2) & 0xFFL) << 16) | ((m(i + 3) & 0xFFL) << 24)
+    def tag(i: Int): String = new String(m, i, 4, "US-ASCII")
+    require(m.length >= WavHeaderBytes && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE container (${m.length} bytes)")
+    var off = 12
+    var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
+    while (off + 8 <= m.length && (rate < 0 || dataLen < 0)) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      if (id == "fmt ") {
+        ch = le16(off + 10); rate = le32(off + 12).toInt
+        bits = le16(off + 22)
+      } else if (id == "data") dataLen = sz
+      // data is the final chunk here; never step past a truncated payload
+      off += 8 + sz.toInt
+    }
+    require(rate > 0 && dataLen >= 0, "WAV: missing fmt or data chunk")
+    (rate, ch, bits, dataLen)
+  }
+
+  /** Audio fixture: every document's UTF-8 bytes become a PCM WAV payload
+    * with rate/channels derived from the byte length (rate 8000+13n%36000,
+    * channels 1+n%2 — the arithmetic the oracle replays). */
+  def audioFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val n = payload.length.toLong
+        val rate = (8000L + (n * 13L) % 36000L).toInt
+        val ch = (1L + n % 2L).toInt
+        MediaRow(id, "wav", wavBytes(rate, ch, payload))
+      })
+  }
+
+  /** Typed audio metadata decode — same partition-preserving batch shape as
+    * [[decodeMeta]]; sample count and duration come from the PARSED header
+    * fields (dataLen/blockAlign, exact integer division), so a writer/parser
+    * disagreement breaks the q_audio_meta hash gate. */
+  def audioMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    audioFromDocuments(docs).mapPartitions(_.map { r =>
+      val (rate, ch, bits, dataLen) = decodeWavHeader(r.media)
+      val blockAlign = ch.toLong * (bits / 8)
+      val nSamples = dataLen / blockAlign
+      AudioMeta(r.media_id, r.media.length.toLong, rate.toLong, ch.toLong,
+        bits.toLong, nSamples, nSamples * 1000L / rate)
+    }).toDF()
+      .select("media_id", "n_bytes", "sample_rate", "n_channels", "bits",
+        "n_samples", "duration_ms")
+      .orderBy("media_id")
+  }
+
   /** Build a media table from documents: deterministic fixture where even
     * doc_ids become PNG and odd become JPEG containers, dimensions derived
     * from the UTF-8 payload length (width 64+n%576, height 48+7n%432 — the

@@ -175,6 +175,35 @@ class Round7WideningSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("wav codec round-trips and the chunk walk survives an interposed LIST") {
+    import graft.operators.Multimodal
+    val payload = Array.fill(12)(0x41.toByte) // 12 bytes = 3 stereo samples
+    val wav = Multimodal.wavBytes(44100, 2, payload)
+    assert(wav.length === Multimodal.WavHeaderBytes + 12)
+    val (rate, ch, bits, dataLen) = Multimodal.decodeWavHeader(wav)
+    assert((rate, ch, bits, dataLen) === ((44100, 2, 16, 12L)))
+    // real files interleave LIST/INFO chunks before data: splice one in and
+    // the walker must still find fmt and data (fixed offsets would not)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.slice(0, 36) ++ list ++ wav.slice(36, wav.length)
+    val (r2, c2, b2, d2) = Multimodal.decodeWavHeader(spliced)
+    assert((r2, c2, b2, d2) === ((44100, 2, 16, 12L)))
+    // corrupt container fails loudly, not with garbage metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavHeader("notawave".getBytes("US-ASCII") ++ wav.drop(8))
+    }
+    // and the fixture pipeline agrees with first principles on one doc
+    val meta = Multimodal.audioMeta(Sources.documents(spark, dir)).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { r =>
+      val n = r.getAs[Long]("n_bytes") - 44
+      val ch3 = r.getAs[Long]("n_channels")
+      assert(r.getAs[Long]("n_samples") === n / (ch3 * 2))
+      assert(r.getAs[Long]("bits") === 16L)
+    }
+  }
+
   test("bloom candidates bracket the true match set; final answer is exact") {
     val minPrice = 450000.0
     val keys = BloomJoin.selectiveOrderKeys(spark, dir, minPrice)
