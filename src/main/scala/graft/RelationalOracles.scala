@@ -206,6 +206,21 @@ object RelationalOracles {
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |          FROM '<sfDir>/documents.parquet')
          | GROUP BY tok ORDER BY tok""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+         |             FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |                     FROM '<sfDir>/documents.parquet')
+         |            GROUP BY tok),
+         |r AS (SELECT cf, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS BIGINT) AS rk
+         |        FROM v),
+         |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total_cf FROM v),
+         |ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+         |SELECT CAST(ks.k AS BIGINT) AS k,
+         |       CAST(SUM(r.cf) AS BIGINT) AS top_cf,
+         |       tot.total_cf,
+         |       CAST(SUM(r.cf) AS DOUBLE) / CAST(tot.total_cf AS DOUBLE) AS coverage
+         |  FROM ks, r, tot WHERE r.rk <= ks.k
+         | GROUP BY ks.k, tot.total_cf ORDER BY k""".stripMargin,
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,

@@ -510,4 +510,31 @@ object TextAnalysis {
   }
 
   private[operators] def h60(c: Column): Column = Hashes.h60(c)
+
+  /** Vocabulary coverage curve — the tokenizer-design metric: what fraction
+    * of the corpus token stream does a top-k vocabulary cover? Built on
+    * [[vocabulary]]'s cf counts: rank by (cf desc, tok), keep rank ≤ max(k)
+    * (Spark plans the rank-filter as a distributed WindowGroupLimit top-k,
+    * so the global order never materializes more than max(k) rows per
+    * partition), then one tiny aggregate per requested k over the ≤ max(k)
+    * surviving rows. All coverage numerators/denominators are exact int64
+    * token counts; the ratio is one IEEE division. Output
+    * (k, top_cf, total_cf, coverage). */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    val v = vocabulary(docs).select("tok", "cf")
+    val w = Window.orderBy(col("cf").desc, col("tok").asc)
+    val top = v.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ks.max)
+    val total = v.agg(sum(col("cf")).as("total_cf"))
+    ks.map(k => top.filter(col("rk") <= k)
+        .agg(sum(col("cf")).as("top_cf"))
+        .select(lit(k.toLong).as("k"), col("top_cf")))
+      .reduce(_.unionAll(_))
+      .crossJoin(total)
+      .select(col("k"), col("top_cf"), col("total_cf"),
+        (col("top_cf").cast("double") / col("total_cf").cast("double"))
+          .as("coverage"))
+      .orderBy("k")
+  }
 }

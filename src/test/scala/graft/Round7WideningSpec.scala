@@ -204,6 +204,28 @@ class Round7WideningSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("vocab coverage is monotone in k and consistent with the vocabulary") {
+    import graft.operators.TextAnalysis
+    val docs = Sources.documents(spark, dir).localCheckpoint()
+    val cov = TextAnalysis.vocabCoverage(docs).collect()
+    assert(cov.map(_.getLong(0)).toSeq === Seq(100L, 1000L, 10000L))
+    cov.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("top_cf") >= a.getAs[Long]("top_cf"))
+      assert(b.getAs[Double]("coverage") >= a.getAs[Double]("coverage"))
+    }
+    cov.foreach { r =>
+      assert(r.getAs[Long]("top_cf") <= r.getAs[Long]("total_cf"))
+      assert(r.getAs[Double]("coverage") <= 1.0)
+    }
+    // first-principles check at k=100 against the raw vocabulary
+    val v = TextAnalysis.vocabulary(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cf")))
+    val expect100 = v.sortBy { case (t, cf) => (-cf, t) }.take(100)
+      .map(_._2).sum
+    assert(cov.head.getAs[Long]("top_cf") === expect100)
+    assert(cov.head.getAs[Long]("total_cf") === v.map(_._2).sum)
+  }
+
   test("bloom candidates bracket the true match set; final answer is exact") {
     val minPrice = 450000.0
     val keys = BloomJoin.selectiveOrderKeys(spark, dir, minPrice)
