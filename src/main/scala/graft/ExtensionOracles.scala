@@ -876,6 +876,31 @@ object ExtensionOracles {
          |       CAST((n // ((1 + n % 2) * 2)) * 1000
          |            // (8000 + (n * 13) % 36000) AS BIGINT) AS duration_ms
          |  FROM m ORDER BY media_id""".stripMargin,
+    // embedding-space outlier screen over the SAME pinned trained centers
+    // the IVF gates verify (a divergent codebook breaks both)
+    "q_emb_outliers" ->
+      s"""WITH $EMB,
+         |$ivfCentCte,
+         |oas AS (SELECT e.vec_id, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
+         |obest AS (SELECT vec_id, cid, ccos FROM (
+         |            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+         |              FROM oas) WHERE crank = 1),
+         |orr AS (SELECT vec_id, cid, ccos,
+         |               CAST(ROW_NUMBER() OVER (ORDER BY ccos ASC, vec_id) AS BIGINT) AS rank
+         |          FROM obest)
+         |SELECT vec_id, cid, ccos, rank FROM orr
+         | WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q_epochs" ->
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                  CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |             FROM $DOCS GROUP BY source),
+         |w AS (SELECT c.*, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS s_w
+         |        FROM c),
+         |t AS (SELECT CAST(SUM(s_w) AS BIGINT) AS s_tot FROM w)
+         |SELECT source, n_docs, n_tokens, s_w,
+         |       CAST((s_w * 2000000) // t.s_tot AS BIGINT) AS alloc_tokens,
+         |       CAST(((s_w * 2000000) // t.s_tot) * 1000 // n_tokens AS BIGINT) AS epochs_x1000
+         |  FROM w, t ORDER BY source""".stripMargin,
     "q_minhash_est" ->
       s"""WITH $minhashCtes,
          |est AS (SELECT cand.a, cand.b,

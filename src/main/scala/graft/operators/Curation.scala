@@ -197,6 +197,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Mixture epoch planning: given a token budget, how often is each source
+    * repeated (seen per "epoch" of the mixture)? Weights follow the
+    * temperature-½ discipline of [[mixtureSample]] (integer-quantized
+    * √tokens — the up-weighting of small high-quality sources every LLM
+    * data recipe applies), but where mixtureSample emits a SAMPLE, this
+    * emits the PLAN: allocated tokens and the repeat factor (×1000) per
+    * source, the artifact a training launch reviews. Every output column is
+    * exact int64 arithmetic (the one √ is IEEE-correctly-rounded by
+    * standard, the same move mixtureSample gates on) — no float
+    * accumulation anywhere. One tiny aggregation over |sources| cells. */
+  def epochPlan(docs: DataFrame, targetTokens: Long = 2000000L): DataFrame = {
+    val counts = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("s_w",
+        floor(sqrt(col("n_tokens").cast("double")) * 1048576.0).cast("long"))
+    val tot = counts.agg(sum(col("s_w")).as("s_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("s_w"),
+        expr(s"(s_w * ${targetTokens}L) div s_tot").as("alloc_tokens"))
+      .withColumn("epochs_x1000",
+        expr("(alloc_tokens * 1000L) div n_tokens"))
+      .orderBy("source")
+  }
+
   /** Bloom-filter decontamination — the broadcast-compact variant of
     * [[decontaminate]] for when even the benchmark shingle TABLE is too wide
     * to join against cheaply: the benchmark set is folded into an m-bit Bloom

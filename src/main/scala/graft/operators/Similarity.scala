@@ -159,6 +159,28 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding-space anomaly screen: every vector's cosine to its ASSIGNED
+    * trained centroid; the `topN` least-similar vectors are the cleaning
+    * candidates — garbled or out-of-distribution embeddings sit far from
+    * every mass center, and this is the screen that finds them WITHOUT a
+    * pair space (n·k literal-center folds, zero exchanges, then a
+    * WindowGroupLimit top-N over the scalar scores). Same trained
+    * quantizer and pinned-center oracle chain as [[annIvf]], so the gate
+    * can never score against a divergent codebook. Output
+    * (vec_id, cid, ccos, rank) — rank 1 is the farthest outlier. */
+  def embOutliers(emb: DataFrame, topN: Int = 20): DataFrame = {
+    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
+    val asn = emb.select(col("vec_id"),
+        array_min(centerStructs(col("emb"), centers)).as("m"))
+      .select(col("vec_id"), col("m").getField("cid").as("cid"),
+        (-col("m").getField("nc")).as("ccos"))
+    val w = Window.orderBy(col("ccos").asc, col("vec_id").asc)
+    asn.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select("vec_id", "cid", "ccos", "rank")
+      .orderBy("rank")
+  }
+
   /** Coarse-quantizer defaults shared by [[annIvf]] and
     * [[neardupCosineBlocked]]: a FIXED-k codebook trained with
     * [[KMeans.trainCenters]] (init + one exact Lloyd update). k constant in

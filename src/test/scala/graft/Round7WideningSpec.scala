@@ -226,6 +226,46 @@ class Round7WideningSpec extends AnyFunSuite with SharedSpark {
     assert(cov.head.getAs[Long]("total_cf") === v.map(_._2).sum)
   }
 
+  test("embedding outliers are the global minima of assigned-center cosine") {
+    import graft.operators.Similarity
+    val emb = Sources.embeddings(spark, dir).localCheckpoint()
+    val out = Similarity.embOutliers(emb, topN = 5).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getLong(3)).toSeq === (1L to 5L))
+    // ccos ascending with rank, and rank-1 is the true global minimum of
+    // a brute-force recompute over every vector's best-center cosine
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(2))
+    }
+    val all = Similarity.embOutliers(emb, topN = Int.MaxValue).collect()
+    assert(all.map(_.getDouble(2)).min === out.head.getDouble(2))
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+  }
+
+  test("epoch plan allocates within budget with exact integer arithmetic") {
+    import graft.operators.Curation
+    val target = 2000000L
+    val plan = Curation.epochPlan(Sources.documents(spark, dir), target)
+      .collect()
+    assert(plan.nonEmpty)
+    val allocSum = plan.map(_.getAs[Long]("alloc_tokens")).sum
+    // floor division under-allocates by < |sources| tokens, never over
+    assert(allocSum <= target && allocSum > target - plan.length * 1000)
+    plan.foreach { r =>
+      assert(r.getAs[Long]("epochs_x1000") ===
+        r.getAs[Long]("alloc_tokens") * 1000L / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+    // temperature-1/2 up-weights small sources: per-token allocation
+    // (epochs) must not increase with source size beyond rounding
+    val byTokens = plan.sortBy(_.getAs[Long]("n_tokens"))
+    byTokens.sliding(2).foreach { case Array(small, big) =>
+      assert(small.getAs[Long]("epochs_x1000") + 1L >=
+        big.getAs[Long]("epochs_x1000"),
+        s"${small.getString(0)} vs ${big.getString(0)}")
+    }
+  }
+
   test("bloom candidates bracket the true match set; final answer is exact") {
     val minPrice = 450000.0
     val keys = BloomJoin.selectiveOrderKeys(spark, dir, minPrice)
