@@ -12,12 +12,15 @@ import graft.functions.{BoundedCollectList, DotProduct}
   *
   *   spark.sql.extensions=graft.plans.GraftExtensions
   *
-  * (SURVEY.md §7.2: no custom Rule/SparkStrategy is needed for any reference
+  * (SURVEY.md §7.2: no custom Rule/SparkStrategy is NEEDED for any reference
   * operator — Catalyst's built-ins cover them — so the extension surface is
-  * intentionally just function registration.)
+  * function registration plus ONE semantics-preserving optimizer rule,
+  * [[ThresholdLevenshteinRule]], that stages unbounded edit-distance
+  * filters the way the engine's own dedup operators stage them by hand.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => ThresholdLevenshteinRule)
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -30,6 +30,41 @@ class ExtensionPointsSpec extends AnyFunSuite with SharedSpark {
     assert(r == 11.0)
   }
 
+  test("threshold-levenshtein rule stages the filter and preserves results") {
+    import graft.plans.ThresholdLevenshteinRule
+    // parquet-backed source: a LocalRelation would be constant-folded by
+    // ConvertToLocalRelation before any optimizer rule could be observed
+    graft.sources.Sources.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "substring(text, 1, 12) AS a",
+        "substring(text, 3, 12) AS b")
+      .createOrReplaceTempView("lev_pairs")
+    val q = "SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 2 ORDER BY a, b"
+    val expect = spark.sql(q).collect().toSeq // unrewritten control
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ ThresholdLevenshteinRule
+      val rewrittenDf = spark.sql(q)
+      val plan = rewrittenDf.queryExecution.optimizedPlan.toString
+      // the optimized filter carries BOTH halves of the staging: the
+      // length-difference guard and the threshold (3-arg) levenshtein
+      assert(plan.contains("levenshtein(") && plan.contains("Some(2)) >= 0"),
+        s"threshold form missing:\n$plan")
+      assert(plan.contains("abs(") && plan.contains("length("),
+        s"length guard missing:\n$plan")
+      assert(rewrittenDf.collect().toSeq === expect)
+      // strict < and reversed comparison rewrite too; > stays untouched
+      val lt = spark.sql(
+        "SELECT count(*) FROM lev_pairs WHERE levenshtein(a, b) < 3")
+      assert(lt.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"))
+      assert(lt.head().getLong(0) ===
+        expect.length.toLong) // <3 ≡ <=2 on this fixture
+      val gt = spark.sql(
+        "SELECT count(*) FROM lev_pairs WHERE levenshtein(a, b) > 2")
+      assert(!gt.queryExecution.optimizedPlan.toString.contains("Some("),
+        "upper-bound-only comparisons must not be rewritten")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("salted join and salted count match their unsalted equivalents") {
     // heavy skew: 90% of rows share one key
     val probe = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toLong))
