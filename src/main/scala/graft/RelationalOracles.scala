@@ -221,6 +221,25 @@ object RelationalOracles {
          |       CAST(SUM(r.cf) AS DOUBLE) / CAST(tot.total_cf AS DOUBLE) AS coverage
          |  FROM ks, r, tot WHERE r.rk <= ks.k
          | GROUP BY ks.k, tot.total_cf ORDER BY k""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |                FROM '<sfDir>/documents.parquet'),
+         |p AS (SELECT substr(tok, CAST(u.i AS INTEGER), 2) AS pair
+         |        FROM toks, LATERAL unnest(generate_series(1, length(tok)-1)) AS u(i)
+         |       WHERE length(tok) >= 2),
+         |pc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count FROM p GROUP BY pair),
+         |tot AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS total_pairs FROM pc)
+         |SELECT pair, pair_count,
+         |       CAST(pair_count AS DOUBLE) / CAST(tot.total_pairs AS DOUBLE) AS pair_frac
+         |  FROM pc, tot
+         | ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+    "q_tok_lengths" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |                FROM '<sfDir>/documents.parquet')
+         |SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+         |  FROM toks GROUP BY tok_len ORDER BY tok_len""".stripMargin,
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,

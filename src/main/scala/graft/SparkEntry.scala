@@ -159,6 +159,8 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Sources.embeddings(s, dir))),
     "q_audio_meta" -> ((s, dir) => Multimodal.audioMeta(Sources.documents(s, dir))),
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(Sources.documents(s, dir))),
+    "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairs(Sources.documents(s, dir))),
+    "q_tok_lengths" -> ((s, dir) => TextAnalysis.tokenLengths(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -537,4 +537,47 @@ object TextAnalysis {
           .as("coverage"))
       .orderBy("k")
   }
+
+  /** BPE tokenizer-training pair statistics — the counting kernel of
+    * byte-pair-encoding training (Sennrich et al. 2016): within each
+    * whitespace token, every adjacent character pair counted across the
+    * corpus with multiplicity; the top-k pairs are the merge candidates of
+    * BPE iteration 1. A full BPE train is a driver loop of k merges over
+    * exactly this kernel (count → argmax → apply merge → recount); the
+    * kernel is the distributed, shuffle-bearing part, so its shape is what
+    * matters at 100 TB: one narrow in-row expansion (the pair array is built
+    * inside the scan partition, rows only multiply at the explode that
+    * feeds a partial aggregate), one hash aggregation on the pair key, then
+    * a TakeOrderedAndProject top-k — the global order never materializes.
+    * Counts are exact int64; pair_frac is one IEEE division per output row.
+    * Deterministic tie-break (count desc, pair asc).
+    * Output (pair, pair_count, pair_frac). */
+  def bpePairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    val pairs = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+    val counts = pairs.groupBy("pair").agg(count(lit(1)).as("pair_count"))
+    val total = counts.agg(sum(col("pair_count")).as("total_pairs"))
+    counts.orderBy(col("pair_count").desc, col("pair").asc).limit(k)
+      .crossJoin(total)
+      .select(col("pair"), col("pair_count"),
+        (col("pair_count").cast("double") / col("total_pairs").cast("double"))
+          .as("pair_frac"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+  }
+
+  /** Token-length distribution — the tokenizer "fertility" audit (mean
+    * chars-per-token and the length histogram decide subword vocabulary
+    * budgets): per character length, total token occurrences and distinct
+    * token types. One hash aggregation keyed by an in-row integer; both
+    * counts exact int64. Output (tok_len, n_tokens, n_types). */
+  def tokenLengths(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .select(col("tok"), length(col("tok")).cast("long").as("tok_len"))
+      .groupBy("tok_len")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      .orderBy("tok_len")
 }
