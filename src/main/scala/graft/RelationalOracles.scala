@@ -233,6 +233,7 @@ object RelationalOracles {
          |       CAST(pair_count AS DOUBLE) / CAST(tot.total_pairs AS DOUBLE) AS pair_frac
          |  FROM pc, tot
          | ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+    "q_bpe_merges" -> graft.operators.Bpe.oracleSql(),
     "q_tok_lengths" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
          |                FROM '<sfDir>/documents.parquet')

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamParams
-import graft.operators.{AsOfJoin, BloomJoin, Clustering, Curation, DataQuality,
-  Dedup, ExactOutliers, GridOutliers, IntervalJoin, JoinRouter, KMeans, Layout,
-  Multimodal, Relational, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Bpe, Clustering, Curation,
+  DataQuality, Dedup, ExactOutliers, GridOutliers, IntervalJoin, JoinRouter,
+  KMeans, Layout, Multimodal, Relational, Similarity, Skew, Sketches,
+  TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{FrequentItems, FrequentItemsStream, ReservoirAgg}
 
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_audio_meta" -> ((s, dir) => Multimodal.audioMeta(Sources.documents(s, dir))),
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(Sources.documents(s, dir))),
     "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairs(Sources.documents(s, dir))),
+    "q_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Sources.documents(s, dir))),
     "q_tok_lengths" -> ((s, dir) => TextAnalysis.tokenLengths(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),

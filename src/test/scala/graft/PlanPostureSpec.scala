@@ -44,7 +44,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_hll_daily", // |days| x 256-bucket register spine: both sides tiny by construction
     "q_dq_audit", // each check combines two SINGLE-ROW aggregates (n_rows x n_bad)
     "q_vocab_coverage", // |ks| coverage rows x the SINGLE-ROW corpus total
-    "q_epochs") // |sources| rows x the SINGLE-ROW weight total
+    "q_epochs", // |sources| rows x the SINGLE-ROW weight total
+    "q_bpe_pairs") // top-k pair rows x the SINGLE-ROW pair-occurrence total
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

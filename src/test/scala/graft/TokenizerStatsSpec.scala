@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.TextAnalysis
+import graft.operators.{Bpe, TextAnalysis}
 import graft.sources.Sources
 
 /** Round-7 widening: BPE tokenizer-training pair statistics and the
@@ -44,6 +44,58 @@ class TokenizerStatsSpec extends AnyFunSuite with SharedSpark {
     got.sliding(2).foreach { case Array(a, b) =>
       assert(a.getLong(1) > b.getLong(1) ||
         (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+    }
+  }
+
+  /** Canonical greedy BPE on symbol lists — the independent reference the
+    * flat-string replace encoding must reproduce exactly. */
+  private def driverBpe(nMerges: Int): Seq[(Long, String, String, Long)] = {
+    val texts = Sources.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    var vocab: Map[Vector[String], Long] = texts.iterator
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty).toSeq
+      .groupBy(identity).map { case (t, g) =>
+        (t.map(_.toString).toVector, g.size.toLong)
+      }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (it <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- vocab; w <- syms.sliding(2) if w.length == 2)
+        counts((w(0), w(1))) = counts.getOrElse((w(0), w(1)), 0L) + cnt
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x + " " + y) }.head
+        out += ((it.toLong, s"$a $b", a + b, c))
+        // greedy left-to-right, non-overlapping merge application
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("bpe merge table equals canonical greedy BPE on symbol lists") {
+    val got = Bpe.bpeMerges(Sources.documents(spark, dir), nMerges = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === driverBpe(8))
+    // merged symbols grow monotonically richer: each merge's parts are
+    // either single chars or earlier merge outputs
+    val known = scala.collection.mutable.Set.empty[String]
+    got.foreach { case (_, pair, merged, _) =>
+      val Array(a, b) = pair.split(" ")
+      assert(a.length == 1 || known.contains(a), s"unknown left '$a'")
+      assert(b.length == 1 || known.contains(b), s"unknown right '$b'")
+      known += merged
     }
   }
 
