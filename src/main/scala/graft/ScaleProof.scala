@@ -464,6 +464,18 @@ object ScaleProof {
     checks += "bloom_join_exact_under_saturation" ->
       (bloom10 == baseBloom.map { case (f, n) => f -> n * reps })
 
+    // BPE training under exact replication: every word count scales by
+    // reps, so every pair count scales by reps and the argmax sequence —
+    // including its (count desc, pair asc) tie-breaks — is invariant. The
+    // merge table must be identical with counts multiplied.
+    val baseBpe = graft.operators.Bpe.bpeMerges(Sources.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val (bpe10, tBpe) = timed(graft.operators.Bpe.bpeMerges(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+    results += "bpe_merges_10x" -> tBpe
+    checks += "bpe_merge_sequence_invariant" ->
+      (bpe10.toSeq == baseBpe.toSeq.map { case (i, p, m, c) => (i, p, m, c * reps) })
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

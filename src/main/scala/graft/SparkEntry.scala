@@ -163,6 +163,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairs(Sources.documents(s, dir))),
     "q_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Sources.documents(s, dir))),
     "q_tok_lengths" -> ((s, dir) => TextAnalysis.tokenLengths(Sources.documents(s, dir))),
+    "q_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -568,6 +568,46 @@ object TextAnalysis {
       .orderBy(col("pair_count").desc, col("pair").asc)
   }
 
+  /** Bigram language-model document score — the CCNet/KenLM-style
+    * perplexity filter of an LLM data pipeline, in the exact-integer bit
+    * discipline of [[unigramScore]]: per bigram occurrence, the
+    * conditional surprisal -log2 p(w2|w1) with p = c(w1 w2)/c(w1 ·) is
+    * quantized to whole bits via integer bit lengths
+    * (floor_log2(c(w1 ·)) - floor_log2(c(w1 w2)), always ≥ 0 since the
+    * context count dominates), so the per-doc aggregate is an order-free
+    * exact int64 sum and only the final per-doc mean divides. Repetitive
+    * or corpus-typical continuations score near 0 bits; rare/garbled
+    * continuations score high — the doc-level ranking a perplexity filter
+    * thresholds. Shapes: two count aggregations ((doc, w1, w2) then
+    * (w1, w2)), a tiny left-context rollup, and joins that stay on the
+    * bigram key — map-side partials carry everything at corpus scale.
+    * Docs with fewer than 2 tokens carry no bigram and drop, as in
+    * [[repetition]]. Output (doc_id, n_bigrams, cond_bits,
+    * bits_per_bigram). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val arr = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val dbg = arr
+      .select(col("doc_id"), col("arr"),
+        explode(sequence(lit(1), size(col("arr")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("arr"), col("i")).as("w1"),
+        element_at(col("arr"), col("i") + 1).as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val cab = dbg.groupBy("w1", "w2").agg(sum(col("m")).as("c_ab"))
+    val ca = cab.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
+    dbg.join(cab, Seq("w1", "w2")).join(broadcast(ca), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        sum(col("m") * ((length(bin(col("c_a"))) - 1).cast("long") -
+          (length(bin(col("c_ab"))) - 1).cast("long"))).as("cond_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("cond_bits"),
+        (col("cond_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
   /** Token-length distribution — the tokenizer "fertility" audit (mean
     * chars-per-token and the length histogram decide subword vocabulary
     * budgets): per character length, total token occurrences and distinct

@@ -99,6 +99,33 @@ class TokenizerStatsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bigram LM score matches a first-principles recount") {
+    val rows = TextAnalysis.lmScore(Sources.documents(spark, dir))
+      .collect()
+    // driver recount
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 2)
+    val allBg = docs.flatMap { case (_, ts) => ts.sliding(2).map(w => (w(0), w(1))) }
+    val cab = allBg.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    def flog2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = docs.map { case (id, ts) =>
+      val bgs = ts.sliding(2).map(w => (w(0), w(1))).toSeq
+      val bits = bgs.map(b => (flog2(ca(b._1)) - flog2(cab(b))).toLong).sum
+      id -> ((bgs.length.toLong, bits))
+    }.toMap
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (id, n, bits, mean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert((n, bits) === expect(id), s"doc $id")
+      assert(bits >= 0L)
+      assert(mean === bits.toDouble / n.toDouble)
+    }
+  }
+
   test("token-length histogram partitions the token stream exactly") {
     val rows = TextAnalysis.tokenLengths(Sources.documents(spark, dir))
       .collect()
