@@ -234,6 +234,55 @@ object RelationalOracles {
          |  FROM pc, tot
          | ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "q_bpe_merges" -> graft.operators.Bpe.oracleSql(),
+    // PII scan + scrub fingerprint; patterns are RE2∩Java so both engines
+    // match identically, replacement order pinned email→ip→digit-run
+    "q_pii_scan" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(text, '\\d{6,}')) AS BIGINT) AS n_digit_runs,
+         |       CAST(('0x' || substr(md5(
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+         |           '\\d{6,}', '<NUM>', 'g')), 1, 15)) AS BIGINT) AS scrub_fp
+         |  FROM '<sfDir>/documents.parquet' ORDER BY doc_id""".stripMargin,
+    // char-distribution entropy in whole bits (floor_log2 integer
+    // discipline), mirroring TextAnalysis.charEntropy cast-for-cast
+    "q_doc_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, substr(text, CAST(u.i AS INTEGER), 1) AS c
+         |              FROM '<sfDir>/documents.parquet',
+         |                   LATERAL unnest(generate_series(1, length(text))) AS u(i)
+         |             WHERE length(text) >= 1),
+         |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS m FROM ch GROUP BY doc_id, c),
+         |n AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_chars FROM cc GROUP BY doc_id),
+         |g AS (SELECT cc.doc_id, n.n_chars,
+         |             CAST(SUM(cc.m * ((length(bin(n.n_chars)) - 1) -
+         |                              (length(bin(cc.m)) - 1))) AS BIGINT) AS entropy_bits
+         |        FROM cc JOIN n ON cc.doc_id = n.doc_id
+         |       GROUP BY cc.doc_id, n.n_chars)
+         |SELECT doc_id, n_chars, entropy_bits,
+         |       CAST(entropy_bits AS DOUBLE) / CAST(n_chars AS DOUBLE) AS bits_per_char
+         |  FROM g ORDER BY doc_id""".stripMargin,
+    "q_doc_meta" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         |       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_nchars
+         |  FROM '<sfDir>/documents.parquet'""".stripMargin,
+    "q_emb_dims" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_ids,
+         |       CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
+         |       CAST(MAX(len(embedding)) AS BIGINT) AS max_dim,
+         |       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+         |       CAST(SUM(FLOOR(CAST(embedding[1] AS DOUBLE) * 1024.0)) AS BIGINT) AS probe_sum
+         |  FROM '<sfDir>/embeddings.parquet'""".stripMargin,
     // bigram conditional surprisal in whole bits (floor_log2 via integer
     // bit lengths), mirroring TextAnalysis.lmScore cast-for-cast
     "q_lm_score" ->

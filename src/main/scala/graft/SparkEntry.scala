@@ -164,6 +164,10 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Sources.documents(s, dir))),
     "q_tok_lengths" -> ((s, dir) => TextAnalysis.tokenLengths(Sources.documents(s, dir))),
     "q_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Sources.documents(s, dir))),
+    "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Sources.documents(s, dir))),
+    "q_doc_entropy" -> ((s, dir) => TextAnalysis.charEntropy(Sources.documents(s, dir))),
+    "q_doc_meta" -> ((s, dir) => DataQuality.docMeta(Sources.documents(s, dir))),
+    "q_emb_dims" -> ((s, dir) => DataQuality.embDims(Sources.embeddings(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -64,4 +64,37 @@ object DataQuality {
 
     checks.reduce(_.unionAll(_)).orderBy("check_name")
   }
+
+  /** Schema-drift canary for the documents table — the r6 lesson
+    * (events.ts silently changed physical type and took out 9 queries)
+    * applied to the second extension table: one aggregate that pins the
+    * column surface AND the semantic invariant `n_chars == length(text)`
+    * (n_bad_nchars rides along, so metadata drifting out of sync with the
+    * text fails the hash, not just the row count). A type change in any
+    * probed column breaks this one query loudly at the next verify. */
+  def docMeta(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_bad_nchars"))
+
+  /** Schema-drift canary for the embeddings table: vector count, dimension
+    * envelope, label domain, and a value probe (Σ floor(1024·first
+    * element) — exact after the float→double promotion both engines share)
+    * that trips on precision or layout drift, not just shape drift. */
+  def embDims(emb: DataFrame): DataFrame =
+    emb.agg(
+      count(lit(1)).as("n_vecs"),
+      countDistinct(col("vec_id")).as("n_ids"),
+      min(size(col("emb"))).cast("long").as("min_dim"),
+      max(size(col("emb"))).cast("long").as("max_dim"),
+      countDistinct(col("label")).as("n_labels"),
+      sum(floor(element_at(col("emb"), 1) * 1024.0)).cast("long")
+        .as("probe_sum"))
 }

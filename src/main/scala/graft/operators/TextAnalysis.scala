@@ -608,6 +608,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII scan + scrub — the redaction pass a training-data pipeline runs
+    * before anything else: per doc, counts of email-shaped, IPv4-shaped and
+    * long-digit-run matches, plus a 60-bit fingerprint of the SCRUBBED text
+    * (emails → `<EMAIL>`, then IPs → `<IP>`, then runs → `<NUM>`, in that
+    * pinned order — the fingerprint makes the gate non-vacuous on a clean
+    * corpus: it proves the scrub is the identity exactly where it should
+    * be, while PiiSpec poisons documents to prove each pattern fires).
+    * Patterns are deliberately RE2∩Java-regex (character classes and
+    * bounded repetition only — no lookaround, no backreferences) so both
+    * engines match identically. One narrow projection, no shuffle at all.
+    * Output (doc_id, n_emails, n_ips, n_digit_runs, scrub_fp). */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val runRe = "\\d{6,}"
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      runRe, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipRe), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(runRe), lit(0)))
+        .cast("long").as("n_digit_runs"),
+      Hashes.h60(scrubbed).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-distribution entropy per document — the compressibility
+    * quality signal (binary junk, mojibake and repeated filler collapse to
+    * low entropy; natural text sits in a narrow band). Same whole-bit
+    * integer discipline as [[unigramScore]]: each char occurrence
+    * contributes floor_log2(n) - floor_log2(m) bits (m = its count in the
+    * doc, n = doc length), so the per-doc sum is an exact order-free int64
+    * and only the final bits-per-char divides. One in-row char explode
+    * into a (doc_id, c) aggregation — partition-local until the per-doc
+    * rollup. Output (doc_id, n_chars, entropy_bits, bits_per_char). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cc = docs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("m"))
+    val n = cc.groupBy("doc_id").agg(sum(col("m")).as("n_chars"))
+    cc.join(n, "doc_id")
+      .groupBy("doc_id", "n_chars")
+      .agg(sum(col("m") * ((length(bin(col("n_chars"))) - 1).cast("long") -
+        (length(bin(col("m"))) - 1).cast("long"))).as("entropy_bits"))
+      .select(col("doc_id"), col("n_chars"), col("entropy_bits"),
+        (col("entropy_bits").cast("double") / col("n_chars").cast("double"))
+          .as("bits_per_char"))
+      .orderBy("doc_id")
+  }
+
   /** Token-length distribution — the tokenizer "fertility" audit (mean
     * chars-per-token and the length histogram decide subword vocabulary
     * budgets): per character length, total token occurrences and distinct
