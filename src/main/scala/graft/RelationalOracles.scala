@@ -234,6 +234,7 @@ object RelationalOracles {
          |  FROM pc, tot
          | ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "q_bpe_merges" -> graft.operators.Bpe.oracleSql(),
+    "q_bpe_encode" -> graft.operators.Bpe.encodeOracleSql(),
     // PII scan + scrub fingerprint; patterns are RE2∩Java so both engines
     // match identically, replacement order pinned email→ip→digit-run
     "q_pii_scan" ->

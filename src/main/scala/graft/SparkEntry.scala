@@ -162,6 +162,7 @@ object SparkEntry {
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(Sources.documents(s, dir))),
     "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairs(Sources.documents(s, dir))),
     "q_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Sources.documents(s, dir))),
+    "q_bpe_encode" -> ((s, dir) => Bpe.bpeEncode(Sources.documents(s, dir))),
     "q_tok_lengths" -> ((s, dir) => TextAnalysis.tokenLengths(Sources.documents(s, dir))),
     "q_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Sources.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Sources.documents(s, dir))),

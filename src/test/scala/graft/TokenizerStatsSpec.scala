@@ -99,6 +99,45 @@ class TokenizerStatsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bpe corpus encoding matches a canonical greedy re-encode per doc") {
+    val merges = driverBpe(8).map { case (_, pair, merged, _) =>
+      val Array(a, b) = pair.split(" "); (a, b, merged)
+    }
+    def encodeLen(tok: String): Long = {
+      var syms = tok.map(_.toString).toVector
+      for ((a, b, m) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += m; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+    val expect = docs.map { case (id, ts) =>
+      id -> ((ts.length.toLong, ts.map(_.length.toLong).sum,
+        ts.map(encodeLen).sum))
+    }.toMap
+    val rows = Bpe.bpeEncode(Sources.documents(spark, dir), nMerges = 8)
+      .collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (id, w, c, t) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((w, c, t) === expect(id), s"doc $id")
+      // fertility brackets: never fewer tokens than words, never more than chars
+      assert(t >= w && t <= c)
+      assert(r.getDouble(4) === t.toDouble / w.toDouble)
+    }
+  }
+
   test("bigram LM score matches a first-principles recount") {
     val rows = TextAnalysis.lmScore(Sources.documents(spark, dir))
       .collect()
