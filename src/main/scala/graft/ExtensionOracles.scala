@@ -1172,6 +1172,29 @@ object ExtensionOracles {
          |       (CAST(COALESCE(hit.n_bloom_hit, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)) >= 0.2 AS contaminated
          |  FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
          | ORDER BY t.doc_id""".stripMargin,
+    // eval-split n-gram novelty: split rule mirrors q_split; shingle hashes
+    // mirror the docSignatures kernel (same md5-60bit family as q_decontam)
+    "q_ngram_novelty" ->
+      s"""WITH $SH,
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+         |sp AS (SELECT doc_id,
+         |              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket
+         |         FROM $DOCS),
+         |tr AS (SELECT DISTINCT hh.h FROM hh JOIN sp ON hh.doc_id = sp.doc_id
+         |        WHERE sp.bucket < 8),
+         |ev AS (SELECT doc_id, CASE WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         |         FROM sp WHERE bucket >= 8),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM hh GROUP BY doc_id),
+         |hit AS (SELECT hh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+         |          FROM hh JOIN tr ON hh.h = tr.h
+         |          JOIN ev ON hh.doc_id = ev.doc_id
+         |         GROUP BY hh.doc_id)
+         |SELECT ev.doc_id, ev.split, tot.n_shingles,
+         |       COALESCE(hit.n_seen, CAST(0 AS BIGINT)) AS n_seen,
+         |       CAST(1 AS DOUBLE) - CAST(COALESCE(hit.n_seen, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE) AS novelty
+         |  FROM ev JOIN tot ON ev.doc_id = tot.doc_id
+         |  LEFT JOIN hit ON ev.doc_id = hit.doc_id
+         | ORDER BY ev.doc_id""".stripMargin,
     "q_decontam" ->
       s"""WITH $SH,
          |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),

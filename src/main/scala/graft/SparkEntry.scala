@@ -250,6 +250,7 @@ object SparkEntry {
     "q_group_cap" -> ((s, dir) => Curation.groupCap(Sources.documents(s, dir))),
     "q_packing" -> ((s, dir) => Curation.packSequences(Sources.documents(s, dir))),
     "q_decontam" -> ((s, dir) => Curation.decontaminate(Sources.documents(s, dir))),
+    "q_ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(Sources.documents(s, dir))),
     "q_decontam_bloom" -> ((s, dir) =>
       Curation.decontaminateBloom(Sources.documents(s, dir))),
     "q_quality_quantile" -> ((s, dir) =>

@@ -197,6 +197,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Eval-set n-gram novelty — the memorization screen run on a HELD-OUT
+    * split (Carlini-style): for every val/test document under the engine's
+    * deterministic hash split ([[TextAnalysis.deterministicSplit]]'s rule,
+    * re-derived here so the gate composes the two operators), the fraction
+    * of its distinct 9-gram shingles that never occur in ANY train-split
+    * document. Low novelty means the "held-out" doc is effectively in the
+    * training set and its eval numbers measure memorization, not
+    * generalization. Where [[decontaminate]] screens TRAIN docs against a
+    * tiny benchmark set (broadcast side = benchmark), here the reference
+    * set is the TRAIN SPLIT — huge by construction — so the join is a
+    * plain shuffle equi-join on the 60-bit shingle hash: the eval side
+    * carries |eval docs|·|shingles| rows, the train side one row per
+    * distinct shingle, and nothing wider than the shingle incidence ever
+    * exchanges. Same [[Dedup.docSignatures]] kernel as every shingle
+    * operator (shared/memoized under the Verify JVM). Output (doc_id,
+    * split, n_shingles, n_seen, novelty) for eval docs with ≥1 shingle;
+    * novelty = 1 - n_seen/n_shingles, one IEEE subtract-of-division. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sig = Dedup.sharedSignatures(docs, h = 0)
+      .getOrElse(Dedup.docSignatures(docs, h = 0).localCheckpoint())
+      .withColumn("bucket", Hashes.h60(col("doc_id").cast("string")) % 10)
+    val trainSh = sig.filter(col("bucket") < 8)
+      .select(explode(col("hs")).as("s")).distinct()
+    val eval = sig.filter(col("bucket") >= 8)
+      .withColumn("split", when(col("bucket") === 8, "val").otherwise("test"))
+    val hits = eval.select(col("doc_id"), explode(col("hs")).as("s"))
+      .join(trainSh, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    eval.select(col("doc_id"), col("split"), col("c").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty", lit(1.0) -
+        col("n_seen").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Mixture epoch planning: given a token budget, how often is each source
     * repeated (seen per "epoch" of the mixture)? Weights follow the
     * temperature-½ discipline of [[mixtureSample]] (integer-quantized

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+import graft.sources.Sources
+
+/** Round-7 widening (session c): eval-split n-gram novelty screen, checked
+  * against a first-principles driver recount on sf0.001. */
+class Round7cSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  test("ngram novelty matches a driver recount of split + shingle sets") {
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] =
+      if (t == null || t.length < 9) Set.empty
+      else (0 to t.length - 9).map(i => t.substring(i, i + 9)).toSet
+    def bucket(id: Long): Long = h60(id.toString) % 10
+    val trainSet = docs.filter(d => bucket(d._1) < 8)
+      .flatMap(d => shingles(d._2)).toSet
+    val expect = docs.filter(d => bucket(d._1) >= 8)
+      .map { case (id, t) =>
+        val sh = shingles(t)
+        id -> ((if (bucket(id) == 8) "val" else "test",
+          sh.size.toLong, sh.count(trainSet.contains).toLong))
+      }.filter(_._2._2 > 0).toMap
+    val rows = Curation.ngramNovelty(Sources.documents(spark, dir)).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (id, sp, n, seen, nov) = (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert((sp, n, seen) === expect(id), s"doc $id")
+      assert(nov === 1.0 - seen.toDouble / n.toDouble)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // the screen is non-vacuous both ways on this corpus: some shingle
+    // reuse exists, and not everything is memorized
+    assert(rows.exists(_.getLong(3) > 0L))
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)))
+  }
+}
