@@ -284,6 +284,23 @@ object RelationalOracles {
          |       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
          |       CAST(SUM(FLOOR(CAST(embedding[1] AS DOUBLE) * 1024.0)) AS BIGINT) AS probe_sum
          |  FROM '<sfDir>/embeddings.parquet'""".stripMargin,
+    // per-dimension embedding moments: 0-based dim mirrors posexplode;
+    // quantized int64 moment sums, exact double min/max, one IEEE mean
+    "q_dim_stats" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+         |             FROM '<sfDir>/embeddings.parquet'),
+         |x AS (SELECT CAST(d - 1 AS BIGINT) AS dim,
+         |             emb[CAST(d AS INT)] AS v,
+         |             CAST(FLOOR(emb[CAST(d AS INT)] * 1024.0) AS BIGINT) AS q
+         |        FROM e, LATERAL unnest(generate_series(1, len(emb))) AS u(d)),
+         |g AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(q) AS BIGINT) AS q_sum,
+         |             CAST(SUM(q * q) AS BIGINT) AS q2_sum,
+         |             MIN(v) AS min_v, MAX(v) AS max_v
+         |        FROM x GROUP BY dim)
+         |SELECT dim, n, q_sum, q2_sum, min_v, max_v,
+         |       CAST(q_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q
+         |  FROM g ORDER BY dim""".stripMargin,
     // bigram conditional surprisal in whole bits (floor_log2 via integer
     // bit lengths), mirroring TextAnalysis.lmScore cast-for-cast
     "q_lm_score" ->

@@ -476,6 +476,23 @@ object ScaleProof {
     checks += "bpe_merge_sequence_invariant" ->
       (bpe10.toSeq == baseBpe.toSeq.map { case (i, p, m, c) => (i, p, m, c * reps) })
 
+    // per-dimension moment pass under exact replication: counts and both
+    // quantized moment sums scale by exactly reps, min/max are invariant —
+    // the closed form an order-free integer-sum aggregation must satisfy.
+    val baseDim = graft.operators.DataQuality.dimStats(
+      Sources.embeddings(spark, sfDir))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    val (dim10, tDim) = timed(graft.operators.DataQuality.dimStats(emb)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap)
+    results += "dim_stats_10x" -> tDim
+    checks += "dim_stats_closed_form" ->
+      (dim10 == baseDim.map { case (d, (n, s1, s2, mn, mx)) =>
+        d -> ((n * reps, s1 * reps, s2 * reps, mn, mx)) })
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

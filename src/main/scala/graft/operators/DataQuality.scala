@@ -97,4 +97,33 @@ object DataQuality {
       countDistinct(col("label")).as("n_labels"),
       sum(floor(element_at(col("emb"), 1) * 1024.0)).cast("long")
         .as("probe_sum"))
+
+  /** Per-dimension embedding statistics — the fit pass of feature
+    * normalization (standardization, whitening, per-dim clipping all
+    * consume exactly this table). One in-row posexplode into a |dims|-key
+    * hash aggregation: at 100 TB the incidence is n·d rows but every
+    * partial aggregates map-side down to d rows before the (tiny, d-row)
+    * exchange — the cheapest shape a full-corpus moment pass can have.
+    *
+    * Moment sums follow the engine's exact-integer discipline: values
+    * quantize to q = floor(1024·v) (float→double promotion is exact, one
+    * multiply + floor), and Σq / Σq² accumulate as order-free int64 —
+    * |q| ≤ ~2¹⁰·|v|, so with unit-scale embeddings q² ≤ ~2²⁰ and even
+    * 2⁴⁰ corpus cells stay 2²³ under the int64 edge. min/max are exact
+    * over doubles (no accumulation). The one IEEE op per output row is the
+    * mean division. Output (dim, n, q_sum, q2_sum, min_v, max_v, mean_q). */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("dim"), col("v"),
+        floor(col("v") * 1024.0).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("q_sum"),
+        sum(col("q") * col("q")).as("q2_sum"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .select(col("dim"), col("n"), col("q_sum"), col("q2_sum"),
+        col("min_v"), col("max_v"),
+        (col("q_sum").cast("double") / col("n").cast("double")).as("mean_q"))
+      .orderBy("dim")
 }

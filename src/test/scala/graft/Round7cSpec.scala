@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Curation
+import graft.operators.{Curation, DataQuality}
 import graft.sources.Sources
 
 /** Round-7 widening (session c): eval-split n-gram novelty screen, checked
@@ -47,5 +47,24 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     // reuse exists, and not everything is memorized
     assert(rows.exists(_.getLong(3) > 0L))
     assert(rows.exists(r => r.getLong(3) < r.getLong(2)))
+  }
+
+  test("per-dimension stats match a driver recount of quantized moments") {
+    val vecs = Sources.embeddings(spark, dir)
+      .select("emb").collect().map(_.getSeq[Double](0))
+    val d = vecs.head.length
+    val rows = DataQuality.dimStats(Sources.embeddings(spark, dir)).collect()
+    assert(rows.length === d)
+    rows.foreach { r =>
+      val dim = r.getLong(0).toInt
+      val col = vecs.map(_(dim))
+      val q = col.map(v => math.floor(v * 1024.0).toLong)
+      assert(r.getLong(1) === vecs.length.toLong)
+      assert(r.getLong(2) === q.sum)
+      assert(r.getLong(3) === q.map(x => x * x).sum)
+      assert(r.getDouble(4) === col.min)
+      assert(r.getDouble(5) === col.max)
+      assert(r.getDouble(6) === q.sum.toDouble / vecs.length.toDouble)
+    }
   }
 }
