@@ -807,6 +807,41 @@ object ExtensionOracles {
          |       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
          |  FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // top duplicated windows: same incidence as q_dup_spans, top-k under
+    // the (occurrences desc, window asc) total order
+    "q_top_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS
+         |            WHERE text IS NOT NULL),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+         |        FROM t WHERE len(toks) >= 4),
+         |w AS (SELECT doc_id, array_to_string(toks[(i*2+1):(i*2+4)], ' ') AS win
+         |        FROM (SELECT doc_id, toks,
+         |                     unnest(range(0, (n_toks - 4) // 2 + 1)) AS i
+         |                FROM n))
+         |SELECT win, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM w GROUP BY win
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         | ORDER BY n_occ DESC, win LIMIT 20""".stripMargin,
+    // source-pair shingle containment matrix: distinct (source, hash)
+    // incidence off the SH kernel, complete directed matrix with zero
+    // intersections kept
+    "q_source_overlap" ->
+      s"""WITH $SH,
+         |ss AS (SELECT DISTINCT d.source,
+         |              CAST(('0x' || substr(md5(sh.s), 1, 15)) AS BIGINT) AS h
+         |         FROM sh JOIN $DOCS d ON sh.doc_id = d.doc_id),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY source),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |                 CAST(COUNT(*) AS BIGINT) AS n_inter
+         |            FROM ss a JOIN ss b ON a.h = b.h AND a.source <> b.source
+         |           GROUP BY a.source, b.source)
+         |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a,
+         |       COALESCE(inter.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+         |       CAST(COALESCE(inter.n_inter, 0) AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+         |  FROM sizes sa JOIN sizes sb ON sa.source <> sb.source
+         |  LEFT JOIN inter ON inter.src_a = sa.source AND inter.src_b = sb.source
+         | ORDER BY src_a, src_b""".stripMargin,
     // ---- composed training pipeline: dedup keepers + quality + length
     // gates (expression shapes identical to q_quality + q_dedup_keep) ----
     "q_clean_corpus" ->

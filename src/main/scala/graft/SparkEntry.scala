@@ -302,6 +302,10 @@ object SparkEntry {
     // containment, corpus stopwords ----
     "q_dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(Sources.documents(s, dir))),
+    "q_top_spans" -> ((s, dir) =>
+      TextAnalysis.topSpans(Sources.documents(s, dir))),
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Sources.documents(s, dir))),
     "q_ngram_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(Sources.documents(s, dir))),
     "q_stopwords" -> ((s, dir) =>

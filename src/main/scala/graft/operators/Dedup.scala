@@ -180,6 +180,41 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Source-pair shingle CONTAINMENT matrix — the set-level complement of
+    * [[crossSourceLeak]]: where that counts verified near-dup DOCUMENT
+    * pairs, this measures how much of source A's distinct 9-gram shingle
+    * SPACE appears anywhere in source B (|S_A ∩ S_B| / |S_A|, directed —
+    * a small source fully contained in a crawl shows 1.0 in one direction
+    * and noise in the other, exactly the asymmetry mixture design needs
+    * before double-counting a "distinct" source). Shapes: the distinct
+    * (source, shingle-hash) table is one explode + distinct off the shared
+    * [[docSignatures]] kernel; the intersection is a self-equi-join on the
+    * 60-bit hash whose output is bounded by |shingles|·|sources|² with
+    * |sources| a small constant; the final matrix is |sources|² rows with
+    * zero-intersection pairs kept (a complete matrix, not just observed
+    * overlaps). One IEEE division per cell. Output
+    * (src_a, src_b, n_a, n_inter, containment) over ordered pairs a ≠ b. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sig = sharedSignatures(docs, h = 0)
+      .getOrElse(docSignatures(docs, h = 0).localCheckpoint())
+    val ss = sig.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("hs")).as("s")).distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ss.withColumnRenamed("source", "src_a")
+      .join(ss.withColumnRenamed("source", "src_b"), "s")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("source").as("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_a").cast("double"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Incremental ingestion dedup: classify each document of an incoming
     * batch (source == batchSource) against the existing corpus (every other
     * source) as `exact_dup` (byte-identical text exists in the corpus),

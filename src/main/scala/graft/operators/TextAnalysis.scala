@@ -141,6 +141,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top duplicated token windows — the WHAT of boilerplate: where
+    * [[dupSpans]] scores each doc by how much of it is duplicated, this
+    * names the most-repeated spans themselves (license headers, nav bars,
+    * template chrome — the strings a cleaning rule would actually target).
+    * Same window incidence as dupSpans (shared derivation, two gated
+    * consumers), then one hash aggregation per distinct window and a
+    * TakeOrderedAndProject top-k under the total order (occurrences desc,
+    * window asc) — the global frequency order never materializes past k
+    * rows. Windows must appear in ≥2 DISTINCT docs (within-doc repetition
+    * is [[repetition]]'s signal, not boilerplate). Output
+    * (win, n_occ, n_docs). */
+  def topSpans(docs: DataFrame, width: Int = 4, stride: Int = 2,
+               k: Int = 20): DataFrame = {
+    require(width > 0 && stride > 0 && k > 0, "need positive parameters")
+    val wins = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= width)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(n_toks - $width) div $stride"))).as("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"),
+          (col("w") * stride + 1).cast("int"), lit(width))).as("win"))
+    wins.groupBy("win")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("win").asc)
+      .limit(k)
+  }
+
   /** Corpus-level bigram counts — the n-gram LM statistic (conditional-
     * probability tables, contamination screens, boilerplate detection all
     * start here). Adjacent-token pairs come from zipping each doc's token

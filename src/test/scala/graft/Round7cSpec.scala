@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, DataQuality}
+import graft.operators.{Curation, DataQuality, Dedup, TextAnalysis}
 import graft.sources.Sources
 
 /** Round-7 widening (session c): eval-split n-gram novelty screen, checked
@@ -47,6 +47,49 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     // reuse exists, and not everything is memorized
     assert(rows.exists(_.getLong(3) > 0L))
     assert(rows.exists(r => r.getLong(3) < r.getLong(2)))
+  }
+
+  test("top duplicated spans are the true top-k boilerplate windows") {
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < 4) Seq.empty
+      else (0 to (toks.length - 4) / 2)
+        .map(w => (id, toks.slice(w * 2, w * 2 + 4).mkString(" ")))
+    }
+    val byWin = wins.groupBy(_._2).map { case (w, g) =>
+      (w, g.length.toLong, g.map(_._1).distinct.length.toLong)
+    }.filter(_._3 >= 2)
+    val expect = byWin.toSeq.sortBy { case (w, occ, _) => (-occ, w) }.take(20)
+    val got = TextAnalysis.topSpans(Sources.documents(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+
+  test("source overlap matrix matches driver shingle-set containments") {
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] =
+      if (t == null || t.length < 9) Set.empty
+      else (0 to t.length - 9).map(i => t.substring(i, i + 9)).toSet
+    val bySource = docs.groupBy(_._3).map { case (s, g) =>
+      s -> g.flatMap(d => shingles(d._2)).map(h60).toSet
+    }
+    val sources = bySource.keys.toSeq.sorted
+    val expect = (for (a <- sources; b <- sources if a != b) yield {
+      val na = bySource(a).size.toLong
+      val ni = (bySource(a) intersect bySource(b)).size.toLong
+      (a, b, na, ni, ni.toDouble / na.toDouble)
+    }).toSeq
+    val got = Dedup.sourceOverlap(Sources.documents(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect)
+    // non-vacuous: at least one pair intersects
+    assert(got.exists(_._4 > 0L))
   }
 
   test("per-dimension stats match a driver recount of quantized moments") {
