@@ -312,6 +312,57 @@ object ExtensionOracles {
          |            WHEN c_es = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'es'
          |            ELSE 'und' END AS lang_pred
          |  FROM c ORDER BY doc_id""".stripMargin,
+    // declared-vs-predicted language confusion matrix: the q_lang_id
+    // heuristic as a CTE, joined to the declared lang column
+    "q_lang_confusion" ->
+      s"""WITH d AS (SELECT doc_id, ' ' || text || ' ' AS p FROM $DOCS),
+         |c AS (SELECT doc_id,
+         |  (length(p)-length(replace(p,' the ','')))/5 + (length(p)-length(replace(p,' a ','')))/3 + (length(p)-length(replace(p,' of ','')))/4 AS c_en,
+         |  (length(p)-length(replace(p,' le ','')))/4 + (length(p)-length(replace(p,' la ','')))/4 + (length(p)-length(replace(p,' et ','')))/4 AS c_fr,
+         |  (length(p)-length(replace(p,' der ','')))/5 + (length(p)-length(replace(p,' die ','')))/5 + (length(p)-length(replace(p,' und ','')))/5 AS c_de,
+         |  (length(p)-length(replace(p,' el ','')))/4 + (length(p)-length(replace(p,' los ','')))/5 + (length(p)-length(replace(p,' y ','')))/3 AS c_es
+         |  FROM d),
+         |pr AS (SELECT doc_id,
+         |       CASE WHEN c_en = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'en'
+         |            WHEN c_fr = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'fr'
+         |            WHEN c_de = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'de'
+         |            WHEN c_es = GREATEST(c_en, c_fr, c_de, c_es) AND GREATEST(c_en, c_fr, c_de, c_es) > 0 THEN 'es'
+         |            ELSE 'und' END AS lang_pred
+         |  FROM c)
+         |SELECT doc.lang AS lang_decl, pr.lang_pred,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM pr JOIN $DOCS doc ON pr.doc_id = doc.doc_id
+         | GROUP BY doc.lang, pr.lang_pred
+         | ORDER BY lang_decl, lang_pred""".stripMargin,
+    // exact two-sample KS between train/holdout length distributions:
+    // split rule mirrors q_split; CDF gap via integer cross-multiplication
+    "q_split_drift" ->
+      s"""WITH b AS (SELECT n_chars,
+         |                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 AS is_tr
+         |             FROM $DOCS),
+         |g AS (SELECT n_chars,
+         |             CAST(SUM(CASE WHEN is_tr THEN 1 ELSE 0 END) AS BIGINT) AS c_tr,
+         |             CAST(SUM(CASE WHEN is_tr THEN 0 ELSE 1 END) AS BIGINT) AS c_ho
+         |        FROM b GROUP BY n_chars),
+         |c AS (SELECT CAST(SUM(c_tr) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tr,
+         |             CAST(SUM(c_ho) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ho
+         |        FROM g),
+         |t AS (SELECT CAST(SUM(c_tr) AS BIGINT) AS n_train,
+         |             CAST(SUM(c_ho) AS BIGINT) AS n_holdout FROM g)
+         |SELECT t.n_train, t.n_holdout,
+         |       CAST(MAX(ABS(cum_tr * t.n_holdout - cum_ho * t.n_train)) AS BIGINT) AS d_scaled,
+         |       CAST(MAX(ABS(cum_tr * t.n_holdout - cum_ho * t.n_train)) AS DOUBLE)
+         |         / CAST(t.n_train * t.n_holdout AS DOUBLE) AS ks
+         |  FROM c, t GROUP BY t.n_train, t.n_holdout""".stripMargin,
+    // embedding squared-norm histogram: self-dot via the same
+    // list_sum(list_transform(list_zip)) fold the ANN oracles pin
+    "q_emb_norms" ->
+      s"""WITH $EMB,
+         |s AS (SELECT list_sum(list_transform(list_zip(emb, emb), z -> z[1]*z[2])) AS sq FROM e)
+         |SELECT CAST(FLOOR(sq * 64.0) AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       MIN(sq) AS min_sq, MAX(sq) AS max_sq
+         |  FROM s GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_quality" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

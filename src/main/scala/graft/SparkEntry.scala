@@ -170,6 +170,11 @@ object SparkEntry {
     "q_doc_meta" -> ((s, dir) => DataQuality.docMeta(Sources.documents(s, dir))),
     "q_emb_dims" -> ((s, dir) => DataQuality.embDims(Sources.embeddings(s, dir))),
     "q_dim_stats" -> ((s, dir) => DataQuality.dimStats(Sources.embeddings(s, dir))),
+    "q_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Sources.documents(s, dir))),
+    "q_split_drift" -> ((s, dir) =>
+      DataQuality.splitDrift(Sources.documents(s, dir))),
+    "q_emb_norms" -> ((s, dir) => DataQuality.embNorms(Sources.embeddings(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

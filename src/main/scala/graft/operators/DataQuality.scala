@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Sources
@@ -97,6 +98,65 @@ object DataQuality {
       countDistinct(col("label")).as("n_labels"),
       sum(floor(element_at(col("emb"), 1) * 1024.0)).cast("long")
         .as("probe_sum"))
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic between the train and
+    * holdout splits' document-length distributions — the distribution-
+    * drift gate: a hash split SHOULD make both sides identically
+    * distributed, so a large KS here means the split key correlates with
+    * content (or the corpus snapshot shifted between split assignments) and
+    * eval numbers won't transfer. All in the engine's exact-integer
+    * discipline: per distinct length, side counts are int64; the CDF gap
+    * is compared via cross-multiplication (|cum_tr·n_ho − cum_ho·n_tr|,
+    * products bounded by n_tr·n_ho — fine to ~3·10⁹ docs a side, and the
+    * per-side counts would move to DECIMAL(38,0) beyond that), so the max
+    * is over exact integers and only the final KS value divides.
+    *
+    * Scale shape: the corpus collapses map-side to one row per distinct
+    * length before anything global happens; the running-sum window then
+    * runs on that |distinct lengths| table — bounded by the length domain
+    * (thousands), NOT by corpus rows, which is why a single-partition
+    * window is the honest plan here and not a scale smell. Output: one row
+    * (n_train, n_holdout, d_scaled, ks). */
+  def splitDrift(docs: DataFrame): DataFrame = {
+    val sided = docs.select(col("n_chars"),
+      (graft.functions.Hashes.h60(col("doc_id").cast("string")) % 10 < 8)
+        .as("is_tr"))
+    val perLen = sided.groupBy("n_chars").agg(
+      sum(when(col("is_tr"), 1L).otherwise(0L)).as("c_tr"),
+      sum(when(!col("is_tr"), 1L).otherwise(0L)).as("c_ho"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLen.select(
+      sum(col("c_tr")).over(w).as("cum_tr"),
+      sum(col("c_ho")).over(w).as("cum_ho"))
+    val tot = perLen.agg(sum(col("c_tr")).as("n_train"),
+      sum(col("c_ho")).as("n_holdout"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_train"), col("n_holdout"),
+        abs(col("cum_tr") * col("n_holdout") - col("cum_ho") * col("n_train"))
+          .as("gap"))
+      .groupBy("n_train", "n_holdout")
+      .agg(max(col("gap")).as("d_scaled"))
+      .select(col("n_train"), col("n_holdout"), col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          (col("n_train") * col("n_holdout")).cast("double")).as("ks"))
+  }
+
+  /** Embedding norm histogram — the normalization audit for a vector
+    * corpus: cosine-based ANN assumes unit-ish norms, and a bimodal or
+    * heavy-tailed norm histogram is the first sign of mixed encoders or
+    * corrupted vectors. Squared norms avoid any sqrt: ‖v‖² is one
+    * [[graft.functions.DotProduct]] codegen'd fold (self-dot — the same
+    * left-to-right IEEE order every ANN oracle already pins), buckets are
+    * floor(64·‖v‖²) exactly, counts exact int64, one narrow projection +
+    * |buckets| hash aggregation. Output (bucket, n_vecs, min_sq, max_sq). */
+  def embNorms(emb: DataFrame): DataFrame =
+    emb.select(graft.functions.DotProduct.dot(col("emb"), col("emb")).as("sq"))
+      .select(col("sq"), floor(col("sq") * 64.0).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("sq")).as("min_sq"), max(col("sq")).as("max_sq"))
+      .orderBy("bucket")
 
   /** Per-dimension embedding statistics — the fit pass of feature
     * normalization (standardization, whitening, per-dim clipping all

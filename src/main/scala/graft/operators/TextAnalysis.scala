@@ -305,6 +305,23 @@ object TextAnalysis {
     docs.select(cols: _*).orderBy("doc_id")
   }
 
+  /** Declared-vs-predicted language confusion matrix — the metadata-trust
+    * audit: corpus metadata (`lang`) routinely disagrees with content
+    * (mislabeled crawls, code-switched docs, template pages), and mixture
+    * weights keyed on a wrong `lang` column silently skew the training
+    * distribution. Composes [[langId]]'s content heuristic with the
+    * declared column into |langs|·(|langs|+1) matrix cells; diagonal mass
+    * = trustworthy metadata, off-diagonal rows = the labels to re-check.
+    * One narrow scoring projection + one tiny hash aggregation — no
+    * shuffle wider than the matrix at any corpus size. Output
+    * (lang_decl, lang_pred, n_docs). */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang").as("lang_decl")), "doc_id")
+      .groupBy("lang_decl", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_decl", "lang_pred")
+
   /** Pattern scrubbing (PII-redaction shape): count and redact emails,
     * long digit runs, and a configurable forbidden term in one narrow
     * codegen'd projection — the standard pre-training privacy pass. The

@@ -92,6 +92,64 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     assert(got.exists(_._4 > 0L))
   }
 
+  test("lang confusion matrix partitions the corpus and tracks langId") {
+    val docs = Sources.documents(spark, dir)
+    val m = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.values.sum === docs.count())
+    // cross-check each cell against the gated per-doc predictions
+    val pred = TextAnalysis.langId(docs)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val decl = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = decl.keys.toSeq
+      .map(id => (decl(id), pred(id)))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    assert(m === expect)
+  }
+
+  test("split-drift KS matches a driver recount and brackets in [0,1]") {
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isTr(id: Long): Boolean = h60(id.toString) % 10 < 8
+    val tr = docs.filter(d => isTr(d._1)).map(_._2).sorted
+    val ho = docs.filter(d => !isTr(d._1)).map(_._2).sorted
+    val lens = (tr ++ ho).distinct.sorted
+    val dScaled = lens.map { x =>
+      math.abs(tr.count(_ <= x).toLong * ho.length.toLong -
+        ho.count(_ <= x).toLong * tr.length.toLong)
+    }.max
+    val r = DataQuality.splitDrift(Sources.documents(spark, dir)).head()
+    assert(r.getLong(0) === tr.length.toLong)
+    assert(r.getLong(1) === ho.length.toLong)
+    assert(r.getLong(2) === dScaled)
+    val ks = r.getDouble(3)
+    assert(ks === dScaled.toDouble / (tr.length.toLong * ho.length.toLong).toDouble)
+    assert(ks >= 0.0 && ks <= 1.0)
+    // a hash split should NOT drift much — this doubles as a split sanity
+    // gate on the shipped corpus
+    assert(ks < 0.25)
+  }
+
+  test("embedding norm histogram partitions the vector set") {
+    val vecs = Sources.embeddings(spark, dir)
+      .select("emb").collect().map(_.getSeq[Double](0))
+    val rows = DataQuality.embNorms(Sources.embeddings(spark, dir)).collect()
+    assert(rows.map(_.getLong(1)).sum === vecs.length.toLong)
+    val sqs = vecs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val expect = sqs.groupBy(s => math.floor(s * 64.0).toLong)
+      .map { case (b, g) => b -> ((g.length.toLong, g.min, g.max)) }
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) ===
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      // bucket edges are consistent with the stored extremes
+      assert(math.floor(r.getDouble(2) * 64.0).toLong === r.getLong(0))
+      assert(math.floor(r.getDouble(3) * 64.0).toLong === r.getLong(0))
+    }
+  }
+
   test("per-dimension stats match a driver recount of quantized moments") {
     val vecs = Sources.embeddings(spark, dir)
       .select("emb").collect().map(_.getSeq[Double](0))
