@@ -517,6 +517,40 @@ object RelationalOracles {
          |       MIN(value) AS vmin, MAX(value) AS vmax
          |  FROM '<sfDir>/events.parquet'
          | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // hourly event-rate anomaly: exact-integer median/MAD rule
+    // (order-statistic medians over int64, integer flag comparison)
+    "q_rate_anomaly" ->
+      s"""WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hour,
+         |                  CAST(COUNT(*) AS BIGINT) AS n_events
+         |             FROM '<sfDir>/events.parquet' GROUP BY 1),
+         |med AS (SELECT quantile_disc(n_events, 0.5) AS med FROM h),
+         |mad AS (SELECT quantile_disc(ABS(n_events - med.med), 0.5) AS mad
+         |          FROM h, med)
+         |SELECT hour, n_events, med.med AS med, mad.mad AS mad,
+         |       ABS(n_events - med.med) > mad.mad * 3 AS is_anomaly
+         |  FROM h, med, mad ORDER BY hour""".stripMargin,
+    // upper-triangle quantized covariance: in-row (i, j>=i) products,
+    // d(d+1)/2 int64 cells, the one FP expression pinned operand-for-operand
+    "q_emb_cov" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+         |             FROM '<sfDir>/embeddings.parquet'),
+         |q AS (SELECT list_transform(emb, v -> CAST(FLOOR(v * 1024.0) AS BIGINT)) AS qs FROM e),
+         |x AS (SELECT CAST(u.i - 1 AS BIGINT) AS dim_i, CAST(w.j - 1 AS BIGINT) AS dim_j,
+         |             qs[CAST(u.i AS INT)] * qs[CAST(w.j AS INT)] AS p
+         |        FROM q, LATERAL unnest(generate_series(1, len(qs))) u(i),
+         |                LATERAL unnest(generate_series(1, len(qs))) w(j)
+         |       WHERE w.j >= u.i),
+         |g AS (SELECT dim_i, dim_j, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(p) AS BIGINT) AS qq_sum FROM x GROUP BY 1, 2),
+         |m AS (SELECT CAST(v.d - 1 AS BIGINT) AS dim,
+         |             CAST(SUM(qs[CAST(v.d AS INT)]) AS BIGINT) AS q_sum
+         |        FROM q, LATERAL unnest(generate_series(1, len(qs))) v(d) GROUP BY 1)
+         |SELECT g.dim_i, g.dim_j, g.n, g.qq_sum,
+         |       CAST(g.qq_sum AS DOUBLE) / CAST(g.n AS DOUBLE)
+         |         - (CAST(mi.q_sum AS DOUBLE) / CAST(g.n AS DOUBLE))
+         |           * (CAST(mj.q_sum AS DOUBLE) / CAST(g.n AS DOUBLE)) AS cov_q
+         |  FROM g JOIN m mi ON g.dim_i = mi.dim JOIN m mj ON g.dim_j = mj.dim
+         | ORDER BY dim_i, dim_j""".stripMargin,
     "q_weekly" ->
       s"""SELECT epoch_us(date_trunc('week', o_orderdate)) AS week_us,
          |       CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -158,6 +158,47 @@ object DataQuality {
         min(col("sq")).as("min_sq"), max(col("sq")).as("max_sq"))
       .orderBy("bucket")
 
+  /** Upper-triangle quantized covariance pass — the fit step of PCA /
+    * whitening / decorrelation, i.e. what [[dimStats]] is to per-dim
+    * standardization this is to cross-dim structure. The n·d²/2 product
+    * incidence is the intrinsic cost of a covariance estimate; the shape
+    * keeps it honest at 100 TB: products are built IN ROW (quantize once
+    * per vector, explode (i, j≥i) pairs from the row's own array — rows
+    * multiply only at the explode feeding a partial aggregate) and the
+    * exchange carries exactly d(d+1)/2 cells of map-side-combined int64
+    * partials. Products of floor(1024·v) quantizations bound at ~2²⁰ per
+    * cell term, so 2⁴⁰ corpus terms stay inside int64. The d-row mean
+    * table joins back twice (broadcast) for the centered covariance; the
+    * subtraction `qq/n − (qi/n)(qj/n)` is the one FP expression, pinned
+    * operand-for-operand in the oracle. Output
+    * (dim_i, dim_j, n, qq_sum, cov_q) over j ≥ i. */
+  def embCovariance(emb: DataFrame): DataFrame = {
+    val q = emb.select(transform(col("emb"),
+      v => floor(v * lit(1024.0)).cast("long")).as("qs"))
+    val pairs = q
+      .select(col("qs"), posexplode(col("qs")).as(Seq("i", "qi")))
+      .select(col("i").cast("long").as("dim_i"), col("qi"),
+        posexplode(slice(col("qs"), col("i") + 1, size(col("qs")) - col("i")))
+          .as(Seq("j", "qj")))
+      .select(col("dim_i"), (col("dim_i") + col("j").cast("long")).as("dim_j"),
+        (col("qi") * col("qj")).as("p"))
+    val cells = pairs.groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("qq_sum"))
+    val means = q.select(posexplode(col("qs")).as(Seq("pos", "qv")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(sum(col("qv")).as("q_sum"))
+    cells
+      .join(broadcast(means.select(col("dim").as("dim_i"),
+        col("q_sum").as("si"))), "dim_i")
+      .join(broadcast(means.select(col("dim").as("dim_j"),
+        col("q_sum").as("sj"))), "dim_j")
+      .select(col("dim_i"), col("dim_j"), col("n"), col("qq_sum"),
+        (col("qq_sum").cast("double") / col("n").cast("double") -
+          (col("si").cast("double") / col("n").cast("double")) *
+            (col("sj").cast("double") / col("n").cast("double"))).as("cov_q"))
+      .orderBy("dim_i", "dim_j")
+  }
+
   /** Per-dimension embedding statistics — the fit pass of feature
     * normalization (standardization, whitening, per-dim clipping all
     * consume exactly this table). One in-row posexplode into a |dims|-key

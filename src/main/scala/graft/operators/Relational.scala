@@ -289,6 +289,38 @@ object Relational {
         max(col("value")).as("vmax"))
       .orderBy("event_type")
 
+  /** Event-rate anomaly screen — the pipeline-health monitor an ingestion
+    * run consults before trusting a fresh partition: hourly event counts
+    * flagged by the robust median/MAD rule (|n − median| > 3·MAD), the
+    * outlier test that a burst can't poison the way it poisons a
+    * mean/stddev z-score. Everything stays in exact integers: hourly
+    * counts are int64, the medians are `percentile_disc` over int64 (an
+    * order statistic — picks an actual value, no interpolation), and the
+    * flag is an integer comparison, so the gate hashes with no IEEE
+    * anywhere. Scale shape: the corpus collapses map-side to |hours|
+    * rows; both medians and the flagging pass run on that bounded table
+    * (two tiny single-group aggs broadcast back). Output
+    * (hour, n_events, med, mad, is_anomaly). */
+  def rateAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hours = Sources.events(spark, sfDir)
+      .groupBy(expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    // percentile_disc picks an ACTUAL int64 count but returns double;
+    // the cast back to long is exact (order statistic, no interpolation)
+    val med = hours.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .cast("long").as("med"))
+    val withMed = hours.crossJoin(broadcast(med))
+    val mad = withMed
+      .select(abs(col("n_events") - col("med")).as("dev"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("long").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("hour"), col("n_events"), col("med"), col("mad"),
+        (abs(col("n_events") - col("med")) > col("mad") * 3L).as("is_anomaly"))
+      .orderBy("hour")
+  }
+
   /** Date-arithmetic surface: ISO-week (Monday-truncated) order rollup.
     * Week keys leave the engine as epoch microseconds — engine-neutral,
     * no timestamp rendering to disagree on; session TZ is pinned UTC so the

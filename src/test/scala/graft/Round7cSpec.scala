@@ -150,6 +150,55 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("covariance pass: driver recount, and the diagonal IS dimStats' q2") {
+    val vecs = Sources.embeddings(spark, dir)
+      .select("emb").collect().map(_.getSeq[Double](0))
+    val qs = vecs.map(_.map(v => math.floor(v * 1024.0).toLong).toArray)
+    val d = qs.head.length
+    val rows = DataQuality.embCovariance(Sources.embeddings(spark, dir))
+      .collect()
+    assert(rows.length === d * (d + 1) / 2)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val n = qs.length.toLong
+    for (i <- 0 until d; j <- i until d) {
+      val s = qs.map(q => q(i) * q(j)).sum
+      val si = qs.map(_(i)).sum
+      val sj = qs.map(_(j)).sum
+      val cov = s.toDouble / n.toDouble -
+        (si.toDouble / n.toDouble) * (sj.toDouble / n.toDouble)
+      assert(got((i.toLong, j.toLong)) === ((n, s, cov)), s"cell ($i,$j)")
+    }
+    // cross-operator invariant: the diagonal is exactly dimStats' q2_sum
+    val q2 = DataQuality.dimStats(Sources.embeddings(spark, dir))
+      .select("dim", "q2_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q2.foreach { case (dim, s2) => assert(got((dim, dim))._2 === s2) }
+  }
+
+  test("rate anomaly: exact median/MAD recount; flag rule holds") {
+    val ev = Sources.events(spark, dir)
+      .selectExpr("ts div 3600000000000 as h").collect()
+      .map(_.getLong(0))
+    val counts = ev.groupBy(identity).map { case (h, g) => h -> g.length.toLong }
+    def medOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      // percentile_disc(0.5): smallest value with CDF >= 0.5
+      s((math.ceil(s.length * 0.5) - 1).toInt)
+    }
+    val med = medOf(counts.values.toSeq)
+    val mad = medOf(counts.values.map(c => math.abs(c - med)).toSeq)
+    val rows = graft.operators.Relational.rateAnomaly(spark, dir).collect()
+    assert(rows.length === counts.size)
+    rows.foreach { r =>
+      val (h, n, m, md, fl) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))
+      assert(n === counts(h))
+      assert(m === med && md === mad)
+      assert(fl === (math.abs(n - med) > mad * 3))
+    }
+  }
+
   test("per-dimension stats match a driver recount of quantized moments") {
     val vecs = Sources.embeddings(spark, dir)
       .select("emb").collect().map(_.getSeq[Double](0))
