@@ -287,6 +287,27 @@ object ExtensionOracles {
        |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.w = rc.v),
        |lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
+  /** Per-doc quality CTE chain ending in `qq(doc_id, quality)` — the
+    * q_quality formula as a reusable block for the gates that compose
+    * quality with other operators (best-of-cluster selection, the
+    * quality-band dup profile). Names are q-prefixed to never collide
+    * with the minhash/closure chains. */
+  private def qualityCtes: String =
+    s"""qt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+       |qg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |              CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+       |              CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |         FROM qt GROUP BY doc_id),
+       |qj AS (SELECT d.doc_id, g.n_tokens,
+       |              CAST(g.n_distinct AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS ttr,
+       |              CAST(g.n_stop AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS stop_ratio
+       |         FROM $DOCS d JOIN qg g ON d.doc_id = g.doc_id),
+       |qq AS (SELECT doc_id,
+       |              CAST(0.5 AS DOUBLE)*ttr
+       |                + CAST(0.3 AS DOUBLE)*LEAST(stop_ratio*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+       |                + CAST(0.2 AS DOUBLE)*LEAST(CAST(n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+       |         FROM qj)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // ---- text analysis ----
     "q_token_counts" ->
@@ -500,6 +521,35 @@ object ExtensionOracles {
          | WHERE NOT EXISTS (SELECT 1 FROM lab
          |                    WHERE lab.doc_id = d.doc_id AND lab.cluster_id <> lab.doc_id)
          | ORDER BY doc_id""".stripMargin,
+    // best-of-cluster selection: same closure, SELECTION by quality
+    // (tie → min doc_id); singletons survive as their own representative
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $ccLabCtes,
+         |$qualityCtes,
+         |bestc AS (SELECT lab.doc_id, lab.cluster_id, qq.quality,
+         |                 ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+         |                     ORDER BY qq.quality DESC, lab.doc_id) AS rn
+         |            FROM lab JOIN qq ON lab.doc_id = qq.doc_id)
+         |SELECT doc_id, cluster_id, quality FROM bestc WHERE rn = 1
+         |UNION ALL
+         |SELECT d.doc_id AS doc_id, d.doc_id AS cluster_id, qq.quality
+         |  FROM $DOCS d JOIN qq ON d.doc_id = qq.doc_id
+         | WHERE NOT EXISTS (SELECT 1 FROM lab WHERE lab.doc_id = d.doc_id)
+         | ORDER BY doc_id""".stripMargin,
+    // duplication-by-quality-band: value bands on the bit-gated quality,
+    // exact-dup flag = non-min-id member of a text group
+    "q_quality_dups" ->
+      s"""WITH $qualityCtes,
+         |k AS (SELECT text, MIN(doc_id) AS keeper FROM $DOCS GROUP BY text),
+         |f AS (SELECT d.doc_id, d.doc_id <> k.keeper AS is_dup
+         |        FROM $DOCS d JOIN k ON d.text = k.text)
+         |SELECT CAST(FLOOR(qq.quality * 20.0) AS BIGINT) AS q_band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |       CAST(SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         |  FROM qq JOIN f ON qq.doc_id = f.doc_id
+         | GROUP BY 1 ORDER BY q_band""".stripMargin,
     // per-source retention after near-dup removal: same closure, dropped =
     // non-representative members, aggregated per source
     "q_dedup_retention" ->

@@ -259,6 +259,9 @@ object SparkEntry {
     "q_packing" -> ((s, dir) => Curation.packSequences(Sources.documents(s, dir))),
     "q_decontam" -> ((s, dir) => Curation.decontaminate(Sources.documents(s, dir))),
     "q_ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(Sources.documents(s, dir))),
+    "q_dedup_best" -> ((s, dir) => Dedup.bestOfCluster(Sources.documents(s, dir))),
+    "q_quality_dups" -> ((s, dir) =>
+      Curation.qualityDupProfile(Sources.documents(s, dir))),
     "q_decontam_bloom" -> ((s, dir) =>
       Curation.decontaminateBloom(Sources.documents(s, dir))),
     "q_quality_quantile" -> ((s, dir) =>

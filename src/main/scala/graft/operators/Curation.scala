@@ -197,6 +197,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Duplication-by-quality-band profile — the curation diagnostic that
+    * decides whether quality filtering and dedup are redundant or
+    * complementary on a given corpus: per fixed-width quality band
+    * (floor(20·quality) — VALUE bands, not rank deciles, so the whole
+    * profile is one map-side-combining aggregation with no corpus-wide
+    * sort anywhere), the count of exact-duplicate docs (non-min-id members
+    * of a text group, [[TextAnalysis.cleanCorpus]]'s keeper rule).
+    * Template/boilerplate mass concentrating in low bands means dedup
+    * subsumes part of the quality gate; a flat profile means they prune
+    * independent sets. quality is bit-gated by q_quality, so banding on it
+    * is engine-stable. Output (q_band, n_docs, n_dups, dup_frac). */
+  def qualityDupProfile(docs: DataFrame): DataFrame = {
+    val qual = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val keepers = docs.groupBy(col("text")).agg(min(col("doc_id")).as("keeper"))
+    val flagged = docs.select(col("doc_id"), col("text"))
+      .join(keepers, "text")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+    qual.join(flagged, "doc_id")
+      .select(floor(col("quality") * 20.0).cast("long").as("q_band"),
+        col("is_dup"))
+      .groupBy("q_band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_frac",
+        col("n_dups").cast("double") / col("n_docs").cast("double"))
+      .orderBy("q_band")
+  }
+
   /** Eval-set n-gram novelty — the memorization screen run on a HELD-OUT
     * split (Carlini-style): for every val/test document under the engine's
     * deterministic hash split ([[TextAnalysis.deterministicSplit]]'s rule,

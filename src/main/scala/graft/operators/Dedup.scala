@@ -799,6 +799,36 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
 
+  /** Best-of-cluster survivor selection — the keep-the-BEST policy real
+    * dedup runs ship (C4/RefinedWeb keep a quality-chosen representative,
+    * not the lowest id): per near-dup cluster, the member with the highest
+    * [[TextAnalysis.qualityScore]] survives (tie → min doc_id, a total
+    * order); unclustered docs survive as their own representative. Same
+    * cluster merge as [[nearDupSurvivors]] (min-id labels stay the CLUSTER
+    * KEY — only the SELECTION rule changes), so the oracle composes the
+    * shared recursive-closure CTEs with the shared quality CTEs and can
+    * never grade a divergent clustering. Scale: the per-cluster window
+    * runs on clustered docs only (tiny next to the corpus); the singleton
+    * side is one anti-join + the quality projection. Output
+    * (doc_id, cluster_id, quality) of survivors. */
+  def bestOfCluster(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val labels = connectedComponents(lshPairs(docs, h, rows, threshold))
+    val qual = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val best = labels.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"))
+    val singles = docs.select("doc_id")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(qual, "doc_id")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), col("quality"))
+    best.unionByName(singles).orderBy("doc_id")
+  }
+
   /** Per-source dedup retention — the number the mixture designer reads off
     * a dedup run: how much of each source survives near-dup removal. A
     * boilerplate-heavy crawl retains far less than a curated source, and

@@ -199,6 +199,47 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("best-of-cluster keeps exactly one max-quality member per cluster") {
+    val docs = Sources.documents(spark, dir)
+    val best = Dedup.bestOfCluster(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // one survivor per cluster, clusters keyed uniquely
+    assert(best.map(_._2).distinct.length === best.length)
+    // same survivor COUNT as the min-id policy (same clustering, one per
+    // cluster + singletons)
+    assert(best.length === Dedup.nearDupSurvivors(docs).count().toInt)
+    val labels = Dedup.nearDupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val qual = graft.operators.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = labels.groupBy(_._2).map { case (c, g) =>
+      val pick = g.map(_._1).minBy(id => (-qual(id), id))
+      c -> pick
+    }
+    val clustered = labels.map(_._1).toSet
+    best.foreach { case (id, c, q) =>
+      assert(q === qual(id))
+      if (clustered.contains(id)) assert(expect(c) === id, s"cluster $c")
+      else assert(c === id) // singleton is its own representative
+    }
+    // the policy genuinely differs from min-id somewhere on this corpus
+    val minIdPicks = labels.groupBy(_._2).map { case (c, g) => c -> g.map(_._1).min }
+    assert(expect.exists { case (c, id) => minIdPicks(c) != id })
+  }
+
+  test("quality-band dup profile partitions the corpus; dup mass is exact") {
+    val docs = Sources.documents(spark, dir)
+    val rows = Curation.qualityDupProfile(docs).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val nDistinctTexts = docs.select("text").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === docs.count() - nDistinctTexts)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
+
   test("per-dimension stats match a driver recount of quantized moments") {
     val vecs = Sources.embeddings(spark, dir)
       .select("emb").collect().map(_.getSeq[Double](0))
