@@ -521,6 +521,48 @@ object ExtensionOracles {
          | WHERE NOT EXISTS (SELECT 1 FROM lab
          |                    WHERE lab.doc_id = d.doc_id AND lab.cluster_id <> lab.doc_id)
          | ORDER BY doc_id""".stripMargin,
+    // LSH tuning summary: candidate/verified counts off the SAME chain the
+    // pair gates use; sz = docs with >=1 shingle (the signature domain)
+    "q_lsh_tuning" ->
+      s"""WITH $minhashCtes,
+         |$verifiedPairsCte
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sz) AS n_docs,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vp) AS n_verified,
+         |       CAST((SELECT COUNT(*) FROM vp) AS DOUBLE)
+         |         / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS prec""".stripMargin,
+    // whitespace/encoding normalization audit; 'g' flag mirrors Spark's
+    // always-global regexp_replace
+    "q_text_norm" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '\\t')) AS BIGINT) AS n_tabs,
+         |       CAST(len(regexp_extract_all(text, ' {2,}')) AS BIGINT) AS n_multispace,
+         |       CAST(len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS BIGINT) AS n_nonascii,
+         |       CAST(('0x' || substr(md5(trim(regexp_replace(text, ' {2,}', ' ', 'g'))), 1, 15)) AS BIGINT) AS norm_fp,
+         |       trim(regexp_replace(text, ' {2,}', ' ', 'g')) <> text AS changed
+         |  FROM $DOCS ORDER BY doc_id""".stripMargin,
+    // length-matched deterministic resampling: integer band thresholds,
+    // 20-bit hash coins, split rule mirrors q_split
+    "q_dist_match" ->
+      s"""WITH s AS (SELECT doc_id, n_chars // 100 AS band,
+         |                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 AS is_tr,
+         |                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS coin
+         |             FROM $DOCS),
+         |b AS (SELECT band, CAST(SUM(CASE WHEN is_tr THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+         |             CAST(SUM(CASE WHEN is_tr THEN 0 ELSE 1 END) AS BIGINT) AS n_ho
+         |        FROM s GROUP BY band),
+         |t AS (SELECT CAST(SUM(n_tr) AS BIGINT) AS t_tr, CAST(SUM(n_ho) AS BIGINT) AS t_ho FROM b),
+         |th AS (SELECT band, n_tr, n_ho,
+         |              CASE WHEN n_tr = 0 THEN CAST(0 AS BIGINT)
+         |                   ELSE LEAST(CAST(1048576 AS BIGINT),
+         |                              (1048576 * n_ho * t.t_tr) // (t.t_ho * n_tr)) END AS thr
+         |         FROM b, t),
+         |k AS (SELECT s.band, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |        FROM s JOIN th ON s.band = th.band
+         |       WHERE s.is_tr AND s.coin < th.thr GROUP BY s.band)
+         |SELECT th.band AS band, th.n_tr, th.n_ho, th.thr,
+         |       COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |  FROM th LEFT JOIN k ON th.band = k.band ORDER BY th.band""".stripMargin,
     // best-of-cluster selection: same closure, SELECTION by quality
     // (tie → min doc_id); singletons survive as their own representative
     "q_dedup_best" ->

@@ -262,6 +262,11 @@ object SparkEntry {
     "q_dedup_best" -> ((s, dir) => Dedup.bestOfCluster(Sources.documents(s, dir))),
     "q_quality_dups" -> ((s, dir) =>
       Curation.qualityDupProfile(Sources.documents(s, dir))),
+    "q_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(Sources.documents(s, dir))),
+    "q_text_norm" -> ((s, dir) =>
+      TextAnalysis.textNormAudit(Sources.documents(s, dir))),
+    "q_dist_match" -> ((s, dir) =>
+      Curation.lengthMatchSample(Sources.documents(s, dir))),
     "q_decontam_bloom" -> ((s, dir) =>
       Curation.decontaminateBloom(Sources.documents(s, dir))),
     "q_quality_quantile" -> ((s, dir) =>

@@ -197,6 +197,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Length-matched deterministic resampling — distribution matching, the
+    * move a calibration or ablation run makes when its sample must have the
+    * HOLDOUT's length profile rather than the train split's (any gap
+    * between the two is exactly what [[DataQuality.splitDrift]] measures;
+    * this operator removes it by construction). Per 100-char length band,
+    * the train side is thinned to the holdout's relative mass with the
+    * standard cap at 1 (a subsampler cannot up-weight an under-represented
+    * band): keep fraction f_b = min(1, (n_ho_b·n_tr)/(n_ho·n_tr_b)),
+    * realized as an integer threshold thr_b = min(2²⁰,
+    * (2²⁰·n_ho_b·n_tr) div (n_ho·n_tr_b)) against the doc's 20-bit hash
+    * coin — fully deterministic, reproducible across engines and
+    * partitionings, and exact in int64 up to ~3M docs a side (beyond that
+    * the products move to DECIMAL(38,0), the [[DataQuality.splitDrift]]
+    * note). Shapes: one |bands| aggregation, the tiny band table broadcast
+    * back onto the train scan, one filtered re-aggregation. Output per
+    * band: (band, n_tr, n_ho, thr, n_kept). */
+  def lengthMatchSample(docs: DataFrame): DataFrame = {
+    val sided = docs.select(col("doc_id"),
+      expr("n_chars div 100").as("band"),
+      (Hashes.h60(col("doc_id").cast("string")) % 10 < 8).as("is_tr"))
+    val bands = sided.groupBy("band").agg(
+      sum(when(col("is_tr"), 1L).otherwise(0L)).as("n_tr"),
+      sum(when(!col("is_tr"), 1L).otherwise(0L)).as("n_ho"))
+    val tot = bands.agg(sum(col("n_tr")).as("t_tr"), sum(col("n_ho")).as("t_ho"))
+    val thr = bands.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_tr"), col("n_ho"),
+        when(col("n_tr") === 0L, 0L)
+          .otherwise(least(lit(1L << 20),
+            expr(s"(${1L << 20} * n_ho * t_tr) div (t_ho * n_tr)")))
+          .as("thr"))
+    val kept = sided.filter(col("is_tr"))
+      .join(broadcast(thr.select("band", "thr")), "band")
+      .filter(Hashes.h60(col("doc_id").cast("string")) % (1L << 20) < col("thr"))
+      .groupBy("band").agg(count(lit(1)).as("n_kept"))
+    thr.join(kept, Seq("band"), "left")
+      .select(col("band"), col("n_tr"), col("n_ho"), col("thr"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("band")
+  }
+
   /** Duplication-by-quality-band profile — the curation diagnostic that
     * decides whether quality filtering and dedup are redundant or
     * complementary on a given corpus: per fixed-width quality band

@@ -455,6 +455,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH tuning summary — the precision number an engineer reads before
+    * scaling a dedup config: for the shipped (h, rows) banding, how many
+    * candidate pairs did the bands surface and what fraction verified at
+    * the Jaccard threshold? Too-low precision means the verify stage (the
+    * expensive O(|doc|) part) burns compute on band noise — the knob is
+    * more rows per band; near-1.0 precision with few candidates suggests
+    * recall is being left on the table — fewer rows. One row out; both
+    * counts come off the SAME candidate/verify chain the pair gates use,
+    * so the tuning view can never describe a different run. Output
+    * (n_docs, n_candidates, n_verified, prec). */
+  def lshTuning(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                threshold: Double = 0.5): DataFrame = {
+    val docAgg = sharedSignatures(docs, h)
+      .getOrElse(docSignatures(docs, h).localCheckpoint())
+    val nd = docAgg.agg(count(lit(1)).as("n_docs"))
+    lshCandidates(docAgg, h, rows)
+      .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
+      .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("ca.c") + col("cb.c") - col("inter")).cast("double"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L))
+          .as("n_verified"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_docs"), col("n_candidates"), col("n_verified"),
+        (col("n_verified").cast("double") / col("n_candidates").cast("double"))
+          .as("prec"))
+  }
+
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction of
     * the `h` signature positions on which two documents agree — the unbiased
     * MinHash estimator of their true Jaccard. This is the verification a

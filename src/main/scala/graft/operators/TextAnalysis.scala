@@ -305,6 +305,32 @@ object TextAnalysis {
     docs.select(cols: _*).orderBy("doc_id")
   }
 
+  /** Whitespace/encoding normalization audit — the first cleaning pass a
+    * raw crawl needs and the LAST thing anyone checks when token counts
+    * disagree between pipelines: per doc, counts of tabs, multi-space
+    * runs, and non-ASCII bytes' code points, plus a 60-bit fingerprint of
+    * the CANONICAL form (whitespace runs collapsed, ends trimmed) and a
+    * `changed` flag. The fingerprint makes the gate non-vacuous on an
+    * already-clean corpus (it proves normalization is the identity exactly
+    * where it should be), and two corpora whose `norm_fp` multisets agree
+    * tokenize identically regardless of raw whitespace. All patterns are
+    * RE2∩Java (character classes + bounded repetition); one narrow
+    * codegen'd projection, zero shuffles. Output
+    * (doc_id, n_tabs, n_multispace, n_nonascii, norm_fp, changed). */
+  def textNormAudit(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(col("text"), " {2,}", " "))
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\t"), lit(0)))
+        .cast("long").as("n_tabs"),
+      size(regexp_extract_all(col("text"), lit(" {2,}"), lit(0)))
+        .cast("long").as("n_multispace"),
+      size(regexp_extract_all(col("text"), lit("[^\\x00-\\x7F]"), lit(0)))
+        .cast("long").as("n_nonascii"),
+      Hashes.h60(norm).as("norm_fp"),
+      (norm =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Declared-vs-predicted language confusion matrix — the metadata-trust
     * audit: corpus metadata (`lang`) routinely disagrees with content
     * (mislabeled crawls, code-switched docs, template pages), and mixture

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Curation, DataQuality, Dedup, TextAnalysis}
@@ -237,6 +238,72 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1))
       assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
+
+  test("lsh tuning summary agrees with the gated pair list") {
+    val docs = Sources.documents(spark, dir)
+    val r = Dedup.lshTuning(docs).head()
+    val (nDocs, nCand, nVer, prec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nVer === Dedup.minhashLshPairs(docs).count())
+    assert(nCand >= nVer && nVer > 0L)
+    assert(prec === nVer.toDouble / nCand.toDouble)
+    // signature domain = docs long enough to carry a 9-gram
+    assert(nDocs === docs.filter(length(col("text")) >= 9).count())
+  }
+
+  test("text-norm audit: identity on clean text, exact counts on dirty") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "clean single spaced text"),
+      (2L, "two  spaces and   three"),
+      (3L, "\ttab\tstart and end "),
+      (4L, "café résumé")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.textNormAudit(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5)))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, false)))
+    assert(got(2L) === ((0L, 2L, 0L, true)))
+    assert(got(3L) === ((2L, 0L, 0L, true)))
+    assert(got(4L) === ((0L, 0L, 3L, false))) // é×3, counted per code point
+    // real corpus: fingerprint of an unchanged doc equals the raw text hash
+    val corpus = Sources.documents(spark, dir)
+    val audit = TextAnalysis.textNormAudit(corpus)
+    val rawFp = corpus.select(col("doc_id"),
+      graft.functions.Hashes.h60(col("text")).as("fp"))
+    val joined = audit.join(rawFp, "doc_id")
+      .filter(!col("changed") && col("norm_fp") =!= col("fp"))
+    assert(joined.count() === 0L)
+  }
+
+  test("length-matched resampling: exact thresholds and kept counts") {
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def coin(id: Long): Long = h60(id.toString)
+    val sided = docs.map { case (id, nc) =>
+      (nc / 100, coin(id) % 10 < 8, coin(id) % 1048576, id)
+    }
+    val tTr = sided.count(_._2).toLong
+    val tHo = sided.count(!_._2).toLong
+    val rows = Curation.lengthMatchSample(Sources.documents(spark, dir))
+      .collect()
+    val byBand = sided.groupBy(_._1)
+    assert(rows.length === byBand.size)
+    rows.foreach { r =>
+      val (band, nTr, nHo, thr, nKept) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val g = byBand(band)
+      assert(nTr === g.count(_._2).toLong)
+      assert(nHo === g.count(!_._2).toLong)
+      val expectThr = if (nTr == 0L) 0L
+        else math.min(1048576L, (1048576L * nHo * tTr) / (tHo * nTr))
+      assert(thr === expectThr)
+      assert(nKept === g.count(x => x._2 && x._3 < thr).toLong)
+      assert(nKept <= nTr)
+      if (thr == 1048576L) assert(nKept === nTr) // uncapped band keeps all
     }
   }
 
