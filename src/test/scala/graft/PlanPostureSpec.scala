@@ -45,7 +45,12 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_dq_audit", // each check combines two SINGLE-ROW aggregates (n_rows x n_bad)
     "q_vocab_coverage", // |ks| coverage rows x the SINGLE-ROW corpus total
     "q_epochs", // |sources| rows x the SINGLE-ROW weight total
-    "q_bpe_pairs") // top-k pair rows x the SINGLE-ROW pair-occurrence total
+    "q_bpe_pairs", // top-k pair rows x the SINGLE-ROW pair-occurrence total
+    "q_rate_anomaly", // |hours| rows x SINGLE-ROW median x SINGLE-ROW MAD
+    "q_split_drift", // |lengths| cum rows x the SINGLE-ROW split totals
+    "q_dist_match", // |bands| rows x the SINGLE-ROW corpus split totals
+    "q_lsh_tuning", // SINGLE-ROW candidate/verified x SINGLE-ROW doc count
+    "q_source_overlap") // |sources| sizes x |sources| sizes: both tiny by construction
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {
