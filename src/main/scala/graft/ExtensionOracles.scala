@@ -531,6 +531,39 @@ object ExtensionOracles {
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vp) AS n_verified,
          |       CAST((SELECT COUNT(*) FROM vp) AS DOUBLE)
          |         / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS prec""".stripMargin,
+    // LSH recall vs the exact prefix-join ground truth at t = 4/5: the
+    // brute-force einter chain IS q_prefix_jaccard's oracle (renamed to
+    // avoid colliding with the candidate-restricted inter CTE), the caught
+    // side is the vp chain — both already gated
+    "q_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |$verifiedPairsCte,
+         |einter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+         |             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |            GROUP BY 1, 2),
+         |ex AS (SELECT einter.a, einter.b FROM einter
+         |         JOIN sz ca ON einter.a = ca.doc_id
+         |         JOIN sz cb ON einter.b = cb.doc_id
+         |        WHERE einter.inter * 5 >= (ca.c + cb.c - einter.inter) * 4),
+         |hit AS (SELECT ex.a FROM ex JOIN vp ON ex.a = vp.a AND ex.b = vp.b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_caught,
+         |       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         |         / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
+    // per-doc OOV rate under the top-1000 (cf desc, tok) vocabulary
+    "q_oov_rate" ->
+      s"""WITH v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+         |             FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM $DOCS)
+         |            GROUP BY tok),
+         |vk AS (SELECT tok FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS rk FROM v)
+         |        WHERE rk <= 1000),
+         |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS)
+         |SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN vk.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN vk.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+         |  FROM dt LEFT JOIN vk ON dt.tok = vk.tok
+         | GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
     // whitespace/encoding normalization audit; 'g' flag mirrors Spark's
     // always-global regexp_replace
     "q_text_norm" ->

@@ -517,6 +517,16 @@ object RelationalOracles {
          |       MIN(value) AS vmin, MAX(value) AS vmax
          |  FROM '<sfDir>/events.parquet'
          | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // key-skew profile over events.user_id: per-key counts into log2 bands
+    // via integer bit lengths (floor_log2 = length(bin(cnt)) - 1)
+    "q_key_skew" ->
+      s"""WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |             FROM '<sfDir>/events.parquet' GROUP BY user_id)
+         |SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |       CAST(MAX(cnt) AS BIGINT) AS max_cnt
+         |  FROM c GROUP BY 1 ORDER BY band""".stripMargin,
     // hourly event-rate anomaly: exact-integer median/MAD rule
     // (order-statistic medians over int64, integer flag comparison)
     "q_rate_anomaly" ->

@@ -263,6 +263,10 @@ object SparkEntry {
     "q_quality_dups" -> ((s, dir) =>
       Curation.qualityDupProfile(Sources.documents(s, dir))),
     "q_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(Sources.documents(s, dir))),
+    "q_lsh_recall" -> ((s, dir) => Dedup.lshRecall(Sources.documents(s, dir))),
+    "q_oov_rate" -> ((s, dir) => TextAnalysis.oovRate(Sources.documents(s, dir))),
+    "q_key_skew" -> ((s, dir) =>
+      Skew.keySkewProfile(Sources.events(s, dir), "user_id")),
     "q_text_norm" -> ((s, dir) =>
       TextAnalysis.textNormAudit(Sources.documents(s, dir))),
     "q_dist_match" -> ((s, dir) =>

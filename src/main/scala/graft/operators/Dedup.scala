@@ -487,6 +487,30 @@ object Dedup {
           .as("prec"))
   }
 
+  /** LSH recall against EXACT ground truth — the missing half of
+    * [[lshTuning]]'s precision: of all pairs at Jaccard ≥ tNum/tDen (the
+    * no-miss [[prefixJaccardPairs]] AllPairs/PPJoin answer — computable
+    * exactly, which is precisely why the threshold is higher than the LSH
+    * verify threshold), how many did the banding surface? The caught set
+    * intersects the two ALREADY-GATED pair lists (a high-threshold exact
+    * pair is in the verified LSH list iff its band collided, since its
+    * Jaccard clears the verify threshold by construction), so the recall
+    * number can never describe different runs than the pair gates grade.
+    * One row; both sides reuse the shared signature kernel. Output
+    * (n_exact, n_caught, recall). */
+  def lshRecall(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val exact = prefixJaccardPairs(docs, tNum, tDen)
+      .select("a", "b").localCheckpoint()
+    val lsh = lshPairs(docs, h, rows, 0.5).select(col("a"), col("b"))
+    val caught = exact.join(lsh, Seq("a", "b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+      .select(col("n_exact"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction of
     * the `h` signature positions on which two documents agree — the unbiased
     * MinHash estimator of their true Jaccard. This is the verification a

@@ -31,6 +31,26 @@ object Skew {
       .drop("_salt")
   }
 
+  /** Key-skew profile — the DIAGNOSTIC that decides whether [[saltedJoin]]/
+    * [[saltedCount]] (or AQE skew handling) is needed at all: the key
+    * frequency distribution collapsed into log2 bands (band =
+    * floor_log2(count), via exact integer bit lengths — the same whole-bit
+    * discipline as the surprisal operators). A heavy tail (rows
+    * concentrating in high bands) is the shape that melts a shuffle; a
+    * profile read BEFORE the join costs two map-side-combining
+    * aggregations (|keys| then |bands| ≤ 64 rows) and no judgment calls.
+    * max_cnt per band rides along so the single hottest key is visible
+    * even inside its band. Output (band, n_keys, n_rows, max_cnt). */
+  def keySkewProfile(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .select((length(bin(col("cnt"))) - 1).cast("long").as("band"),
+        col("cnt"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .orderBy("band")
+
   /** Two-phase aggregation for skewed count-style rollups: partial counts per
     * (key, salt) — spreading a hot key over `buckets` reducers — then the
     * final sum per key. Equivalent to groupBy(key).count(). */

@@ -613,6 +613,34 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** Per-document out-of-vocabulary rate under a top-k corpus vocabulary —
+    * the other half of [[vocabCoverage]]'s tokenizer-design story: coverage
+    * says what fraction of the STREAM a vocab absorbs; this says which
+    * DOCS fall outside it (code, tables, other languages — the docs a
+    * word-level model garbles and a subword budget must fund). Same
+    * rank-filter vocabulary (row_number ≤ k plans as a distributed
+    * WindowGroupLimit — the global cf order materializes only to k rows);
+    * membership is one equi-join of the token incidence against the k-row
+    * vocab (broadcast at any corpus size), then a per-doc aggregation.
+    * Exact int64 counts, one IEEE division. Output
+    * (doc_id, n_tokens, n_oov, oov_frac). */
+  def oovRate(docs: DataFrame, k: Int = 1000): DataFrame = {
+    val v = vocabulary(docs).select("tok", "cf")
+    val w = Window.orderBy(col("cf").desc, col("tok").asc)
+    val vocabK = v.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("tok"), lit(true).as("in_v"))
+    tokens(docs)
+      .join(broadcast(vocabK), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
   /** BPE tokenizer-training pair statistics — the counting kernel of
     * byte-pair-encoding training (Sennrich et al. 2016): within each
     * whitespace token, every adjacent character pair counted across the

@@ -50,6 +50,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_split_drift", // |lengths| cum rows x the SINGLE-ROW split totals
     "q_dist_match", // |bands| rows x the SINGLE-ROW corpus split totals
     "q_lsh_tuning", // SINGLE-ROW candidate/verified x SINGLE-ROW doc count
+    "q_lsh_recall", // SINGLE-ROW exact-pair count x SINGLE-ROW caught count
     "q_source_overlap") // |sources| sizes x |sources| sizes: both tiny by construction
 
   test("no contract query plans a CartesianProduct") {

@@ -307,6 +307,59 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("lsh recall intersects the two gated pair lists exactly") {
+    val docs = Sources.documents(spark, dir)
+    val exact = Dedup.prefixJaccardPairs(docs).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = Dedup.lshRecall(docs).head()
+    assert(r.getLong(0) === exact.size.toLong)
+    assert(r.getLong(1) === (exact intersect lsh).size.toLong)
+    assert(r.getDouble(2) ===
+      (exact intersect lsh).size.toDouble / exact.size.toDouble)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("oov rate: driver recount under a small vocab; top-k is honored") {
+    val k = 20
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val cf = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, g) => t -> g.length.toLong }
+    val vocab = cf.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+      .map(_._1).toSet
+    val rows = TextAnalysis.oovRate(Sources.documents(spark, dir), k)
+      .collect()
+    assert(rows.length === docs.length)
+    rows.foreach { r =>
+      val (id, n, oov, frac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val toks = docs.find(_._1 == id).get._2
+      assert(n === toks.length.toLong)
+      assert(oov === toks.count(t => !vocab.contains(t)).toLong)
+      assert(frac === oov.toDouble / n.toDouble)
+    }
+  }
+
+  test("key-skew profile partitions keys and rows into log2 bands") {
+    val ev = Sources.events(spark, dir).select("user_id").collect()
+      .map(_.getLong(0))
+    val counts = ev.groupBy(identity).map { case (u, g) => u -> g.length.toLong }
+    def flog2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = counts.values.groupBy(c => flog2(c).toLong)
+      .map { case (b, g) => b -> ((g.size.toLong, g.sum, g.max)) }
+    val rows = graft.operators.Skew
+      .keySkewProfile(Sources.events(spark, dir), "user_id").collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) ===
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+    assert(rows.map(_.getLong(2)).sum === ev.length.toLong)
+  }
+
   test("per-dimension stats match a driver recount of quantized moments") {
     val vecs = Sources.embeddings(spark, dir)
       .select("emb").collect().map(_.getSeq[Double](0))
