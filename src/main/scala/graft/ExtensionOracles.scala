@@ -550,6 +550,28 @@ object ExtensionOracles {
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_caught,
          |       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
          |         / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
+    // windowed (±2) skip-gram co-occurrence lift: unordered pairs via
+    // LEAST/GREATEST, same pinned ratio tree as q_bigram_lift
+    "q_cooccur" ->
+      s"""WITH u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |             FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM $DOCS)
+         |            GROUP BY tok),
+         |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM u),
+         |a AS (SELECT string_split(text, ' ') AS t FROM $DOCS
+         |       WHERE len(string_split(text, ' ')) >= 2),
+         |p AS (SELECT LEAST(t[CAST(w.i AS INT)], t[CAST(w.i AS INT) + v.d]) AS wa,
+         |             GREATEST(t[CAST(w.i AS INT)], t[CAST(w.i AS INT) + v.d]) AS wb
+         |        FROM a, (VALUES (1), (2)) v(d),
+         |             LATERAL unnest(generate_series(1, len(t) - v.d)) w(i)),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM p),
+         |g AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT g.wa, g.wb, g.c_ab, ua.c AS c_a, ub.c AS c_b,
+         |       (CAST(g.c_ab AS DOUBLE) / CAST(np.np AS DOUBLE))
+         |         / ((CAST(ua.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+         |            * (CAST(ub.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))) AS lift
+         |  FROM g JOIN u ua ON g.wa = ua.tok JOIN u ub ON g.wb = ub.tok, np, nu
+         | ORDER BY wa, wb""".stripMargin,
     // per-doc OOV rate under the top-1000 (cf desc, tok) vocabulary
     "q_oov_rate" ->
       s"""WITH v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf

@@ -517,6 +517,21 @@ object RelationalOracles {
          |       MIN(value) AS vmin, MAX(value) AS vmax
          |  FROM '<sfDir>/events.parquet'
          | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact join cardinality from per-key histograms, with the identity
+    // |A join B| = sum c_a*c_b riding in the gate
+    "q_join_card" ->
+      s"""WITH co AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+         |              FROM '<sfDir>/orders.parquet' GROUP BY 1),
+         |cl AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+         |         FROM '<sfDir>/lineitem.parquet' GROUP BY 1),
+         |est AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS est_rows
+         |          FROM co JOIN cl ON co.k = cl.k),
+         |act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+         |          FROM '<sfDir>/orders.parquet' o
+         |          JOIN '<sfDir>/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey)
+         |SELECT est.est_rows, act.actual_rows,
+         |       est.est_rows = act.actual_rows AS consistent
+         |  FROM est, act""".stripMargin,
     // key-skew profile over events.user_id: per-key counts into log2 bands
     // via integer bit lengths (floor_log2 = length(bin(cnt)) - 1)
     "q_key_skew" ->

@@ -493,6 +493,37 @@ object ScaleProof {
       (dim10 == baseDim.map { case (d, (n, s1, s2, mn, mx)) =>
         d -> ((n * reps, s1 * reps, s2 * reps, mn, mx)) })
 
+    // source containment matrix under exact replication: each source's
+    // DISTINCT shingle set is unchanged by copying docs (ids shift, sets
+    // don't), so every matrix cell — sizes, intersections, containments —
+    // must be IDENTICAL at 10x. The strongest kind of invariant: not
+    // "scales by reps" but "bit-equal".
+    val baseOv = graft.operators.Dedup.sourceOverlap(
+      Sources.documents(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (ov10, tOv) = timed(graft.operators.Dedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap)
+    results += "source_overlap_10x" -> tOv
+    checks += "source_overlap_invariant" -> (ov10 == baseOv)
+
+    // top duplicated spans under exact replication: every window's counts
+    // scale by exactly reps, AND replication promotes single-doc windows
+    // over the ≥2-docs threshold (each copy is a distinct doc) — so the
+    // 10x top-k equals the base top-k taken WITHOUT the multi-doc filter
+    // (minDocs=1), counts multiplied. The closed form deliberately covers
+    // that threshold-crossing, not just the easy scaling.
+    val baseSpans = graft.operators.TextAnalysis.topSpans(
+      Sources.documents(spark, sfDir), minDocs = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (spans10, tSpans) = timed(graft.operators.TextAnalysis.topSpans(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    results += "top_spans_10x" -> tSpans
+    checks += "top_spans_closed_form" ->
+      (spans10.toSeq == baseSpans.toSeq.map { case (w, o, d) =>
+        (w, o * reps, d * reps) })
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

@@ -289,6 +289,31 @@ object Relational {
         max(col("value")).as("vmax"))
       .orderBy("event_type")
 
+  /** Exact join-cardinality estimation — the planner statistic computed
+    * from per-key count histograms, with its own correctness identity
+    * riding in the gate: for an inner equi-join, |A ⨝ B| = Σ_k c_A(k)·c_B(k)
+    * EXACTLY, so the "estimate" (two cheap per-key aggregations + one
+    * |keys|-row join — what a CBO would precompute as column statistics)
+    * must equal the actual join's row count to the row. At 100 TB this is
+    * the pass that prices a join BEFORE shuffling it: the histogram join
+    * moves |keys| short rows where the real join would move every payload
+    * byte. `consistent` is the identity check — a hash-gated false here
+    * would mean the engine's aggregation and join semantics disagree.
+    * Output one row (est_rows, actual_rows, consistent). */
+  def joinCardCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Sources.table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"))
+    val l = Sources.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    val est = o.groupBy("k").agg(count(lit(1)).as("ca"))
+      .join(l.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca") * col("cb")).as("est_rows"))
+    val act = o.join(l, "k").agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(broadcast(act))
+      .select(col("est_rows"), col("actual_rows"),
+        (col("est_rows") === col("actual_rows")).as("consistent"))
+  }
+
   /** Event-rate anomaly screen — the pipeline-health monitor an ingestion
     * run consults before trusting a fresh partition: hourly event counts
     * flagged by the robust median/MAD rule (|n − median| > 3·MAD), the

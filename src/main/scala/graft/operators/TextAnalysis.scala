@@ -149,12 +149,15 @@ object TextAnalysis {
     * consumers), then one hash aggregation per distinct window and a
     * TakeOrderedAndProject top-k under the total order (occurrences desc,
     * window asc) — the global frequency order never materializes past k
-    * rows. Windows must appear in ≥2 DISTINCT docs (within-doc repetition
-    * is [[repetition]]'s signal, not boilerplate). Output
+    * rows. Windows must appear in ≥`minDocs` DISTINCT docs (default 2 —
+    * within-doc repetition is [[repetition]]'s signal, not boilerplate;
+    * minDocs=1 exists for the ScaleProof closed form, where replication
+    * promotes single-doc windows across the default threshold). Output
     * (win, n_occ, n_docs). */
   def topSpans(docs: DataFrame, width: Int = 4, stride: Int = 2,
-               k: Int = 20): DataFrame = {
-    require(width > 0 && stride > 0 && k > 0, "need positive parameters")
+               k: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(width > 0 && stride > 0 && k > 0 && minDocs > 0,
+      "need positive parameters")
     val wins = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
@@ -168,7 +171,7 @@ object TextAnalysis {
     wins.groupBy("win")
       .agg(count(lit(1)).as("n_occ"),
         count_distinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
+      .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occ").desc, col("win").asc)
       .limit(k)
   }
@@ -262,6 +265,48 @@ object TextAnalysis {
             (col("c_b").cast("double") / col("nu").cast("double"))))
           .as("lift"))
       .orderBy("w1", "w2")
+  }
+
+  /** Windowed co-occurrence lift — [[bigramLift]] widened from strict
+    * adjacency to a ±`window` token neighborhood: the skip-gram statistic
+    * (word2vec's training signal, phrase/topic mining's raw material) that
+    * catches collocations adjacency misses ("neural … network" with a
+    * modifier between). Pairs are generated IN ROW — one zip of the token
+    * array against its d-shifted slice per offset d ≤ window, unordered
+    * via (least, greatest) so each unordered pair lands on one key — and
+    * rows multiply only at the explode feeding a partial aggregate. Same
+    * exact-ratio discipline as bigramLift (no log; one pinned expression
+    * tree of integer-count divisions). Output
+    * (wa, wb, c_ab, c_a, c_b, lift), c_ab ≥ minCount. */
+  def cooccurLift(docs: DataFrame, window: Int = 2,
+                  minCount: Long = 5L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val uni = tokens(docs).groupBy("tok").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val arr = docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairCols = (1 to window).map { d =>
+      val len = greatest(size(col("t")) - d, lit(0))
+      zip_with(
+        slice(col("t"), lit(1), len),
+        slice(col("t"), lit(d + 1), len),
+        (x, y) => struct(least(x, y).as("wa"), greatest(x, y).as("wb")))
+    }
+    val pairs = arr.select(explode(flatten(array(pairCols: _*))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val np = pairs.agg(count(lit(1)).as("np"))
+    pairs.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("wa"), col("c").as("c_a")), "wa")
+      .join(uni.select(col("tok").as("wb"), col("c").as("c_b")), "wb")
+      .crossJoin(broadcast(np))
+      .crossJoin(broadcast(nu))
+      .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") / col("np").cast("double")) /
+          ((col("c_a").cast("double") / col("nu").cast("double")) *
+            (col("c_b").cast("double") / col("nu").cast("double"))))
+          .as("lift"))
+      .orderBy("wa", "wb")
   }
 
   /** Token counts: whitespace tokens + a chars/4 BPE-style estimate (the

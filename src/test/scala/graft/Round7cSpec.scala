@@ -360,6 +360,48 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_.getLong(2)).sum === ev.length.toLong)
   }
 
+  test("windowed co-occurrence lift matches a driver recount") {
+    val docs = Sources.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.split(" ", -1))
+    val uni = toks.flatten.groupBy(identity)
+      .map { case (t, g) => t -> g.length.toLong }
+    val nu = uni.values.sum
+    val allPairs = toks.filter(_.length >= 2).flatMap { t =>
+      (1 to 2).flatMap { d =>
+        (0 until t.length - d).map { i =>
+          val (x, y) = (t(i), t(i + d))
+          if (x <= y) (x, y) else (y, x)
+        }
+      }
+    }
+    val np = allPairs.length.toLong
+    val cab = allPairs.groupBy(identity)
+      .map { case (p, g) => p -> g.length.toLong }
+      .filter(_._2 >= 5L)
+    val rows = TextAnalysis.cooccurLift(Sources.documents(spark, dir))
+      .collect()
+    assert(rows.length === cab.size)
+    rows.foreach { r =>
+      val (wa, wb, c, ca, cb, lift) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(cab((wa, wb)) === c, s"pair ($wa,$wb)")
+      assert(ca === uni(wa) && cb === uni(wb))
+      assert(lift === (c.toDouble / np.toDouble) /
+        ((ca.toDouble / nu.toDouble) * (cb.toDouble / nu.toDouble)))
+    }
+  }
+
+  test("join-cardinality estimate equals the actual join to the row") {
+    val r = graft.operators.Relational.joinCardCheck(spark, dir).head()
+    assert(r.getBoolean(2))
+    val o = Sources.table(spark, dir, "orders")
+    val l = Sources.table(spark, dir, "lineitem")
+    val actual = o.join(l,
+      o("o_orderkey") === l("l_orderkey")).count()
+    assert(r.getLong(0) === actual && r.getLong(1) === actual)
+  }
+
   test("per-dimension stats match a driver recount of quantized moments") {
     val vecs = Sources.embeddings(spark, dir)
       .select("emb").collect().map(_.getSeq[Double](0))
