@@ -550,6 +550,36 @@ object ExtensionOracles {
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_caught,
          |       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
          |         / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
+    // keyword search: whole-bit idf, OR semantics, (score desc, doc_id)
+    // total order, top-10
+    "q_search" ->
+      s"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM $DOCS),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS)
+         |        WHERE tok IN ('data', 'model', 'learning')
+         |        GROUP BY doc_id, tok),
+         |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok)
+         |SELECT tf.doc_id,
+         |       CAST(COUNT(DISTINCT tf.tok) AS BIGINT) AS n_terms,
+         |       CAST(SUM(tf.tf * ((length(bin(nd.nd)) - 1) - (length(bin(dft.df)) - 1))) AS BIGINT) AS score
+         |  FROM tf JOIN dft ON tf.tok = dft.tok, nd
+         | GROUP BY tf.doc_id
+         | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // one-row dataset card: two aggregations, one IEEE mean
+    "q_dataset_card" ->
+      s"""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |                  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+         |             FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM $DOCS)),
+         |d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts,
+         |             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |        FROM $DOCS)
+         |SELECT d.n_docs, t.n_tokens, t.n_types, d.n_langs, d.n_sources,
+         |       d.n_docs - d.n_texts AS n_exact_dups, d.total_chars,
+         |       CAST(t.n_tokens AS DOUBLE) / CAST(d.n_docs AS DOUBLE) AS tokens_per_doc
+         |  FROM d, t""".stripMargin,
     // windowed (±2) skip-gram co-occurrence lift: unordered pairs via
     // LEAST/GREATEST, same pinned ratio tree as q_bigram_lift
     "q_cooccur" ->

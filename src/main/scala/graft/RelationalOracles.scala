@@ -197,6 +197,29 @@ object RelationalOracles {
          |       CAST(MAX(ts) - MIN(ts) AS BIGINT) AS duration_us
          |  FROM numbered GROUP BY user_id, session_no
          | ORDER BY user_id, session_no""".stripMargin,
+    // session-shape rollup over the SAME sessionization chain as
+    // q_sessions: log2 event-count bands, exact per-band median duration
+    "q_session_stats" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+         |             FROM '<sfDir>/events.parquet'),
+         |marked AS (SELECT user_id, ts, event_id,
+         |                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         |                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |                       THEN 1 ELSE 0 END AS new_session
+         |             FROM e),
+         |numbered AS (SELECT user_id, ts,
+         |                    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |               FROM marked),
+         |s AS (SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |             CAST(MAX(ts) - MIN(ts) AS BIGINT) AS duration_us
+         |        FROM numbered GROUP BY user_id, session_no)
+         |SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+         |       CAST(MAX(duration_us) AS BIGINT) AS max_dur_us,
+         |       CAST(quantile_disc(duration_us, 0.5) AS BIGINT) AS med_dur_us
+         |  FROM s GROUP BY 1 ORDER BY band""".stripMargin,
     "q_dedup_keep" ->
       s"""SELECT doc_id FROM (SELECT MIN(doc_id) AS doc_id
          |  FROM '<sfDir>/documents.parquet' GROUP BY text) ORDER BY doc_id""".stripMargin,

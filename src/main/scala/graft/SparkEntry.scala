@@ -178,6 +178,10 @@ object SparkEntry {
     "q_emb_cov" -> ((s, dir) => DataQuality.embCovariance(Sources.embeddings(s, dir))),
     "q_rate_anomaly" -> ((s, dir) => Relational.rateAnomaly(s, dir)),
     "q_join_card" -> ((s, dir) => Relational.joinCardCheck(s, dir)),
+    "q_session_stats" -> ((s, dir) => Relational.sessionStats(s, dir)),
+    "q_search" -> ((s, dir) => TextAnalysis.keywordSearch(Sources.documents(s, dir))),
+    "q_dataset_card" -> ((s, dir) =>
+      TextAnalysis.datasetCard(Sources.documents(s, dir))),
     "q_cooccur" -> ((s, dir) => TextAnalysis.cooccurLift(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),

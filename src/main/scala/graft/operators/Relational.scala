@@ -136,6 +136,26 @@ object Relational {
       .orderBy("user_id", "session_no")
   }
 
+  /** Session-shape rollup — the product-analytics view OVER [[sessionize]]
+    * (same derivation, so this gate and q_sessions can never describe
+    * different sessionizations): sessions binned by log2(event count),
+    * with per-band session totals, the longest duration, and the exact
+    * median duration (`percentile_disc` over int64 — an order statistic,
+    * no interpolation). The |sessions| table collapses to ≤ ~40 band rows
+    * map-side; medians run per band, not globally. Output
+    * (band, n_sessions, n_events, max_dur_us, med_dur_us). */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(spark, sfDir)
+      .select((length(bin(col("n_events"))) - 1).cast("long").as("band"),
+        col("n_events"), col("duration_us"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_us")).as("max_dur_us"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY duration_us)")
+          .cast("long").as("med_dur_us"))
+      .orderBy("band")
+
   /** The Q1 pricing summary through the string-SQL surface (temp view +
     * spark.sql): a user can run ANSI SQL against the engine and get the
     * same Catalyst plan — and the same bytes — as the DataFrame API. */

@@ -350,6 +350,60 @@ object TextAnalysis {
     docs.select(cols: _*).orderBy("doc_id")
   }
 
+  /** Keyword search — the retrieval surface over the corpus: score every
+    * document for a literal term set by Σ tf·idf_bits (whole-bit integer
+    * idf = floor_log2(N) − floor_log2(df), the engine's libm-free
+    * discipline; OR semantics — any matching term scores) and return the
+    * top-k under the (score desc, doc_id) total order. Shapes: the term
+    * filter prunes the token incidence AT THE SCAN to |terms|-matching
+    * rows, the df table is |terms| rows (broadcast), and the top-k is a
+    * TakeOrderedAndProject — at 100 TB this is one selective scan + one
+    * tiny aggregation, the inverted-index-free search a batch engine can
+    * honestly ship. Output (doc_id, n_terms, score). */
+  def keywordSearch(docs: DataFrame,
+                    terms: Seq[String] = Seq("data", "model", "learning"),
+                    k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && k > 0, "need terms and positive k")
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val tf = tokens(docs).filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dft), "tok")
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_bits", ((length(bin(col("nd"))) - 1) -
+        (length(bin(col("df"))) - 1)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("tok")).as("n_terms"),
+        sum(col("tf") * col("idf_bits")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** One-row dataset card — the summary artifact a corpus release ships
+    * (HuggingFace dataset-card numbers): document/token/type counts,
+    * language and source cardinalities, exact-duplicate mass, total
+    * character volume, and mean tokens per document. Everything is one
+    * token-incidence aggregation plus one docs aggregation (both all
+    * map-side partials); the single IEEE op is the final mean. Output
+    * (n_docs, n_tokens, n_types, n_langs, n_sources, n_exact_dups,
+    * total_chars, tokens_per_doc). */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val t = tokens(docs).agg(count(lit(1)).as("n_tokens"),
+      count_distinct(col("tok")).as("n_types"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("text")).as("n_texts"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(t))
+      .select(col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_langs"), col("n_sources"),
+        (col("n_docs") - col("n_texts")).as("n_exact_dups"),
+        col("total_chars"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("tokens_per_doc"))
+  }
+
   /** Whitespace/encoding normalization audit — the first cleaning pass a
     * raw crawl needs and the LAST thing anyone checks when token counts
     * disagree between pipelines: per doc, counts of tabs, multi-space

@@ -53,6 +53,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_lsh_recall", // SINGLE-ROW exact-pair count x SINGLE-ROW caught count
     "q_join_card", // SINGLE-ROW histogram estimate x SINGLE-ROW actual count
     "q_cooccur", // pair rows x the SINGLE-ROW pair/unigram totals (as q_bigram_lift)
+    "q_search", // matched tf rows x the SINGLE-ROW corpus doc count
+    "q_dataset_card", // SINGLE-ROW docs agg x SINGLE-ROW token agg
     "q_source_overlap") // |sources| sizes x |sources| sizes: both tiny by construction
 
   test("no contract query plans a CartesianProduct") {

@@ -402,6 +402,63 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     assert(r.getLong(0) === actual && r.getLong(1) === actual)
   }
 
+  test("session stats partition q_sessions exactly") {
+    val sessions = graft.operators.Relational.sessionize(spark, dir)
+      .select("n_events", "duration_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def flog2(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    def medOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((math.ceil(s.length * 0.5) - 1).toInt)
+    }
+    val expect = sessions.groupBy(s => flog2(s._1)).map { case (b, g) =>
+      b -> ((g.length.toLong, g.map(_._1).sum, g.map(_._2).max,
+        medOf(g.map(_._2).toSeq)))
+    }
+    val rows = graft.operators.Relational.sessionStats(spark, dir).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) ===
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    }
+    assert(rows.map(_.getLong(1)).sum === sessions.length.toLong)
+  }
+
+  test("keyword search returns the true integer-idf top-k") {
+    val terms = Seq("data", "model", "learning")
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def flog2(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val nd = docs.length.toLong
+    val df = terms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.map { case (id, toks) =>
+      val hits = terms.filter(toks.contains)
+      val score = hits.map(t =>
+        toks.count(_ == t).toLong * (flog2(nd) - flog2(df(t)))).sum
+      (id, hits.length.toLong, score)
+    }.filter(_._2 > 0)
+    val expect = scored.sortBy { case (id, _, s) => (-s, id) }.take(10).toSeq
+    val got = TextAnalysis.keywordSearch(Sources.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+
+  test("dataset card numbers are each first-principles exact") {
+    val docs = Sources.documents(spark, dir)
+    val r = TextAnalysis.datasetCard(docs).head()
+    val toks = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    assert(r.getLong(0) === docs.count())
+    assert(r.getLong(1) === toks.length.toLong)
+    assert(r.getLong(2) === toks.distinct.length.toLong)
+    assert(r.getLong(3) === docs.select("lang").distinct().count())
+    assert(r.getLong(4) === docs.select("source").distinct().count())
+    assert(r.getLong(5) ===
+      docs.count() - docs.select("text").distinct().count())
+    assert(r.getDouble(7) === toks.length.toDouble / docs.count().toDouble)
+  }
+
   test("per-dimension stats match a driver recount of quantized moments") {
     val vecs = Sources.embeddings(spark, dir)
       .select("emb").collect().map(_.getSeq[Double](0))
