@@ -1196,6 +1196,33 @@ object ExtensionOracles {
          |       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
          |  FROM t ORDER BY doc_id""".stripMargin,
+    // packing-efficiency rollup over the SAME bin derivation as q_packing
+    "q_packing_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |             FROM $DOCS),
+         |p AS (SELECT lang, n_tokens,
+         |             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
+         |        FROM t),
+         |bins AS (SELECT lang, bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         |           FROM p GROUP BY lang, bin),
+         |lb AS (SELECT lang, CAST(MAX(bin) AS BIGINT) AS last_bin FROM bins GROUP BY lang)
+         |SELECT bins.lang, CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |       CAST(SUM(CASE WHEN bins.bin < lb.last_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_full_bins,
+         |       CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(bin_tokens) AS DOUBLE) / CAST(COUNT(*) * 2048 AS DOUBLE) AS mean_fill
+         |  FROM bins JOIN lb ON bins.lang = lb.lang
+         | GROUP BY bins.lang ORDER BY bins.lang""".stripMargin,
+    // verified-pair similarity histogram over the SAME vp chain as
+    // q_minhash_lsh: 0.05-wide value bands on the bit-gated jaccard
+    "q_pair_sim_hist" ->
+      s"""WITH $minhashCtes,
+         |$verifiedPairsCte
+         |SELECT CAST(FLOOR(jaccard * 20.0) AS BIGINT) AS j_band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       MIN(jaccard) AS min_j, MAX(jaccard) AS max_j
+         |  FROM vp GROUP BY 1 ORDER BY j_band""".stripMargin,
     "q_quality_quantile" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

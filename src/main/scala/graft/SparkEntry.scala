@@ -182,6 +182,10 @@ object SparkEntry {
     "q_search" -> ((s, dir) => TextAnalysis.keywordSearch(Sources.documents(s, dir))),
     "q_dataset_card" -> ((s, dir) =>
       TextAnalysis.datasetCard(Sources.documents(s, dir))),
+    "q_packing_stats" -> ((s, dir) =>
+      Curation.packingStats(Sources.documents(s, dir))),
+    "q_pair_sim_hist" -> ((s, dir) =>
+      Dedup.pairSimHistogram(Sources.documents(s, dir))),
     "q_cooccur" -> ((s, dir) => TextAnalysis.cooccurLift(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),

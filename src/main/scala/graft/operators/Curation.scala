@@ -143,6 +143,31 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency rollup — the utilization number a sequence-packing
+    * choice is judged by: over [[packSequences]]' bins (SAME derivation,
+    * so the two gates describe one packing), per language the bin count,
+    * exact token mass, and mean fill fraction; a low fill means the budget
+    * wastes context window, the cost driver of a training run. The open
+    * (last) bin per language is legitimately under-filled — `n_full_bins`
+    * rides so a reader can separate tail effect from systematic waste.
+    * The |docs| bin table collapses map-side to |bins| then |langs| rows.
+    * Output (lang, n_bins, n_full_bins, n_tokens, mean_fill). */
+  def packingStats(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    val bins = packSequences(docs, budget)
+      .groupBy("lang", "bin").agg(sum(col("n_tokens")).as("bin_tokens"))
+    val lastBin = bins.groupBy("lang").agg(max(col("bin")).as("last_bin"))
+    bins.join(lastBin, "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(when(col("bin") < col("last_bin"), 1L).otherwise(0L))
+          .as("n_full_bins"),
+        sum(col("bin_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_bins"), col("n_full_bins"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          (col("n_bins") * budget).cast("double")).as("mean_fill"))
+      .orderBy("lang")
+  }
+
   /** Per-language quality-quantile filter: keep each language's top
     * `keepFrac` of documents by [[TextAnalysis.qualityScore]] — the relative
     * (quantile) form of quality gating, which unlike a fixed threshold

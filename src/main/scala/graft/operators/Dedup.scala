@@ -455,6 +455,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Verified-pair similarity histogram — the threshold-selection view: the
+    * distribution of exact Jaccards over the verified near-dup pairs, in
+    * 0.05-wide value bands (floor(20·j) — the jaccard double is bit-gated
+    * by q_minhash_lsh, so banding on it is engine-stable). A mass of pairs
+    * hugging the verify threshold means the threshold is doing real work
+    * (and a small move changes the dedup a lot); a bimodal histogram says
+    * the corpus separates cleanly. |pairs| rows → ≤ 21 cells, map-side.
+    * Output (j_band, n_pairs, min_j, max_j). */
+  def pairSimHistogram(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                       threshold: Double = 0.5): DataFrame =
+    lshPairs(docs, h, rows, threshold)
+      .select(floor(col("jaccard") * 20.0).cast("long").as("j_band"),
+        col("jaccard"))
+      .groupBy("j_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_j"), max(col("jaccard")).as("max_j"))
+      .orderBy("j_band")
+
   /** LSH tuning summary — the precision number an engineer reads before
     * scaling a dedup config: for the shipped (h, rows) banding, how many
     * candidate pairs did the bands surface and what fraction verified at

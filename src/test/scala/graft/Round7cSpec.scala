@@ -459,6 +459,43 @@ class Round7cSpec extends AnyFunSuite with SharedSpark {
     assert(r.getDouble(7) === toks.length.toDouble / docs.count().toDouble)
   }
 
+  test("packing stats: bins partition the doc stream; fill is exact") {
+    val docs = Sources.documents(spark, dir)
+    val packed = Curation.packSequences(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))) // lang, n_tok, bin
+    val rows = Curation.packingStats(docs).collect()
+    val byLang = packed.groupBy(_._1)
+    assert(rows.length === byLang.size)
+    rows.foreach { r =>
+      val (lang, nBins, nFull, nTok, fill) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      val g = byLang(lang)
+      val bins = g.map(_._3).distinct
+      assert(nBins === bins.length.toLong)
+      assert(nFull === bins.count(_ < bins.max).toLong)
+      assert(nTok === g.map(_._2).sum)
+      assert(fill === nTok.toDouble / (nBins * 2048L).toDouble)
+      // every closed bin is within one doc's overshoot of the budget:
+      // fill can exceed 1 per bin (a doc straddles), but never the mean
+      assert(fill > 0.0)
+    }
+  }
+
+  test("pair similarity histogram partitions the verified pair list") {
+    val docs = Sources.documents(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs).select("jaccard").collect()
+      .map(_.getDouble(0))
+    val expect = pairs.groupBy(j => math.floor(j * 20.0).toLong)
+      .map { case (b, g) => b -> ((g.length.toLong, g.min, g.max)) }
+    val rows = Dedup.pairSimHistogram(docs).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) ===
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    }
+    assert(rows.map(_.getLong(1)).sum === pairs.length.toLong)
+  }
+
   test("per-dimension stats match a driver recount of quantized moments") {
     val vecs = Sources.embeddings(spark, dir)
       .select("emb").collect().map(_.getSeq[Double](0))
