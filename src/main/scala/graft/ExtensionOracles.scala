@@ -1223,6 +1223,75 @@ object ExtensionOracles {
          |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |       MIN(jaccard) AS min_j, MAX(jaccard) AS max_j
          |  FROM vp GROUP BY 1 ORDER BY j_band""".stripMargin,
+    // exact heavy hitters: the oracle is the DEFINITION (full group-by +
+    // threshold) — the gate passes iff the engine's Misra–Gries candidate
+    // screen + candidate-restricted verify pass loses nothing
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+         |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM t, n GROUP BY tok, n.n HAVING COUNT(*) * 200 > n.n
+         | ORDER BY tok""".stripMargin,
+    // A-ES priority sample: identical md5-derived u and ln(u)/w ranking;
+    // integer-only output so libm ulps can only matter if they flip the
+    // k-th rank boundary — which this exact compare proves they don't
+    "q_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM $DOCS),
+         |keyed AS (SELECT doc_id, n_chars,
+         |             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio1'), 1, 15)) AS BIGINT) + 1)
+         |                / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS aes_key
+         |        FROM d),
+         |topk AS (SELECT doc_id, n_chars FROM keyed
+         |          ORDER BY aes_key DESC, doc_id LIMIT 100)
+         |SELECT doc_id, n_chars FROM topk ORDER BY doc_id""".stripMargin,
+    // 2-core of the SimHash graph: the peel loop is unrolled to the same
+    // fixed 8 rounds as the engine (the PageRank-oracle trick); round 9
+    // being a no-op is asserted in DedupGraphSpec, not here
+    "q_kcore" -> {
+      // MATERIALIZED: each round references its predecessor 3× (degree scan
+      // + two survivor joins); DuckDB inlines plain CTEs, so without the
+      // hint the 8-round chain expands 3⁸ leaf scans of the parquet and
+      // dies on file handles — materialization makes it linear, mirroring
+      // the engine's per-round localCheckpoint
+      val rounds = (1 to 8).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e${i - 1}
+           |                       UNION ALL SELECT b AS v FROM e${i - 1}) s
+           |       GROUP BY v HAVING COUNT(*) >= 2),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |          JOIN v$i x ON e.a = x.v JOIN v$i y ON e.b = y.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $simhashEdges,
+         |e0 AS MATERIALIZED (SELECT a, b FROM e),
+         |$rounds,
+         |sym AS (SELECT a AS v FROM e8 UNION ALL SELECT b AS v FROM e8)
+         |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY v ORDER BY doc_id""".stripMargin
+    },
+    // PR curve of the stopword-rate English detector vs the lang label:
+    // integer-scaled score (floor division) so bucketing is exact; the two
+    // ratios are each one integer division
+    "q_pr_curve" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM t GROUP BY doc_id),
+         |s AS (SELECT ((g.n_stop * 1000000) // g.n_tokens) // 50000 AS bin,
+         |             CASE WHEN d.lang = 'en' THEN CAST(1 AS BIGINT)
+         |                  ELSE CAST(0 AS BIGINT) END AS pos
+         |        FROM g JOIN $DOCS d ON g.doc_id = d.doc_id),
+         |bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |                CAST(SUM(pos) AS BIGINT) AS n_pos FROM s GROUP BY bin),
+         |c AS (SELECT bin, n,
+         |             CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |             CAST(SUM(n - n_pos) OVER (ORDER BY bin DESC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |        FROM bins),
+         |ap AS (SELECT CAST(SUM(pos) AS BIGINT) AS all_pos FROM s)
+         |SELECT bin, n, tp, fp,
+         |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+         |       CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE) AS recall
+         |  FROM c, ap ORDER BY bin DESC""".stripMargin,
     "q_quality_quantile" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomJoin, Curation, Dedup, ExactOutliers, KMeans,
-  Relational, Similarity, TextAnalysis}
+import graft.operators.{BloomJoin, Curation, DataQuality, Dedup,
+  ExactOutliers, KMeans, Relational, Similarity, Sketches, TextAnalysis}
 import graft.sources.Sources
 
 /** Scale-proof run of the heavy query family at sf1-equivalent volume
@@ -523,6 +523,45 @@ object ScaleProof {
     checks += "top_spans_closed_form" ->
       (spans10.toSeq == baseSpans.toSeq.map { case (w, o, d) =>
         (w, o * reps, d * reps) })
+
+    // heavy hitters at reps×: every token count and the total n both scale
+    // by reps, so the exact φ-frequent set is IDENTICAL with counts ×reps —
+    // and the Misra–Gries screen must not lose a hitter at 10× the stream
+    // (the pigeonhole guarantee is partition-count-independent; this is the
+    // volume check on it)
+    val baseHh = Sketches.heavyHitters(Sources.documents(spark, sfDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (hh10, tHh) = timed(Sketches.heavyHitters(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    results += "heavy_hitters_10x" -> tHh
+    checks += "heavy_hitters_closed_form" ->
+      (hh10 == baseHh.map { case (t, c) => t -> c * reps })
+
+    // k-core at reps×: every copy family is a reps-clique (hamming 0), and
+    // cliques never peel, so the 2-core swallows EVERY simhash node with
+    // within-core degree ≥ reps-1 — the adversarial inversion of the base
+    // case (sparse graph, small core). Vertex count is closed-form against
+    // the nSim node count measured above.
+    val (kc10, tKc) = timed(Dedup.kcore(docs)
+      .agg(count(lit(1)).as("nv"), min(col("deg")).as("mind")).head())
+    results += "kcore_10x" -> tKc
+    checks += "kcore_all_nodes_in_core_at_10x" ->
+      (kc10.getLong(0) == nSim * reps && kc10.getLong(1) >= (reps - 1).toLong)
+
+    // PR curve at reps×: per-doc scores are identical, so every bin's
+    // (n, tp, fp) scales exactly by reps, and the precision/recall doubles
+    // are BIT-identical — (a·reps)/(b·reps) is the same correctly-rounded
+    // quotient as a/b when a·reps, b·reps are exactly-represented ints
+    val baseCurve = DataQuality.prCurve(Sources.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val (curve10, tCv) = timed(DataQuality.prCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq)
+    results += "pr_curve_10x" -> tCv
+    checks += "pr_curve_closed_form" ->
+      (curve10 == baseCurve.map { case (b, n, tp, fp, p, rc) =>
+        (b, n * reps, tp * reps, fp * reps, p, rc) })
 
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))

@@ -187,6 +187,12 @@ object SparkEntry {
     "q_pair_sim_hist" -> ((s, dir) =>
       Dedup.pairSimHistogram(Sources.documents(s, dir))),
     "q_cooccur" -> ((s, dir) => TextAnalysis.cooccurLift(Sources.documents(s, dir))),
+    "q_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitters(Sources.documents(s, dir))),
+    "q_priority_sample" -> ((s, dir) =>
+      Curation.prioritySample(Sources.documents(s, dir))),
+    "q_kcore" -> ((s, dir) => Dedup.kcore(Sources.documents(s, dir))),
+    "q_pr_curve" -> ((s, dir) => DataQuality.prCurve(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

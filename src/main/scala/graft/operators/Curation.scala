@@ -62,6 +62,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** FIXED-SIZE weight-proportional sample without replacement
+    * (Efraimidis–Spirakis A-ES priority sampling) — the complement of
+    * [[weightedSample]]'s Bernoulli draw: when the mixture recipe says
+    * "exactly k documents, drawn ∝ length", a Bernoulli rate can only hit k
+    * in expectation. A-ES ranks every document by u^(1/w) with u uniform on
+    * (0,1] and keeps the top k; equivalently (and numerically safer for
+    * tiny u^...) by the monotone transform ln(u)/w. The u here is the
+    * md5-derived [[keyHash]] scaled by the exact power of two 2⁶⁰ — fully
+    * deterministic, so the sample is reproducible across runs, engines and
+    * partitionings, which `df.sample` (partition-seeded RNG) is not.
+    *
+    * Scale shape: one narrow codegen'd key projection, then
+    * `orderBy(key).limit(k)` — Spark plans TakeOrderedAndProject
+    * (per-partition top-k heaps merged on the driver, k rows each), NOT a
+    * global sort; nothing wider than k·partitions ever moves. Ties broken
+    * by doc_id so the k-th boundary is deterministic even under equal keys.
+    * Output is integer-only (doc_id, n_chars); the double key stays
+    * internal, so 1-ulp libm divergence between engines cannot surface in
+    * the gate unless it actually flips a rank at the boundary — checked
+    * exactly by the DuckDB twin on the static corpus. */
+  def prioritySample(docs: DataFrame, k: Int = 100,
+                     salt: String = "prio1"): DataFrame = {
+    val u = (keyHash(col("doc_id"), salt) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60: exact scaling into (0, 1]
+    docs.select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("aes_key"))
+      .orderBy(col("aes_key").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Temperature-rebalanced language mixing — the multilingual data-mix
     * step that flattens a skewed crawl toward uniform before training: each
     * language's draw share is q_l ∝ n_l^τ with τ = 1/2 (the standard

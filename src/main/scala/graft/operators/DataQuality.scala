@@ -227,4 +227,46 @@ object DataQuality {
         col("min_v"), col("max_v"),
         (col("q_sum").cast("double") / col("n").cast("double")).as("mean_q"))
       .orderBy("dim")
+
+  /** Precision/recall curve of a cheap classifier against corpus labels —
+    * the calibration artifact every filter threshold decision reads
+    * (CCNet-style: pick the operating point, THEN filter 100 TB). The
+    * instance evaluated here: the English detector score
+    * `⌊10⁶ · n_stop / n_tokens⌋` (the stopword list is English, so its
+    * rate IS an en-vs-rest signal) against the true `lang = 'en'` label.
+    *
+    * Shape: one token aggregation per doc (integer-scaled score — floor
+    * division, no float ratio, so bucketing is exact in any engine), bucket
+    * scores into `binWidth` bins, then one cumulative window over the
+    * |bins| ≤ ~21-row bucket table sweeping thresholds from strictest down
+    * — predicted-positive = "score bucket ≥ b". Per-row precision/recall
+    * are each ONE integer division (IEEE-exact same value cross-engine).
+    * The heavy work is the per-doc aggregation; the curve itself is
+    * driver-trivial at any corpus size. Output (bin, n, tp, fp, precision,
+    * recall) ordered by bin desc = threshold sweep order. */
+  def prCurve(docs: DataFrame, binWidth: Long = 50000L): DataFrame = {
+    val scored = TextAnalysis.tokens(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isin("the", "a", "of", "and"), 1L)
+          .otherwise(0L)).as("n_stop"))
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("pos")), "doc_id")
+      .select((col("n_stop") * 1000000L).divide(col("n_tokens"))
+        .cast("long").divide(binWidth).cast("long").as("bin"), col("pos"))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("fp", sum(col("n") - col("n_pos")).over(w))
+      .crossJoin(scored.agg(sum(col("pos")).as("all_pos")))
+      .select(col("bin"), col("n"), col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("all_pos").cast("double"))
+          .as("recall"))
+      .orderBy(col("bin").desc)
+  }
 }

@@ -333,6 +333,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** k-core of the SimHash near-dup graph: the maximal subgraph where every
+    * vertex keeps degree ≥ k — the standard "dense boilerplate region"
+    * extractor (triangles find individual dense pockets; the k-core is the
+    * global fixpoint a template-removal pass acts on). Output (doc_id, deg)
+    * for every core member with its within-core degree.
+    *
+    * Peeling runs a FIXED `rounds` iterations (remove sub-k vertices,
+    * restrict edges, repeat) rather than a driver-side converged-yet loop:
+    * peeling is idempotent once stable, so extra rounds are no-op joins on
+    * an already-final edge list, and the fixed unroll makes the DuckDB twin
+    * an exact CTE chain (same trick as the fixed-point PageRank oracle).
+    * DedupGraphSpec asserts one more round changes nothing at test scale, so
+    * the output IS the k-core, not a partial peel; at 100 TB you would swap
+    * the constant for a cheap `count()` convergence probe per round —
+    * real-world cores stabilize in a handful of rounds because each round
+    * removes whole pendant trees, not single vertices.
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins on
+    * the CURRENT edge list, which only shrinks; `localCheckpoint` per round
+    * cuts the lineage so the plan depth stays O(1) per round instead of
+    * compounding (the iterative-algorithm hygiene Spark needs — without it
+    * round r replays rounds 1..r-1). */
+  def kcore(docs: DataFrame, k: Int = 2, rounds: Int = 8,
+            maxHamming: Int = 2): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+    var e = simhashPairs(docs, maxHamming).select("a", "b").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val surv = sym(e).groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("v")
+      e = e.join(surv.select(col("v").as("a")), "a")
+        .join(surv.select(col("v").as("b")), "b")
+        .select("a", "b").localCheckpoint()
+    }
+    sym(e).groupBy("v").agg(count(lit(1)).as("deg"))
+      .select(col("v").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k most similar documents per document — the per-item similarity
     * view over the verified MinHash-LSH pair graph (dedup review UIs and
     * "nearest neighbor" audits consume this, not the raw pair list).

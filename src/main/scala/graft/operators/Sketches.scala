@@ -194,4 +194,68 @@ object Sketches {
     quantilesFromSketch(histogramSketch(df, groupCol, valueCol, width),
       groupCol, width,
       Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+
+  /** EXACT token heavy hitters (count·k > n) via a Misra–Gries candidate
+    * screen + one candidate-restricted verify pass — the distributed-batch
+    * form of the reference's φ-frequent-items contract
+    * (`big_data_computing_3.py:69-92`, C7/P10 in SURVEY §2) for domains too
+    * large to aggregate exactly.
+    *
+    * Why not a plain `groupBy(tok).count()`: its aggregation state is
+    * O(|vocab|) — at 100 TB a token/shingle/url domain can be billions of
+    * keys, most of them singletons that exist only to be discarded by the
+    * threshold. The MG screen bounds state instead:
+    *
+    *  1. Per-partition Misra–Gries summary with k counters (mapPartitions
+    *     kernel, ≤ k survivor rows per partition). The classic guarantee
+    *     transfers through the union by pigeonhole: a token with GLOBAL
+    *     count > n/k has count > n_p/k in at least one partition p
+    *     (n = Σ n_p), and per-partition MG never evicts such a token — so
+    *     the union of survivor SETS is a superset of the true heavy
+    *     hitters, whatever the partitioning.
+    *  2. Verify pass: semi-join the token stream against the broadcast
+    *     candidate set (≤ k · partitions rows) BEFORE aggregating, so the
+    *     exact count's hash state is bounded by the candidates, not the
+    *     vocabulary; then keep cnt·k > n. False candidates die here, so
+    *     the OUTPUT is the exact φ=1/k heavy-hitter set — deterministic
+    *     and partitioning-independent even though the intermediate
+    *     candidate set is not (spec replays adversarial partitionings).
+    *
+    * The kernel is the same narrow mapPartitions shape as the MinHash
+    * signature kernel (SURVEY §7.2 exception list): a summary fold whose
+    * state (k strings) no Column expression can express. Everything else is
+    * codegen'd. Two scans of the token stream — the price of exactness; a
+    * single-scan variant would return MG's overestimates, not counts. */
+  def heavyHitters(docs: DataFrame, k: Int = 200): DataFrame = {
+    val toks = TextAnalysis.tokens(docs).select("tok")
+    val candidates = toks
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        it.foreach { t =>
+          val c = counts.getOrDefault(t, 0L)
+          if (c != 0L) counts.put(t, c + 1)
+          else if (counts.size < k) counts.put(t, 1L)
+          else {
+            // decrement-all step: amortized O(1) per arrival — each stored
+            // unit is removed at most once, and arrivals add one unit each
+            val e = counts.entrySet().iterator()
+            while (e.hasNext) {
+              val kv = e.next()
+              if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counts.keySet().iterator().asScala
+      }(org.apache.spark.sql.Encoders.STRING)
+      .toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(candidates), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(total) // 1-row build side: broadcast nested loop, no shuffle
+      .filter(col("cnt") * k > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy("tok")
+  }
 }

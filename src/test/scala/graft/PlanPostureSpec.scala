@@ -55,7 +55,9 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_cooccur", // pair rows x the SINGLE-ROW pair/unigram totals (as q_bigram_lift)
     "q_search", // matched tf rows x the SINGLE-ROW corpus doc count
     "q_dataset_card", // SINGLE-ROW docs agg x SINGLE-ROW token agg
-    "q_source_overlap") // |sources| sizes x |sources| sizes: both tiny by construction
+    "q_source_overlap", // |sources| sizes x |sources| sizes: both tiny by construction
+    "q_heavy_hitters", // candidate counts x the SINGLE-ROW token total
+    "q_pr_curve") // |bins| curve rows x the SINGLE-ROW positive total
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {
