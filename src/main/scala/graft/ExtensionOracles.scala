@@ -1292,6 +1292,85 @@ object ExtensionOracles {
          |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
          |       CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE) AS recall
          |  FROM c, ap ORDER BY bin DESC""".stripMargin,
+    // inverted index: df-banded posting-list fingerprints — the oracle
+    // rebuilds each sorted posting string and hashes it the same way, so
+    // the gate proves list content AND order
+    "q_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM $DOCS),
+         |d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY tok
+         |       HAVING COUNT(*) >= 5 AND COUNT(*) <= 500),
+         |p AS (SELECT t.tok, string_agg(CAST(t.doc_id AS VARCHAR), ','
+         |               ORDER BY t.doc_id) AS s
+         |        FROM t JOIN d ON t.tok = d.tok GROUP BY t.tok)
+         |SELECT d.tok, d.df,
+         |       ${graft.functions.Hashes.h60Sql("p.s")} AS postings_fp
+         |  FROM d JOIN p ON d.tok = p.tok ORDER BY d.tok""".stripMargin,
+    // grouped top-k by the shared quality blend under the (quality desc,
+    // doc_id) total order
+    "q_top_per_source" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+         |             CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM t GROUP BY doc_id),
+         |q AS (SELECT d.doc_id, d.source,
+         |             CAST(0.5 AS DOUBLE)*(CAST(g.n_distinct AS DOUBLE)/CAST(g.n_tokens AS DOUBLE))
+         |               + CAST(0.3 AS DOUBLE)*LEAST((CAST(g.n_stop AS DOUBLE)/CAST(g.n_tokens AS DOUBLE))*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |               + CAST(0.2 AS DOUBLE)*LEAST(CAST(g.n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+         |        FROM $DOCS d JOIN g ON d.doc_id = g.doc_id),
+         |r AS (SELECT source, doc_id, quality,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |               ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+         |        FROM q)
+         |SELECT source, doc_id, quality, rk FROM r WHERE rk <= 3
+         | ORDER BY source, rk""".stripMargin,
+    // order-free per-source content checksums: XOR of md5-derived text
+    // hashes — both engines skip NULLs in aggregates identically
+    "q_source_checksums" ->
+      s"""WITH h AS (SELECT source, ${graft.functions.Hashes.h60Sql("text")} AS h,
+         |                  n_chars FROM $DOCS)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(bit_xor(h) AS BIGINT) AS xor_fp,
+         |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+         |  FROM h GROUP BY source ORDER BY source""".stripMargin,
+    // exact-vs-sketch quantile accuracy: the same histogram chain as
+    // q_quantile_sketch joined to percentile_disc ground truth; the
+    // within_bound theorem column must hash true in both engines
+    "q_quantile_acc" ->
+      s"""WITH h AS (SELECT event_type,
+         |                  CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+         |                  CAST(COUNT(*) AS BIGINT) AS cnt
+         |             FROM '<sfDir>/events.parquet' GROUP BY 1, 2),
+         |c AS (SELECT event_type, bucket, cnt,
+         |             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         |             SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |        FROM h),
+         |est AS (SELECT event_type,
+         |               MIN(CASE WHEN cum * 2 >= n THEN (bucket + 1) * 5.0 END) AS est_p50,
+         |               MIN(CASE WHEN cum * 10 >= n * 9 THEN (bucket + 1) * 5.0 END) AS est_p90
+         |          FROM c GROUP BY event_type),
+         |ex AS (SELECT event_type,
+         |              percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS ex_p50,
+         |              percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS ex_p90
+         |         FROM '<sfDir>/events.parquet' GROUP BY event_type)
+         |SELECT ex.event_type, ex.ex_p50, est.est_p50,
+         |       est.est_p50 - ex.ex_p50 AS err_p50,
+         |       ex.ex_p90, est.est_p90,
+         |       est.est_p90 - ex.ex_p90 AS err_p90,
+         |       (est.est_p50 > ex.ex_p50 AND est.est_p50 - ex.ex_p50 <= 5.0
+         |        AND est.est_p90 > ex.ex_p90 AND est.est_p90 - ex.ex_p90 <= 5.0)
+         |         AS within_bound
+         |  FROM ex JOIN est ON ex.event_type = est.event_type
+         | ORDER BY ex.event_type""".stripMargin,
+    // compaction planner: exact integer ceil division in both engines
+    "q_compaction_plan" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |       (CAST(SUM(n_chars) AS BIGINT) + 65535) // 65536 AS n_files,
+         |       CAST(SUM(n_chars) AS DOUBLE)
+         |         / CAST(((CAST(SUM(n_chars) AS BIGINT) + 65535) // 65536) * 65536 AS DOUBLE)
+         |         AS mean_fill
+         |  FROM $DOCS GROUP BY lang ORDER BY lang""".stripMargin,
     "q_quality_quantile" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

@@ -563,6 +563,48 @@ object ScaleProof {
       (curve10 == baseCurve.map { case (b, n, tp, fp, p, rc) =>
         (b, n * reps, tp * reps, fp * reps, p, rc) })
 
+    // source checksums at reps×: counts and char volume scale exactly;
+    // the XOR fingerprint of 10 identical copies CANCELS to zero (even
+    // multiplicity) — the closed form doubles as the documented caveat
+    // that an XOR checksum detects content drift, not duplication (n_docs
+    // rides along for exactly that reason)
+    val baseCk = DataQuality.sourceChecksums(Sources.documents(spark, sfDir))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (ck10, tCk) = timed(DataQuality.sourceChecksums(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap)
+    results += "source_checksums_10x" -> tCk
+    checks += "source_checksums_closed_form" ->
+      (ck10 == baseCk.map { case (s, (n, x, ch)) =>
+        s -> ((n * reps, if (reps % 2 == 0) 0L else x, ch * reps))
+      })
+
+    // inverted index at reps×: every df multiplies by reps (replica ids
+    // are distinct docs), so the indexed vocabulary at 10× is exactly the
+    // base tokens whose df lands the scaled band [ceil(5/reps), 500/reps]
+    val baseDfs = TextAnalysis.invertedIndex(
+      Sources.documents(spark, sfDir), minDf = 1L, maxDf = Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (idx10, tIdx) = timed(TextAnalysis.invertedIndex(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    results += "inverted_index_10x" -> tIdx
+    checks += "inverted_index_df_closed_form" ->
+      (idx10 == baseDfs.filter { case (_, df) =>
+        df * reps >= 5L && df * reps <= 500L
+      }.map { case (t, df) => t -> df * reps })
+
+    // grouped top-k at reps×: replicas share their base doc's quality, so
+    // every returned row's quality equals the base per-source MAX (the
+    // 3 lowest-id replicas of the argmax docs win the total order)
+    val baseMaxQ = TextAnalysis.topPerSource(Sources.documents(spark, sfDir), k = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val (top10, tTop) = timed(TextAnalysis.topPerSource(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(2))))
+    results += "top_per_source_10x" -> tTop
+    checks += "top_per_source_max_invariant" ->
+      (top10.nonEmpty && top10.forall { case (s, q) => q == baseMaxQ(s) })
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

@@ -193,6 +193,16 @@ object SparkEntry {
       Curation.prioritySample(Sources.documents(s, dir))),
     "q_kcore" -> ((s, dir) => Dedup.kcore(Sources.documents(s, dir))),
     "q_pr_curve" -> ((s, dir) => DataQuality.prCurve(Sources.documents(s, dir))),
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Sources.documents(s, dir))),
+    "q_top_per_source" -> ((s, dir) =>
+      TextAnalysis.topPerSource(Sources.documents(s, dir))),
+    "q_source_checksums" -> ((s, dir) =>
+      DataQuality.sourceChecksums(Sources.documents(s, dir))),
+    "q_quantile_acc" -> ((s, dir) =>
+      Sketches.quantileAccuracy(Sources.events(s, dir))),
+    "q_compaction_plan" -> ((s, dir) =>
+      Layout.compactionPlan(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

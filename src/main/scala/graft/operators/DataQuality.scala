@@ -228,6 +228,26 @@ object DataQuality {
         (col("q_sum").cast("double") / col("n").cast("double")).as("mean_q"))
       .orderBy("dim")
 
+  /** Per-source corpus checksums — the content-integrity artifact a
+    * replication/migration pass compares on both ends ("did the copy land
+    * bit-identical"), and the per-slice provenance line a dataset release
+    * publishes. Per source: doc count, an ORDER-FREE 60-bit content
+    * fingerprint (bit_xor of per-doc md5-derived text hashes — XOR is
+    * commutative/associative with no overflow, so the checksum is
+    * invariant to partitioning, task retries and row order, exactly the
+    * properties a distributed integrity check needs), and the exact char
+    * volume. One map-side-combined hash aggregation over |sources| keys;
+    * the hash projection is codegen'd. Null texts are skipped by both
+    * engines' aggregate null semantics — identically. */
+  def sourceChecksums(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        graft.functions.Hashes.h60(col("text")).as("h"), col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xor_fp"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("source")
+
   /** Precision/recall curve of a cheap classifier against corpus labels —
     * the calibration artifact every filter threshold decision reads
     * (CCNet-style: pick the operating point, THEN filter 100 TB). The

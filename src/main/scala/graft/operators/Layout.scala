@@ -60,4 +60,24 @@ object Layout {
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
+
+  /** Compaction planner — the small-files pass a lakehouse runs before a
+    * partition's file count eats the driver: per lang partition, the
+    * content volume (chars as the byte proxy the testdata affords) and the
+    * target file count at `targetChars` per file, computed as exact
+    * integer ceil division so any engine plans the identical layout. The
+    * mean-fill column is the utilization number the plan is judged by
+    * (one division per output row). At 100 TB this rollup is what decides
+    * `repartitionByRange(n_files)` per partition BEFORE the rewrite —
+    * |partitions| rows of statistics instead of a trial write. */
+  def compactionPlan(docs: DataFrame, targetChars: Long = 65536L): DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+      .select(col("lang"), col("n_docs"), col("chars_sum"),
+        expr(s"(chars_sum + ${targetChars - 1L}) div $targetChars")
+          .as("n_files"))
+      .withColumn("mean_fill",
+        col("chars_sum").cast("double") /
+          (col("n_files") * targetChars).cast("double"))
+      .orderBy("lang")
 }

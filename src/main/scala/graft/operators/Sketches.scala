@@ -195,6 +195,42 @@ object Sketches {
       groupCol, width,
       Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
 
+  /** Exact-vs-sketch quantile accuracy gate: per group, the exact discrete
+    * percentile (`percentile_disc` — an actual data value, no midpoint
+    * arithmetic) next to the mergeable histogram sketch's estimate, with
+    * the error and the PROVABLE bound riding in the output. The sketch
+    * reports its crossing bucket's upper edge, and the crossing bucket is
+    * exactly the exact value's bucket (cum at bucket granularity crosses
+    * where the value-level cum crosses), so err ∈ (0, width] for EVERY
+    * group, always — `within_bound` is a theorem, and the gate hash-checks
+    * the theorem holds in both engines. This closes the loop the CMS gate
+    * (est ≥ exact) opened: every approximate structure ships with its
+    * error contract as a verified column, not a code comment.
+    *
+    * Scale: the exact side sorts per group (the expensive path you run at
+    * AUDIT time on a sample or slice); the sketch side is the
+    * corpus-independent |groups|·|buckets| state you actually deploy. */
+  def quantileAccuracy(df: DataFrame, groupCol: String = "event_type",
+                       valueCol: String = "value",
+                       width: Double = 5.0): DataFrame = {
+    val est = quantileSketch(df, groupCol, valueCol, width)
+      .select(col(groupCol), col("p50").as("est_p50"), col("p90").as("est_p90"))
+    val exact = df.groupBy(groupCol).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)").as("ex_p50"),
+      expr(s"percentile_disc(0.9) WITHIN GROUP (ORDER BY $valueCol)").as("ex_p90"))
+    exact.join(est, groupCol)
+      .select(col(groupCol),
+        col("ex_p50"), col("est_p50"),
+        (col("est_p50") - col("ex_p50")).as("err_p50"),
+        col("ex_p90"), col("est_p90"),
+        (col("est_p90") - col("ex_p90")).as("err_p90"),
+        (col("est_p50") > col("ex_p50") &&
+          col("est_p50") - col("ex_p50") <= width &&
+          col("est_p90") > col("ex_p90") &&
+          col("est_p90") - col("ex_p90") <= width).as("within_bound"))
+      .orderBy(groupCol)
+  }
+
   /** EXACT token heavy hitters (count·k > n) via a Misra–Gries candidate
     * screen + one candidate-restricted verify pass — the distributed-batch
     * form of the reference's φ-frequent-items contract

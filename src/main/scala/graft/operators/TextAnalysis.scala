@@ -868,6 +868,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Inverted-index artifact: per indexed token, document frequency and a
+    * fingerprint of the SORTED posting list — the retrieval-side data
+    * structure [[keywordSearch]] scores against, materialized as a
+    * verifiable table. Postings are fingerprinted (h60 of the
+    * comma-joined sorted doc_id list) rather than emitted as arrays: the
+    * gate then proves list CONTENT and ORDER bit-exactly while the output
+    * stays fixed-width.
+    *
+    * Scale posture: only tokens with df ∈ [minDf, maxDf] are indexed —
+    * the standard banding real systems apply (singleton tokens carry no
+    * retrieval value; stopword-grade tokens get elided or dedicated
+    * structures, never a collect_list — the same hot-key discipline as
+    * [[graft.functions.BoundedCollectList]]). The per-token aggregation
+    * buffer is therefore ≤ maxDf ids by construction. Incidence dedup is
+    * PARTITION-LOCAL (`array_distinct` in-row before explode, the shingle
+    * trick) so the only wide exchanges are the df count and the bounded
+    * posting build. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 5,
+                    maxDf: Long = 500): DataFrame = {
+    val incidence = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dfs = incidence.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    incidence.join(dfs, "tok")
+      .groupBy("tok", "df")
+      .agg(Hashes.h60(array_join(
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+        ",")).as("postings_fp"))
+      .select("tok", "df", "postings_fp")
+      .orderBy("tok")
+  }
+
+  /** Group-wise top-k: the k highest-quality documents per source under the
+    * (quality desc, doc_id) total order — the "best exemplars per slice"
+    * retrieval every curation review and few-shot-selection pass runs.
+    * rank ≤ k over a partitioned window lets Spark plan WindowGroupLimit:
+    * each input partition keeps only its local top-k per group BEFORE the
+    * window exchange, so the shuffle carries ≤ k·|sources| rows per
+    * partition instead of the corpus — the property that makes grouped
+    * top-k viable at 100 TB. Output (source, doc_id, quality, rk). */
+  def topPerSource(docs: DataFrame, k: Int = 3): DataFrame = {
+    val q = qualityScore(docs).select("doc_id", "quality")
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select("doc_id", "source").join(q, "doc_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "doc_id", "quality", "rk")
+      .orderBy("source", "rk")
+  }
+
   /** Token-length distribution — the tokenizer "fertility" audit (mean
     * chars-per-token and the length histogram decide subword vocabulary
     * budgets): per character length, total token occurrences and distinct
