@@ -1371,6 +1371,61 @@ object ExtensionOracles {
          |         / CAST(((CAST(SUM(n_chars) AS BIGINT) + 65535) // 65536) * 65536 AS DOUBLE)
          |         AS mean_fill
          |  FROM $DOCS GROUP BY lang ORDER BY lang""".stripMargin,
+    // snapshot diff: the oracle rebuilds the identical derived v2 (salted
+    // md5 delete/revise/re-add coins) and classifies via full outer join
+    "q_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM $DOCS),
+         |kept AS (SELECT doc_id, text FROM v1
+         |          WHERE ${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR) || ':v2del'")} % 20 <> 0),
+         |revised AS (SELECT doc_id,
+         |                   CASE WHEN ${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR) || ':v2chg'")} % 10 = 0
+         |                        THEN COALESCE(text, '') || ' [rev2]' ELSE text END AS text
+         |              FROM kept),
+         |added AS (SELECT doc_id + 1000000000 AS doc_id, text FROM v1
+         |           WHERE ${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR) || ':v2add'")} % 25 = 0),
+         |v2 AS (SELECT * FROM revised UNION ALL SELECT * FROM added),
+         |o AS (SELECT doc_id AS k, COALESCE(${graft.functions.Hashes.h60Sql("text")}, -1) AS h_old FROM v1),
+         |n AS (SELECT doc_id AS k, COALESCE(${graft.functions.Hashes.h60Sql("text")}, -1) AS h_new FROM v2),
+         |d AS (SELECT CASE WHEN o.h_old IS NULL THEN 'added'
+         |                  WHEN n.h_new IS NULL THEN 'removed'
+         |                  WHEN o.h_old = n.h_new THEN 'unchanged'
+         |                  ELSE 'changed' END AS change_type
+         |        FROM o FULL OUTER JOIN n ON o.k = n.k)
+         |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM d GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // A/B SRM: identical salted assignment, exact integer counts, the
+    // chi-square statistic written with the same operand order
+    "q_ab_srm" ->
+      s"""WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+         |             FROM '<sfDir>/events.parquet' GROUP BY user_id),
+         |a AS (SELECT user_id, n_ev,
+         |             ${graft.functions.Hashes.h60Sql("CAST(user_id AS VARCHAR) || ':exp1'")} % 2 AS arm
+         |        FROM u),
+         |s AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+         |             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_b,
+         |             CAST(SUM(CASE WHEN arm = 0 THEN n_ev ELSE 0 END) AS BIGINT) AS events_a,
+         |             CAST(SUM(CASE WHEN arm = 1 THEN n_ev ELSE 0 END) AS BIGINT) AS events_b
+         |        FROM a),
+         |e AS (SELECT *, CAST(users_a + users_b AS DOUBLE) / 2.0 AS expected FROM s)
+         |SELECT users_a, users_b, events_a, events_b,
+         |       ((CAST(users_a AS DOUBLE) - expected) * (CAST(users_a AS DOUBLE) - expected)
+         |        + (CAST(users_b AS DOUBLE) - expected) * (CAST(users_b AS DOUBLE) - expected))
+         |         / expected AS chi2,
+         |       (((CAST(users_a AS DOUBLE) - expected) * (CAST(users_a AS DOUBLE) - expected)
+         |        + (CAST(users_b AS DOUBLE) - expected) * (CAST(users_b AS DOUBLE) - expected))
+         |         / expected > 3.841) AS srm
+         |  FROM e""".stripMargin,
+    // hashing-trick featurization: same md5-derived buckets, CASE sums
+    "q_feature_hash" -> {
+      val cols = (0 until 8).map(i =>
+        s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n         |       ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |b AS (SELECT doc_id, ${graft.functions.Hashes.h60Sql("tok")} % 8 AS bucket FROM t)
+         |SELECT doc_id,
+         |       $cols
+         |  FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_quality_quantile" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

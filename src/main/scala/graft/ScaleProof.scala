@@ -605,6 +605,22 @@ object ScaleProof {
     checks += "top_per_source_max_invariant" ->
       (top10.nonEmpty && top10.forall { case (s, q) => q == baseMaxQ(s) })
 
+    // feature hashing at reps×: every replica doc folds to its base doc's
+    // exact vector, so each bucket's corpus-wide mass (and the row count)
+    // scales exactly by reps — collisions and all
+    def fhSums(d: DataFrame): (Long, Seq[Long]) = {
+      val fh = TextAnalysis.featureHash(d)
+      val r = fh.agg(count(lit(1)).as("rows"),
+        (0 until 8).map(i => sum(col(s"f$i")).as(s"s$i")): _*).head()
+      (r.getLong(0), (1 to 8).map(r.getLong(_)))
+    }
+    val baseFh = fhSums(Sources.documents(spark, sfDir))
+    val (fh10, tFh) = timed(fhSums(docs))
+    results += "feature_hash_10x" -> tFh
+    checks += "feature_hash_sums_closed_form" ->
+      (fh10._1 == baseFh._1 * reps &&
+        fh10._2 == baseFh._2.map(_ * reps))
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

@@ -203,6 +203,10 @@ object SparkEntry {
       Sketches.quantileAccuracy(Sources.events(s, dir))),
     "q_compaction_plan" -> ((s, dir) =>
       Layout.compactionPlan(Sources.documents(s, dir))),
+    "q_snapshot_diff" -> ((s, dir) => DataQuality.snapshotDiff(s, dir)),
+    "q_ab_srm" -> ((s, dir) => Relational.abSrm(s, dir)),
+    "q_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -247,6 +247,48 @@ object DataQuality {
         expr("bit_xor(h)").as("xor_fp"),
         sum(col("n_chars")).as("chars_sum"))
       .orderBy("source")
+
+  /** Generic snapshot diff — the change-data-capture primitive ("what
+    * changed between corpus v1 and v2") every incremental pipeline keys
+    * retraining and cache invalidation off: full-outer join on the key,
+    * classify each row by comparing 60-bit content fingerprints, roll up
+    * to per-change-type counts. One key-partitioned shuffle each side; the
+    * fingerprint projection is codegen'd, so the exchange carries
+    * (key, 8 bytes) per row, never the payload — the property that makes
+    * a 100 TB diff affordable. Null content hashes are sentinel-coalesced
+    * by the CALLER (a null would masquerade as presence-absence here). */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                content: Column): DataFrame = {
+    val o = oldDf.select(col(key).as("k"), content.as("h_old"))
+    val n = newDf.select(col(key).as("k"), content.as("h_new"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") === col("h_new"), "unchanged")
+        .otherwise("changed").as("change_type"))
+      .groupBy("change_type").agg(count(lit(1)).as("n"))
+      .orderBy("change_type")
+  }
+
+  /** Contract instance of [[tableDiff]]: v2 of the documents corpus is
+    * DERIVED deterministically (the same fixture discipline as points2d) —
+    * 1-in-20 docs deleted, 1-in-10 survivors text-revised, 1-in-25 docs
+    * re-added under offset ids — so all four change classes are non-vacuous
+    * and the DuckDB twin rebuilds the identical v2. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    def k(salt: String): Column = graft.functions.Hashes.h60(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val docs = Sources.documents(spark, sfDir).select("doc_id", "text")
+    val kept = docs.filter(k("v2del") % 20 =!= 0)
+    val revised = kept.withColumn("text",
+      when(k("v2chg") % 10 === 0,
+        concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
+        .otherwise(col("text")))
+    val added = docs.filter(k("v2add") % 25 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    tableDiff(docs, revised.unionByName(added), "doc_id",
+      coalesce(graft.functions.Hashes.h60(col("text")), lit(-1L)))
+  }
 
   /** Precision/recall curve of a cheap classifier against corpus labels —
     * the calibration artifact every filter threshold decision reads

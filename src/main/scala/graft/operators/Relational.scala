@@ -346,6 +346,39 @@ object Relational {
     * rows; both medians and the flagging pass run on that bounded table
     * (two tiny single-group aggs broadcast back). Output
     * (hour, n_events, med, mad, is_anomaly). */
+  /** A/B experiment assignment + sample-ratio-mismatch check — the
+    * experimentation primitive: users are bucketed into arms by a salted
+    * md5 hash (deterministic, so assignment is stable across runs, days
+    * and engines — the property ad-hoc RNG assignment lacks and SRM
+    * postmortems start from), then the one-row health summary computes
+    * per-arm user/event counts and the chi-square SRM statistic against
+    * the 50/50 design. chi2's operands are exact (integer counts, n/2.0
+    * exact halves), its FP ops few and order-fixed, so the gate hashes the
+    * statistic itself; `srm` flags chi2 > 3.841 (α=0.05, df=1) — the
+    * "randomization is broken, stop reading metrics" tripwire. Scale
+    * shape: one per-user aggregation (map-side combined), then a single
+    * all-arms row. */
+  def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Sources.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+      .withColumn("arm", graft.functions.Hashes.h60(
+        concat(col("user_id").cast("string"), lit(":exp1"))) % 2)
+    perUser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("users_b"),
+        sum(when(col("arm") === 0, col("n_ev")).otherwise(0L)).as("events_a"),
+        sum(when(col("arm") === 1, col("n_ev")).otherwise(0L)).as("events_b"))
+      .withColumn("expected",
+        (col("users_a") + col("users_b")).cast("double") / lit(2.0))
+      .withColumn("chi2",
+        ((col("users_a").cast("double") - col("expected")) *
+          (col("users_a").cast("double") - col("expected")) +
+          (col("users_b").cast("double") - col("expected")) *
+            (col("users_b").cast("double") - col("expected"))) / col("expected"))
+      .select(col("users_a"), col("users_b"), col("events_a"),
+        col("events_b"), col("chi2"), (col("chi2") > 3.841).as("srm"))
+  }
+
   def rateAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val hours = Sources.events(spark, sfDir)
       .groupBy(expr("ts div 3600000000000").as("hour"))

@@ -919,6 +919,23 @@ object TextAnalysis {
       .orderBy("source", "rk")
   }
 
+  /** Feature hashing (the "hashing trick"): per document, token counts
+    * folded into a FIXED `dims`-wide dense vector by hashing each token to
+    * a bucket — the featurization production text classifiers use when
+    * the vocabulary is unbounded: no vocab build pass, no dictionary to
+    * broadcast, memory per row constant in corpus size. Collisions are the
+    * accepted trade (two tokens sharing a bucket add) — deterministic
+    * here, so the gate hashes them identically. One map-side-combined
+    * aggregation keyed by doc_id; the bucket expression is codegen'd.
+    * Output (doc_id, f0..f{dims-1}) exact int64 counts. */
+  def featureHash(docs: DataFrame, dims: Int = 8): DataFrame = {
+    val b = tokens(docs)
+      .withColumn("bucket", Hashes.h60(col("tok")) % dims)
+    val aggs = (0 until dims).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"f$i"))
+    b.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
   /** Token-length distribution — the tokenizer "fertility" audit (mean
     * chars-per-token and the length histogram decide subword vocabulary
     * budgets): per character length, total token occurrences and distinct

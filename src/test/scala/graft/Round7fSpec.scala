@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DataQuality, Relational, TextAnalysis}
+import graft.sources.Sources
+
+/** Round-7 widening (session f): snapshot diff (CDC), A/B assignment with
+  * SRM check, and hashing-trick featurization — generic-operator unit
+  * checks plus first-principles driver recounts on sf0.001.
+  */
+class Round7fSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  test("tableDiff classifies a constructed add/remove/change fixture exactly") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "t")
+    val neu = Seq((2L, "b"), (3L, "C!"), (4L, "d"), (9L, "z")).toDF("id", "t")
+    val got = DataQuality.tableDiff(old, neu, "id",
+        graft.functions.Hashes.h60(col("t"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 2L))
+  }
+
+  test("snapshot diff matches a driver rebuild of the derived v2, all classes live") {
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val v1 = docs.toMap
+    val v2 = scala.collection.mutable.Map.empty[Long, String]
+    docs.foreach { case (id, t) =>
+      if (h60(s"$id:v2del") % 20 != 0)
+        v2(id) = if (h60(s"$id:v2chg") % 10 == 0)
+          Option(t).getOrElse("") + " [rev2]" else t
+    }
+    docs.foreach { case (id, t) =>
+      if (h60(s"$id:v2add") % 25 == 0) v2(id + 1000000000L) = t
+    }
+    def h(t: String): Long = if (t == null) -1L else h60(t)
+    val keys = v1.keySet ++ v2.keySet
+    val expect = keys.toSeq.map { k =>
+      (v1.get(k), v2.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) if h(a) == h(b) => "unchanged"
+        case _ => "changed"
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = DataQuality.snapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(Seq("added", "removed", "changed", "unchanged")
+      .forall(c => got.getOrElse(c, 0L) > 0L), s"all classes live: $got")
+  }
+
+  test("ab srm matches a driver recount and assignment is stable") {
+    val users = Sources.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byArm = users.groupBy { case (u, _) => h60(s"$u:exp1") % 2 }
+    val (ua, ub) = (byArm.getOrElse(0L, Array.empty).length.toLong,
+      byArm.getOrElse(1L, Array.empty).length.toLong)
+    val (ea, eb) = (byArm.getOrElse(0L, Array.empty).map(_._2).sum,
+      byArm.getOrElse(1L, Array.empty).map(_._2).sum)
+    val expected = (ua + ub).toDouble / 2.0
+    val chi2 = ((ua.toDouble - expected) * (ua.toDouble - expected) +
+      (ub.toDouble - expected) * (ub.toDouble - expected)) / expected
+    val r = Relational.abSrm(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((ua, ub, ea, eb)))
+    assert(r.getDouble(4) === chi2)
+    assert(r.getBoolean(5) === (chi2 > 3.841))
+    // both arms populated: the salted hash really splits the population
+    assert(ua > 0 && ub > 0)
+  }
+
+  test("feature hash matches a driver fold and rows sum to token counts") {
+    val docs = Sources.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, t) =>
+      val v = new Array[Long](8)
+      t.split(" ", -1).foreach(tok => v((h60(tok) % 8).toInt) += 1)
+      id -> v.toSeq
+    }.toMap
+    val rows = TextAnalysis.featureHash(Sources.documents(spark, dir)).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val v = (1 to 8).map(r.getLong(_))
+      assert(v === expect(id), s"doc $id")
+      assert(v.sum === docs.find(_._1 == id).get._2.split(" ", -1).length.toLong)
+    }
+    // collisions exist (8 buckets over a real vocab) — the trick's trade
+    assert(expect.values.exists(_.max > 1))
+  }
+}
