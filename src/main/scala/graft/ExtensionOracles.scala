@@ -1472,6 +1472,42 @@ object ExtensionOracles {
          |SELECT a, b, cos FROM v WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
     "q_csv_roundtrip" ->
       s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
+    // semantic cross-split leakage: the q_emb_lsh_pairs chain + salted
+    // split assignment, keeping only pairs that cross the boundary
+    "q_split_leakage" ->
+      s"""WITH $EMB,
+         |c AS (SELECT vec_id, emb, $lshCodeSql AS code FROM e),
+         |bnd AS (SELECT vec_id, band, (code >> (band*4)) & 15 AS bv
+         |          FROM c, (VALUES (0),(1),(2),(3)) t(band)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |           FROM bnd x JOIN bnd y
+         |             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |v AS (SELECT cand.a, cand.b, ${cosSql("ea.emb", "eb.emb")} AS cos
+         |        FROM cand JOIN e ea ON cand.a = ea.vec_id
+         |                  JOIN e eb ON cand.b = eb.vec_id),
+         |p AS (SELECT a, b, cos,
+         |             CASE WHEN ${graft.functions.Hashes.h60Sql("CAST(a AS VARCHAR) || ':split1'")} % 10 < 8
+         |                  THEN 'train' ELSE 'eval' END AS sa,
+         |             CASE WHEN ${graft.functions.Hashes.h60Sql("CAST(b AS VARCHAR) || ':split1'")} % 10 < 8
+         |                  THEN 'train' ELSE 'eval' END AS sb
+         |        FROM v WHERE cos >= 0.45)
+         |SELECT CASE WHEN sa = 'eval' THEN a ELSE b END AS eval_id,
+         |       CASE WHEN sa = 'eval' THEN b ELSE a END AS train_id, cos
+         |  FROM p WHERE sa <> sb ORDER BY eval_id, train_id""".stripMargin,
+    // per-dim winsorization audit: exact discrete p1/p99 + outlier mass
+    "q_emb_clip" ->
+      s"""WITH $EMB,
+         |d0 AS (SELECT emb, unnest(range(0, length(emb))) AS dim FROM e),
+         |dv AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |              emb[CAST(dim + 1 AS INT)] AS v FROM d0),
+         |th AS (SELECT dim, quantile_disc(v, 0.01) AS lo,
+         |              quantile_disc(v, 0.99) AS hi
+         |         FROM dv GROUP BY dim)
+         |SELECT dv.dim, MAX(th.lo) AS lo, MAX(th.hi) AS hi,
+         |       CAST(SUM(CASE WHEN dv.v < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         |       CAST(SUM(CASE WHEN dv.v > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+         |  FROM dv JOIN th ON dv.dim = th.dim
+         | GROUP BY dv.dim ORDER BY dv.dim""".stripMargin,
     // corpus bigram counts: 1-based positional pairing over the token list
     "q_bigrams" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM $DOCS),

@@ -621,6 +621,23 @@ object ScaleProof {
       (fh10._1 == baseFh._1 * reps &&
         fh10._2 == baseFh._2.map(_ * reps))
 
+    // winsorization audit at reps×: replicating the value multiset leaves
+    // every discrete order statistic EXACTLY in place (the p-th smallest of
+    // 10 interleaved copies is the same value), so thresholds are invariant
+    // and the outlier masses scale exactly by reps
+    val baseClip = Similarity.embClip(Sources.embeddings(spark, sfDir)
+        .select("vec_id", "label", "emb"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val (clip10, tClip) = timed(Similarity.embClip(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap)
+    results += "emb_clip_10x" -> tClip
+    checks += "emb_clip_closed_form" ->
+      (clip10 == baseClip.map { case (d, (lo, hi, nl, nh)) =>
+        d -> ((lo, hi, nl * reps, nh * reps))
+      })
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

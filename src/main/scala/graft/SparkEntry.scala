@@ -207,6 +207,10 @@ object SparkEntry {
     "q_ab_srm" -> ((s, dir) => Relational.abSrm(s, dir)),
     "q_feature_hash" -> ((s, dir) =>
       TextAnalysis.featureHash(Sources.documents(s, dir))),
+    "q_split_leakage" -> ((s, dir) =>
+      Similarity.splitLeakage(Sources.embeddings(s, dir))),
+    "q_emb_clip" -> ((s, dir) =>
+      Similarity.embClip(Sources.embeddings(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -115,6 +115,55 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Semantic cross-split leakage screen — the DECONTAMINATION gap n-gram
+    * overlap cannot see: an eval item that is a paraphrase (near-identical
+    * EMBEDDING, different surface form) of a train item inflates eval
+    * scores exactly like a verbatim leak. Splits are assigned by salted
+    * md5 on vec_id (deterministic, engine-independent); candidate pairs
+    * come from the SAME banded sign-LSH chain as [[embLshPairs]]
+    * (equi-join on band values — never n²), then only pairs CROSSING the
+    * split boundary survive, oriented as (eval_id, train_id, cos). At
+    * 100 TB this is the standard pre-release eval hygiene pass, and the
+    * blocked chain is what makes it affordable. */
+  def splitLeakage(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    def split(id: Column): Column =
+      when(graft.functions.Hashes.h60(
+        concat(id.cast("string"), lit(":split1"))) % 10 < 8, "train")
+        .otherwise("eval")
+    embLshPairs(emb, threshold = threshold)
+      .withColumn("sa", split(col("a")))
+      .withColumn("sb", split(col("b")))
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        when(col("sa") === "eval", col("a")).otherwise(col("b")).as("eval_id"),
+        when(col("sa") === "eval", col("b")).otherwise(col("a")).as("train_id"),
+        col("cos"))
+      .orderBy("eval_id", "train_id")
+  }
+
+  /** Per-dimension winsorization audit: exact discrete p1/p99 thresholds
+    * (`percentile_disc` — actual data values, no interpolation) and the
+    * outlier mass a clip at those thresholds would touch. The report a
+    * robust-scaling step reads BEFORE rewriting 100 TB of vectors — per
+    * dim, the thresholds and how many values sit outside them. Exact
+    * per-dim order statistics are the audit-time path (one explode to
+    * (dim, v) and a per-dim sort); the clip itself would then be a narrow
+    * codegen'd least/greatest projection. Output (dim, lo, hi, n_lo,
+    * n_hi). */
+  def embClip(emb: DataFrame): DataFrame = {
+    val dv = emb.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("dim"), col("v"))
+    val th = dv.groupBy("dim").agg(
+      expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY v)").as("lo"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY v)").as("hi"))
+    dv.join(th, "dim")
+      .groupBy("dim")
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("dim")
+  }
+
   private def queriesOf(emb: DataFrame, nQueries: Int): DataFrame =
     broadcast(emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qv")))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DataQuality, Relational, TextAnalysis}
+import graft.operators.{DataQuality, Relational, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** Round-7 widening (session f): snapshot diff (CDC), A/B assignment with
@@ -82,6 +82,44 @@ class Round7fSpec extends AnyFunSuite with SharedSpark {
     assert(r.getBoolean(5) === (chi2 > 3.841))
     // both arms populated: the salted hash really splits the population
     assert(ua > 0 && ub > 0)
+  }
+
+  test("split leakage keeps exactly the boundary-crossing LSH pairs, oriented") {
+    val pairs = Similarity.embLshPairs(Sources.embeddings(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def split(id: Long): String =
+      if (h60(s"$id:split1") % 10 < 8) "train" else "eval"
+    val expect = pairs.filter { case (a, b, _) => split(a) != split(b) }
+      .map { case (a, b, c) =>
+        if (split(a) == "eval") (a, b, c) else (b, a, c)
+      }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Similarity.splitLeakage(Sources.embeddings(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect)
+    got.foreach { case (e, t, _) =>
+      assert(split(e) === "eval" && split(t) === "train")
+    }
+    assert(pairs.nonEmpty, "LSH chain must produce pairs at this scale")
+  }
+
+  test("emb clip thresholds are exact discrete percentiles with correct outlier mass") {
+    val vecs = Sources.embeddings(spark, dir)
+      .select("emb").collect().map(_.getSeq[Double](0))
+    val dims = vecs.head.length
+    val rows = Similarity.embClip(Sources.embeddings(spark, dir)).collect()
+    assert(rows.length === dims)
+    rows.foreach { r =>
+      val d = r.getLong(0).toInt
+      val vs = vecs.map(_(d)).sorted
+      def disc(p: Double): Double = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(r.getDouble(1) === disc(0.01), s"lo dim $d")
+      assert(r.getDouble(2) === disc(0.99), s"hi dim $d")
+      assert(r.getLong(3) === vs.count(_ < disc(0.01)).toLong)
+      assert(r.getLong(4) === vs.count(_ > disc(0.99)).toLong)
+    }
+    // non-vacuous: clipping would touch something, but never everything
+    assert(rows.exists(r => r.getLong(3) + r.getLong(4) > 0))
+    assert(rows.forall(r => r.getLong(3) + r.getLong(4) < vecs.length))
   }
 
   test("feature hash matches a driver fold and rows sum to token counts") {
