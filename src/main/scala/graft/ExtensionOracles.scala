@@ -1426,6 +1426,18 @@ object ExtensionOracles {
          |       $cols
          |  FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // ANALYZE-style column statistics: one aggregate per column, unioned
+    "q_table_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |       CAST(MIN($c) AS VARCHAR) AS min_s,
+           |       CAST(MAX($c) AS VARCHAR) AS max_s
+           |  FROM $DOCS""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q_quality_quantile" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

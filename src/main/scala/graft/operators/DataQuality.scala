@@ -248,6 +248,34 @@ object DataQuality {
         sum(col("n_chars")).as("chars_sum"))
       .orderBy("source")
 
+  /** ANALYZE-style column statistics — the table profile a cost-based
+    * optimizer (and every human debugging a bad plan) reads: per column,
+    * row count, null count, EXACT distinct count, and min/max rendered as
+    * strings so one fixed schema covers every column type. Each column's
+    * stats are one aggregation; the union of |columns| single-row frames
+    * is driver-trivial. Exact ndv is the AUDIT-time choice here because
+    * the gate needs determinism — the deployed CBO path would swap in the
+    * [[graft.operators.Sketches]] HLL (same query shape, sketch-sized
+    * state), which is exactly the swap the statistics consumer never
+    * notices. At scale each stat pass is map-side combined; min/max/count
+    * never shuffle more than partial aggregates. */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _).orderBy("column")
+
+  /** Contract instance over the documents table's scalar columns. */
+  def docStats(spark: SparkSession, sfDir: String): DataFrame =
+    tableStats(Sources.documents(spark, sfDir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
   /** Generic snapshot diff — the change-data-capture primitive ("what
     * changed between corpus v1 and v2") every incremental pipeline keys
     * retraining and cache invalidation off: full-outer join on the key,

@@ -122,6 +122,29 @@ class Round7fSpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(r => r.getLong(3) + r.getLong(4) < vecs.length))
   }
 
+  test("table stats match driver recounts for every profiled column") {
+    val rows = Sources.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+    val got = DataQuality.docStats(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got.keySet === Set("doc_id", "lang", "source", "n_chars"))
+    def check[T](cn: String, vs: Seq[T], minS: String, maxS: String)
+                (implicit ord: Ordering[T]): Unit = {
+      val (n, nn, ndv) = (rows.length.toLong,
+        vs.count(_ == null).toLong, vs.filter(_ != null).distinct.size.toLong)
+      assert(got(cn) === ((n, nn, ndv, minS, maxS)), s"column $cn")
+    }
+    val ids = rows.map(_.getLong(0)).toSeq
+    check("doc_id", ids, ids.min.toString, ids.max.toString)
+    val langs = rows.map(_.getString(1)).toSeq
+    check("lang", langs, langs.min, langs.max)
+    val srcs = rows.map(_.getString(2)).toSeq
+    check("source", srcs, srcs.min, srcs.max)
+    val ncs = rows.map(_.getLong(3)).toSeq
+    check("n_chars", ncs, ncs.min.toString, ncs.max.toString)
+  }
+
   test("feature hash matches a driver fold and rows sum to token counts") {
     val docs = Sources.documents(spark, dir)
       .select("doc_id", "text").collect()
