@@ -112,6 +112,24 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
       s"q_token_counts must read only doc_id+text:\n$plan")
   }
 
+  test("priority sample plans per-partition top-k, not a global sort") {
+    // A-ES keeps k rows: TakeOrderedAndProject merges per-partition heaps
+    // on the driver; a global Sort exchange before the limit would move
+    // the corpus to rank 100 rows
+    val plan = planOf("q_priority_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_priority_sample must plan TakeOrderedAndProject:\n$plan")
+  }
+
+  test("feature hashing aggregates with exactly one hash exchange") {
+    // the bucket projection is in-row; only the per-doc rollup may shuffle,
+    // map-side partial-aggregated
+    val plan = planOf("q_feature_hash")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"q_feature_hash must shuffle once (found $hashEx):\n$plan")
+  }
+
   test("hash sampling and per-row stats stay narrow: no exchange but the presentation sort") {
     // a sample/per-row-stat operator that shuffles before its final ORDER BY
     // would serialize the corpus through the cluster for a row-local decision
