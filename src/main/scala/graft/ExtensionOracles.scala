@@ -1438,6 +1438,72 @@ object ExtensionOracles {
       Seq("doc_id", "lang", "source", "n_chars").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+    // composed corpus-build funnel: the clean/decontam/mixture chains
+    // threaded (each stage's CTEs read the PREVIOUS stage's survivors —
+    // note the mixture weights derive from survivor language counts)
+    "q_corpus_build" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+         |             CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM t GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len_chars,
+         |             g.n_tokens,
+         |             CAST(g.n_distinct AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS ttr,
+         |             CAST(g.n_stop AS DOUBLE)/CAST(g.n_tokens AS DOUBLE) AS stop_ratio
+         |        FROM $DOCS d JOIN g ON d.doc_id = g.doc_id),
+         |q AS (SELECT doc_id, len_chars, n_tokens,
+         |             CAST(0.5 AS DOUBLE)*ttr
+         |               + CAST(0.3 AS DOUBLE)*LEAST(stop_ratio*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |               + CAST(0.2 AS DOUBLE)*LEAST(CAST(n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+         |        FROM j),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM $DOCS GROUP BY text),
+         |cln AS (SELECT q.doc_id FROM q JOIN k ON q.doc_id = k.doc_id
+         |         WHERE q.quality >= CAST(0.4 AS DOUBLE) AND q.len_chars >= 50),
+         |cd AS MATERIALIZED (SELECT d.doc_id, d.text, d.lang, d.n_chars
+         |        FROM $DOCS d JOIN cln ON d.doc_id = cln.doc_id),
+         |sh2 AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 9) AS s
+         |          FROM (SELECT doc_id, text,
+         |                       unnest(range(1, length(text) - 7)) AS i FROM cd)),
+         |hh2 AS MATERIALIZED (SELECT doc_id,
+         |               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh2),
+         |b2 AS (SELECT DISTINCT h FROM hh2 WHERE doc_id % 97 = 0),
+         |tot2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+         |           FROM hh2 WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+         |hit2 AS (SELECT hh2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |           FROM hh2 JOIN b2 ON hh2.h = b2.h
+         |          WHERE hh2.doc_id % 97 <> 0 GROUP BY hh2.doc_id),
+         |keep3 AS (SELECT t2.doc_id FROM tot2 t2
+         |            LEFT JOIN hit2 ON t2.doc_id = hit2.doc_id
+         |           WHERE CAST(COALESCE(hit2.n_hit, 0) AS DOUBLE)
+         |                 / CAST(t2.n_sh AS DOUBLE) < CAST(0.2 AS DOUBLE)),
+         |dd AS MATERIALIZED (SELECT cd.doc_id, cd.lang, cd.n_chars
+         |        FROM cd JOIN keep3 ON cd.doc_id = keep3.doc_id),
+         |c4 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM dd GROUP BY lang),
+         |q4 AS (SELECT lang, n_l,
+         |              CAST(FLOOR(SQRT(CAST(n_l AS DOUBLE)) * 1048576.0) AS BIGINT) AS s_l
+         |         FROM c4),
+         |t4 AS (SELECT CAST(SUM(s_l) AS BIGINT) AS s_tot FROM q4),
+         |r4 AS (SELECT lang,
+         |              CAST(s_l * 100 AS DOUBLE)
+         |                / (CAST(s_tot AS DOUBLE) * CAST(n_l AS DOUBLE)) AS p_keep
+         |         FROM q4, t4),
+         |mm AS (SELECT dd.doc_id, dd.n_chars FROM dd JOIN r4 ON dd.lang = r4.lang
+         |        WHERE CAST(${graft.functions.Hashes.h60Sql("CAST(dd.doc_id AS VARCHAR) || ':mix1'")} AS DOUBLE)
+         |              / 1152921504606846976.0 < r4.p_keep)
+         |SELECT * FROM (
+         |  SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS chars_sum FROM $DOCS
+         |  UNION ALL
+         |  SELECT '2_cleaned', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM cd
+         |  UNION ALL
+         |  SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM dd
+         |  UNION ALL
+         |  SELECT '4_mixed', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM mm
+         |) ORDER BY stage""".stripMargin,
     "q_quality_quantile" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
          |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

@@ -212,6 +212,7 @@ object SparkEntry {
     "q_emb_clip" -> ((s, dir) =>
       Similarity.embClip(Sources.embeddings(s, dir))),
     "q_table_stats" -> ((s, dir) => DataQuality.docStats(s, dir)),
+    "q_corpus_build" -> ((s, dir) => Curation.corpusBuild(s, dir)),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashes
+import graft.sources.Sources
 
 /** Corpus-curation operators for a training-data pipeline (north-star
   * extension, SURVEY.md §7.1 M7): deterministic stratified sampling,
@@ -444,5 +445,38 @@ object Curation {
         col("n_bloom_hit").cast("double") / col("n_shingles").cast("double")
           >= threshold)
       .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus build — the COMPOSED pipeline every other operator
+    * here is a stage of, verified as one query: raw → cleaned
+    * ([[graft.operators.TextAnalysis.cleanCorpus]]: exact-dedup keepers +
+    * quality/length gates) → decontaminated ([[decontaminate]] over the
+    * cleaned corpus: benchmark docs and ≥20%-overlap docs dropped) →
+    * mixture-sampled ([[mixtureSample]] over the decontaminated corpus —
+    * note the temperature weights derive from the SURVIVORS' language
+    * counts, which is the point of composing rather than intersecting
+    * independent runs). Output: one row per stage with document count and
+    * char mass — the funnel a corpus release reports. The stage joins are
+    * all on doc_id (key-only exchanges); every stage reuses the operator
+    * the surface already gates individually, so this query is the proof
+    * the library COMPOSES: a user chains the same public functions. */
+  def corpusBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    def stage(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+        .select(lit(name).as("stage"), col("n_docs"), col("chars_sum"))
+    val cleaned = docs.join(
+      graft.operators.TextAnalysis.cleanCorpus(docs).select("doc_id"), "doc_id")
+    val decon = cleaned.join(
+      decontaminate(cleaned).filter(!col("contaminated")).select("doc_id"),
+      "doc_id")
+    val mixed = decon.join(
+      mixtureSample(decon, target = 100L).select("doc_id"), "doc_id")
+    stage("1_raw", docs)
+      .unionByName(stage("2_cleaned", cleaned))
+      .unionByName(stage("3_decontaminated", decon))
+      .unionByName(stage("4_mixed", mixed))
+      .orderBy("stage")
   }
 }

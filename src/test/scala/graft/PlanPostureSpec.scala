@@ -57,7 +57,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_dataset_card", // SINGLE-ROW docs agg x SINGLE-ROW token agg
     "q_source_overlap", // |sources| sizes x |sources| sizes: both tiny by construction
     "q_heavy_hitters", // candidate counts x the SINGLE-ROW token total
-    "q_pr_curve") // |bins| curve rows x the SINGLE-ROW positive total
+    "q_pr_curve", // |bins| curve rows x the SINGLE-ROW positive total
+    "q_corpus_build") // inherits q_mixture's |langs| x SINGLE-ROW total stage
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

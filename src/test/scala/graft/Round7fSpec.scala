@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DataQuality, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, DataQuality, Relational, Similarity,
+  TextAnalysis}
 import graft.sources.Sources
 
 /** Round-7 widening (session f): snapshot diff (CDC), A/B assignment with
@@ -143,6 +144,32 @@ class Round7fSpec extends AnyFunSuite with SharedSpark {
     check("source", srcs, srcs.min, srcs.max)
     val ncs = rows.map(_.getLong(3)).toSeq
     check("n_chars", ncs, ncs.min.toString, ncs.max.toString)
+  }
+
+  test("corpus build funnel is monotone, stage-consistent, and nowhere vacuous") {
+    // sf0.01: the mixture stage needs more survivors than its target to be
+    // non-vacuous (sf0.001 has too few decontamination survivors)
+    val d01 = "/root/testdata/sf0.01"
+    val stages = Curation.corpusBuild(spark, d01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stages.map(_._1).toSeq ===
+      Seq("1_raw", "2_cleaned", "3_decontaminated", "4_mixed"))
+    // funnel: every stage strictly drops something (non-vacuous) and
+    // masses stay positive
+    stages.sliding(2).foreach { case Array((sa, na, ca), (sb, nb, cb)) =>
+      assert(nb < na, s"$sb must drop documents vs $sa")
+      assert(cb < ca, s"$sb must drop char mass vs $sa")
+    }
+    assert(stages.last._2 > 0)
+    // stage 2 equals the public cleanCorpus operator's survivor count —
+    // the composition reuses the gated operators, not a reimplementation
+    val docs = Sources.documents(spark, d01)
+    assert(stages(1)._2 === TextAnalysis.cleanCorpus(docs).count())
+    // stage 3 equals cleaned minus (bench docs + contaminated)
+    val cleaned = docs.join(
+      TextAnalysis.cleanCorpus(docs).select("doc_id"), "doc_id")
+    assert(stages(2)._2 ===
+      Curation.decontaminate(cleaned).filter(!col("contaminated")).count())
   }
 
   test("feature hash matches a driver fold and rows sum to token counts") {
