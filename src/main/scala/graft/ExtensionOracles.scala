@@ -1802,6 +1802,69 @@ object ExtensionOracles {
          |  FROM ev JOIN tot ON ev.doc_id = tot.doc_id
          |  LEFT JOIN hit ON ev.doc_id = hit.doc_id
          | ORDER BY ev.doc_id""".stripMargin,
+    // k-anonymity audit: quasi-identifier classes (lang, source, 100-char
+    // length bucket) with population and the sub-k re-identifiability flag
+    "q_kanonymity" ->
+      s"""SELECT lang, source, len_bucket, n_docs, n_docs < 5 AS at_risk
+         |  FROM (SELECT lang, source,
+         |               CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+         |               CAST(COUNT(*) AS BIGINT) AS n_docs
+         |          FROM $DOCS GROUP BY 1, 2, 3)
+         | ORDER BY lang, source, len_bucket""".stripMargin,
+    // corpus-balance report per axis: exact floor_log2 whole-bit entropy
+    // (same integer form as q_unigram/q_doc_entropy — no libm), one final
+    // integer division per double
+    "q_diversity" ->
+      s"""WITH cl AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_c
+         |              FROM $DOCS GROUP BY 1),
+         |cs AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS n_c
+         |         FROM $DOCS GROUP BY 1),
+         |al AS (SELECT 'lang' AS axis, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |              CAST(SUM(n_c) AS BIGINT) AS n_docs,
+         |              MAX(n_c) AS max_class, MIN(n_c) AS min_class,
+         |              CAST(SUM(n_c * (tb.tbits - (length(bin(n_c)) - 1))) AS BIGINT) AS x
+         |         FROM cl, (SELECT CAST(length(bin(SUM(n_c))) - 1 AS BIGINT) AS tbits
+         |                     FROM cl) tb
+         |        GROUP BY tb.tbits),
+         |asrc AS (SELECT 'source' AS axis, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |              CAST(SUM(n_c) AS BIGINT) AS n_docs,
+         |              MAX(n_c) AS max_class, MIN(n_c) AS min_class,
+         |              CAST(SUM(n_c * (tb.tbits - (length(bin(n_c)) - 1))) AS BIGINT) AS x
+         |         FROM cs, (SELECT CAST(length(bin(SUM(n_c))) - 1 AS BIGINT) AS tbits
+         |                     FROM cs) tb
+         |        GROUP BY tb.tbits)
+         |SELECT axis, n_classes, n_docs, max_class, min_class,
+         |       CAST(max_class AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
+         |       x AS entropy_bits,
+         |       CAST(x AS DOUBLE) / CAST(n_docs AS DOUBLE) AS bits_per_doc
+         |  FROM (SELECT * FROM al UNION ALL SELECT * FROM asrc)
+         | ORDER BY axis""".stripMargin,
+    // contamination attribution: per contaminated doc (q_decontam's exact
+    // overlap gate), the benchmark doc sharing the most shingle hashes
+    // (ties -> smallest bench id)
+    "q_contam_attr" ->
+      s"""WITH $SH,
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+         |be AS (SELECT doc_id AS bench_id, h FROM hh WHERE doc_id % 97 = 0),
+         |b AS (SELECT DISTINCT h FROM be),
+         |tr AS (SELECT doc_id, h FROM hh WHERE doc_id % 97 <> 0),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |          FROM tr GROUP BY doc_id),
+         |hit AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |          FROM tr JOIN b ON tr.h = b.h GROUP BY tr.doc_id),
+         |p AS (SELECT tr.doc_id, be.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |        FROM tr JOIN be ON tr.h = be.h GROUP BY 1, 2),
+         |top AS (SELECT doc_id, bench_id, n_shared,
+         |               ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                  ORDER BY n_shared DESC, bench_id) AS rn
+         |          FROM p)
+         |SELECT t.doc_id, t.n_shingles, hit.n_hit, top.bench_id, top.n_shared
+         |  FROM tot t
+         |  JOIN hit ON t.doc_id = hit.doc_id
+         |  JOIN top ON t.doc_id = top.doc_id AND top.rn = 1
+         | WHERE CAST(hit.n_hit AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         |       >= CAST(0.2 AS DOUBLE)
+         | ORDER BY t.doc_id""".stripMargin,
     "q_decontam" ->
       s"""WITH $SH,
          |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),

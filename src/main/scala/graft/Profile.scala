@@ -21,7 +21,8 @@ object Profile {
         "q_editdist_pairs", "q_sorted_neighbors", "q_tfidf_pairs",
         "q_pq_codes", "q_pq_adc", "q_pq_recall", "q_ivfpq", "q_ivfpq_recall",
         "q_bpe_encode", "q_ngram_novelty", "q_top_spans", "q_source_overlap",
-        "q_kcore", "q_heavy_hitters", "q_split_leakage", "q_corpus_build")
+        "q_kcore", "q_heavy_hitters", "q_split_leakage", "q_corpus_build",
+        "q_contam_attr", "q_ccnet_buckets")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       def once(): Double = {
         val t0 = System.nanoTime()

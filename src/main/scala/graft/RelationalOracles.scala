@@ -349,6 +349,38 @@ object RelationalOracles {
          |SELECT doc_id, n_bigrams, cond_bits,
          |       CAST(cond_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
          |  FROM g ORDER BY doc_id""".stripMargin,
+    // CCNet-style per-lang perplexity terciles over the SAME lm chain as
+    // q_lm_score (whole-bit conditional surprisal), ntile(3) on the total
+    // order (bits_per_bigram, doc_id)
+    "q_ccnet_buckets" ->
+      s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |             FROM '<sfDir>/documents.parquet'
+         |            WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id,
+         |              toks[CAST(u.i AS INTEGER)] AS w1,
+         |              toks[CAST(u.i AS INTEGER) + 1] AS w2
+         |         FROM a, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+         |dbg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+         |          FROM bg GROUP BY doc_id, w1, w2),
+         |cab AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c_ab FROM dbg GROUP BY w1, w2),
+         |ca AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY w1),
+         |g AS (SELECT dbg.doc_id,
+         |             CAST(SUM(dbg.m) AS BIGINT) AS n_bigrams,
+         |             CAST(SUM(dbg.m * ((length(bin(ca.c_a)) - 1) -
+         |                               (length(bin(cab.c_ab)) - 1))) AS BIGINT) AS cond_bits
+         |        FROM dbg
+         |        JOIN cab ON dbg.w1 = cab.w1 AND dbg.w2 = cab.w2
+         |        JOIN ca ON dbg.w1 = ca.w1
+         |       GROUP BY dbg.doc_id),
+         |s AS (SELECT g.doc_id, d.lang, g.n_bigrams,
+         |             CAST(g.cond_bits AS DOUBLE) / CAST(g.n_bigrams AS DOUBLE) AS bits_per_bigram
+         |        FROM g JOIN '<sfDir>/documents.parquet' d ON g.doc_id = d.doc_id)
+         |SELECT doc_id, lang, n_bigrams, bits_per_bigram,
+         |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM (SELECT *, NTILE(3) OVER (PARTITION BY lang
+         |                                 ORDER BY bits_per_bigram, doc_id) AS t
+         |          FROM s)
+         | ORDER BY doc_id""".stripMargin,
     "q_tok_lengths" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
          |                FROM '<sfDir>/documents.parquet')

@@ -638,6 +638,40 @@ object ScaleProof {
         d -> ((lo, hi, nl * reps, nh * reps))
       })
 
+    // k-anonymity at reps×: replication changes only doc_id, so the QI
+    // class table is invariant with every population ×reps — and the
+    // at_risk set recomputes against the SCALED counts (at 10× no base
+    // class stays sub-5 unless it was empty, the honest story that
+    // re-identifiability risk falls with corpus growth)
+    val baseKa = DataQuality.kAnonymity(Sources.documents(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    val (ka10, tKa) = timed(DataQuality.kAnonymity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap)
+    results += "kanonymity_10x" -> tKa
+    checks += "kanonymity_closed_form" ->
+      (ka10 == baseKa.map { case (k, n) =>
+        k -> ((n * reps, n * reps < 5L))
+      })
+
+    // diversity at reps×: class structure is invariant, so per axis the
+    // class count holds, extrema scale exactly by reps, and top_share is
+    // bit-identical ((10·max)/(10·N) rounds the same real as max/N)
+    val baseDiv = DataQuality.diversity(Sources.documents(spark, sfDir))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    val (div10, tDiv) = timed(DataQuality.diversity(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap)
+    results += "diversity_10x" -> tDiv
+    checks += "diversity_closed_form" ->
+      (div10 == baseDiv.map { case (a, (nc, nd, mx, mn, ts)) =>
+        a -> ((nc, nd * reps, mx * reps, mn * reps, ts))
+      })
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

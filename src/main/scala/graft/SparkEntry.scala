@@ -213,6 +213,14 @@ object SparkEntry {
       Similarity.embClip(Sources.embeddings(s, dir))),
     "q_table_stats" -> ((s, dir) => DataQuality.docStats(s, dir)),
     "q_corpus_build" -> ((s, dir) => Curation.corpusBuild(s, dir)),
+    "q_kanonymity" -> ((s, dir) =>
+      DataQuality.kAnonymity(Sources.documents(s, dir))),
+    "q_diversity" -> ((s, dir) =>
+      DataQuality.diversity(Sources.documents(s, dir))),
+    "q_contam_attr" -> ((s, dir) =>
+      Curation.contamAttribution(Sources.documents(s, dir))),
+    "q_ccnet_buckets" -> ((s, dir) =>
+      Curation.ccnetBuckets(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -255,6 +255,75 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Contamination attribution — for every contaminated document (same
+    * overlap definition and threshold as [[decontaminate]]), WHICH
+    * benchmark document it leaks: the bench doc sharing the most distinct
+    * 9-gram shingle hashes, ties broken by smallest bench id. This is the
+    * report a decontamination incident actually needs — "train doc X is
+    * 80% eval doc Y" — not just the boolean the filter uses. Same scale
+    * shape as decontaminate: the benchmark side is tiny by premise, so
+    * both the distinct-shingle set AND the (bench_id, shingle) table are
+    * broadcast; the training corpus is read once, never shuffled wider
+    * than its own shingle stream, and the per-candidate top-1 window runs
+    * on |contaminated|·|bench| rows at most. Output (doc_id, n_shingles,
+    * n_hit, bench_id, n_shared) ordered by doc_id. */
+  def contamAttribution(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val sig = Dedup.sharedSignatures(docs, h = 0)
+      .getOrElse(Dedup.docSignatures(docs, h = 0).localCheckpoint())
+      .withColumn("is_bench", col("doc_id") % 97 === 0)
+    val benchEx = broadcast(sig.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_id"), explode(col("hs")).as("s")))
+    val benchSet = broadcast(benchEx.select("s").distinct())
+    val train = sig.filter(!col("is_bench"))
+    val trainEx = train.select(col("doc_id"), explode(col("hs")).as("s"))
+    val hits = trainEx.join(benchSet, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("bench_id"))
+    val top = trainEx.join(benchEx, "s")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    train.select(col("doc_id"), col("c").as("n_shingles"))
+      .join(hits, "doc_id")
+      .filter(col("n_hit").cast("double") / col("n_shingles").cast("double")
+        >= threshold)
+      .join(top, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        col("bench_id"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing — the head/middle/tail split the
+    * CCNet pipeline cuts per language over an LM quality score, here the
+    * self-trained bigram conditional surprisal of
+    * [[TextAnalysis.lmScore]] (exact whole-bit integer form, so the
+    * DuckDB twin is bit-identical). Per language, documents are ranked by
+    * bits-per-bigram ascending (fluent first) with doc_id as the total
+    * tie-break, and ntile(3) labels the terciles head/middle/tail —
+    * downstream mixtures typically train on head+middle and sample tail.
+    * The exact per-lang rank is the audit-time choice; at 100 TB the
+    * deployed swap is approx tercile THRESHOLDS from a quantile sketch
+    * broadcast onto a narrow scan (same labels up to sketch error, no
+    * global sort) — the same exact-vs-sketch trade every quantile gate in
+    * this library documents. Output (doc_id, lang, n_bigrams,
+    * bits_per_bigram, bucket); docs with <2 tokens carry no bigrams and
+    * are excluded like every bigram operator. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("bits_per_bigram"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(TextAnalysis.lmScore(docs)
+        .select(col("doc_id"), col("n_bigrams"), col("bits_per_bigram")),
+        "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("bits_per_bigram"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Length-matched deterministic resampling — distribution matching, the
     * move a calibration or ablation run makes when its sample must have the
     * HOLDOUT's length profile rather than the train split's (any gap

@@ -359,4 +359,63 @@ object DataQuality {
           .as("recall"))
       .orderBy(col("bin").desc)
   }
+
+  /** k-anonymity audit over the release metadata — the privacy screen a
+    * corpus runs before publishing per-document attributes: every
+    * quasi-identifier class (lang, source, n_chars bucketed to 100) with
+    * its population and an `at_risk` flag for classes smaller than k. A
+    * released row in a sub-k class is re-identifiable by its metadata
+    * alone, so the release either suppresses those rows or widens the
+    * bucket; this query is the evidence either way. One hash aggregate
+    * over |classes| ≪ |docs| groups (map-side partials collapse each
+    * partition to its class counts before the exchange), integer-only —
+    * the same shape at 100 TB. Output (lang, source, len_bucket, n_docs,
+    * at_risk) ordered by class. */
+  def kAnonymity(docs: DataFrame, k: Long = 5L): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / 100L).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"),
+        (col("n_docs") < k).as("at_risk"))
+      .orderBy("lang", "source", "len_bucket")
+
+  /** Corpus-balance report per composition axis (lang, source) — the
+    * diversity numbers a mixture designer reads before weighting: class
+    * count, population, largest/smallest class, the dominant class share,
+    * and Shannon entropy in WHOLE BITS via the same exact floor_log2
+    * integer form as [[TextAnalysis.charEntropy]]/q_unigram
+    * (`Σ n_c · (⌊log2 N⌋ − ⌊log2 n_c⌋)`, an order-free int64 sum — no
+    * transcendental log, so the DuckDB twin is bit-identical). The two
+    * doubles are each ONE integer division. Per axis this is one hash
+    * aggregate to |classes| rows plus a driver-trivial rollup; axes are
+    * independent scans unioned — at 100 TB each axis is a map-side
+    * partial collapse, nothing wider than |classes| ever shuffles.
+    * Output (axis, n_classes, n_docs, max_class, min_class, top_share,
+    * entropy_bits, bits_per_doc) ordered by axis. */
+  def diversity(docs: DataFrame): DataFrame = {
+    def axis(name: String): DataFrame = {
+      val classes = docs.groupBy(col(name).as("cls"))
+        .agg(count(lit(1)).as("n_c"))
+      classes
+        .crossJoin(broadcast(classes.agg(
+          (length(bin(sum(col("n_c")))) - 1).cast("long").as("tbits"))))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("n_c")).as("n_docs"),
+          max(col("n_c")).as("max_class"),
+          min(col("n_c")).as("min_class"),
+          sum(col("n_c") *
+            (col("tbits") -
+              (length(bin(col("n_c"))) - 1).cast("long"))).as("x"))
+        .select(lit(name).as("axis"), col("n_classes"), col("n_docs"),
+          col("max_class"), col("min_class"),
+          (col("max_class").cast("double") / col("n_docs").cast("double"))
+            .as("top_share"),
+          col("x").as("entropy_bits"),
+          (col("x").cast("double") / col("n_docs").cast("double"))
+            .as("bits_per_doc"))
+    }
+    axis("lang").unionAll(axis("source")).orderBy("axis")
+  }
 }

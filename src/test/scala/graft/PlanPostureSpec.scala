@@ -58,7 +58,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_source_overlap", // |sources| sizes x |sources| sizes: both tiny by construction
     "q_heavy_hitters", // candidate counts x the SINGLE-ROW token total
     "q_pr_curve", // |bins| curve rows x the SINGLE-ROW positive total
-    "q_corpus_build") // inherits q_mixture's |langs| x SINGLE-ROW total stage
+    "q_corpus_build", // inherits q_mixture's |langs| x SINGLE-ROW total stage
+    "q_diversity") // |classes| rows x the SINGLE-ROW total-bits aggregate
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

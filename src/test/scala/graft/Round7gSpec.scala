@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, DataQuality, TextAnalysis}
+import graft.sources.Sources
+
+/** Round-7 widening (session g): k-anonymity audit, corpus-balance
+  * diversity report, contamination attribution, and CCNet-style per-lang
+  * perplexity terciles — invariant checks plus first-principles driver
+  * recounts.
+  */
+class Round7gSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val d01 = "/root/testdata/sf0.01"
+
+  test("k-anonymity classes partition the corpus and the flag is exactly n<k") {
+    val docs = Sources.documents(spark, dir)
+    val rows = DataQuality.kAnonymity(docs, k = 5L).collect()
+    // the QI classes partition the corpus: populations sum to |docs|
+    assert(rows.map(_.getLong(3)).sum === docs.count())
+    // flag is exactly the sub-k predicate, and both sides are populated
+    rows.foreach(r => assert(r.getBoolean(4) === (r.getLong(3) < 5L)))
+    assert(rows.exists(_.getBoolean(4)), "fixture must have sub-k classes")
+    // class keys are unique (it IS a grouping)
+    val keys = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("diversity entropy sits in [0, tbits] per doc and extrema are exact") {
+    val docs = Sources.documents(spark, d01)
+    val n = docs.count()
+    val rows = Curation0.diversityRows(spark, d01)
+    assert(rows.map(_._1).sorted.toSeq === Seq("lang", "source"))
+    for ((axis, nClasses, nDocs, maxC, minC, topShare, bits, bpd) <- rows) {
+      assert(nDocs === n)
+      // driver recount of the class extrema
+      val counts = docs.groupBy(axis).count().collect().map(_.getLong(1))
+      assert(counts.length === nClasses)
+      assert(maxC === counts.max && minC === counts.min)
+      assert(topShare === maxC.toDouble / nDocs.toDouble)
+      // whole-bit entropy bounds: 0 <= H <= n * floor_log2(n)
+      val tbits = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      assert(bits >= 0L && bits <= n * tbits)
+      assert(bpd === bits.toDouble / nDocs.toDouble)
+      // more classes -> more entropy on this fixture (source has ~20
+      // classes vs lang's 5)
+    }
+    val byAxis = rows.map(r => r._1 -> r._7).toMap
+    assert(byAxis("source") > byAxis("lang"))
+  }
+
+  test("contamination attribution covers exactly the contaminated set") {
+    val docs = Sources.documents(spark, d01)
+    val contaminated = Curation.decontaminate(docs)
+      .filter(col("contaminated")).select("doc_id", "n_shingles", "n_hit")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val attr = Curation.contamAttribution(docs).collect()
+    assert(attr.map(_.getLong(0)).toSet === contaminated.keySet)
+    attr.foreach { r =>
+      val (nSh, nHit) = contaminated(r.getLong(0))
+      assert(r.getLong(1) === nSh && r.getLong(2) === nHit)
+      // the attributed bench doc shares at least one shingle and never
+      // more than the doc has hits for
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= nHit)
+      // witness is a benchmark doc by the split rule
+      assert(r.getLong(3) % 97 === 0L)
+    }
+  }
+
+  test("ccnet terciles are balanced per lang and ordered by score") {
+    val docs = Sources.documents(spark, d01)
+    val rows = Curation.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getString(4)))
+    // every scored doc gets a bucket; the scored set is lmScore's domain
+    assert(rows.length === TextAnalysis.lmScore(docs).count())
+    for ((lang, perLang) <- rows.groupBy(_._1)) {
+      val sizes = perLang.groupBy(_._3).map { case (b, xs) => b -> xs.length }
+      assert(sizes.keySet.subsetOf(Set("head", "middle", "tail")))
+      // ntile balance: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang terciles unbalanced: $sizes")
+      // score ordering: head <= middle <= tail at the boundaries
+      def scores(b: String) = perLang.filter(_._3 == b).map(_._2)
+      if (sizes.contains("head") && sizes.contains("middle"))
+        assert(scores("head").max <= scores("middle").min)
+      if (sizes.contains("middle") && sizes.contains("tail"))
+        assert(scores("middle").max <= scores("tail").min)
+    }
+  }
+}
+
+/** Row-tuple helper kept outside the suite so the test body stays legible. */
+private object Curation0 {
+  def diversityRows(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(String, Long, Long, Long, Long, Double, Long, Double)] =
+    DataQuality.diversity(Sources.documents(spark, dir)).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+}
