@@ -906,6 +906,32 @@ object ExtensionOracles {
     "q_ann_topk" ->
       s"""WITH $bruteTopkCtes
          |SELECT qid, nid, rank, cos FROM br WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // Matryoshka prefix-dim recall: per prefix width, the same brute
+    // chain over sliced vectors, overlapped against the full-dim top-10
+    "q_matryoshka" -> {
+      val dims = Seq(8, 16, 32)
+      val chains = dims.map { d =>
+        s"""s$d AS (SELECT bq.qid, e.vec_id AS nid,
+           |              ${cosSql(s"bq.qv[1:$d]", s"e.emb[1:$d]")} AS cos
+           |         FROM e, bq WHERE e.vec_id <> bq.qid),
+           |r$d AS (SELECT qid, nid,
+           |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |         FROM s$d)""".stripMargin
+      }.mkString(",\n")
+      val union = dims.map(d =>
+        s"SELECT CAST($d AS BIGINT) AS dim, qid, nid FROM r$d WHERE rank <= 10")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $bruteTopkCtes,
+         |$chains,
+         |u AS ($union),
+         |f AS (SELECT qid, nid FROM br WHERE rank <= 10),
+         |ov AS (SELECT u.dim, u.qid, CAST(COUNT(f.nid) AS BIGINT) AS n_overlap
+         |         FROM u LEFT JOIN f ON u.qid = f.qid AND u.nid = f.nid
+         |        GROUP BY 1, 2)
+         |SELECT dim, qid, n_overlap,
+         |       CAST(n_overlap AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |  FROM ov ORDER BY dim, qid""".stripMargin
+    },
     "q_hard_negatives" ->
       s"""WITH el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
          |              FROM '<sfDir>/embeddings.parquet'),
@@ -1802,6 +1828,19 @@ object ExtensionOracles {
          |  FROM ev JOIN tot ON ev.doc_id = tot.doc_id
          |  LEFT JOIN hit ON ev.doc_id = hit.doc_id
          | ORDER BY ev.doc_id""".stripMargin,
+    // Neyman allocation: integer variance numerator + one IEEE sqrt/floor
+    // per stratum, integer div against the weight total
+    "q_neyman" ->
+      s"""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |                   CAST(SUM(n_chars) AS BIGINT) AS sx,
+         |                   CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+         |              FROM $DOCS GROUP BY 1),
+         |w AS (SELECT source, n, sx, n * sxx - sx * sx AS v,
+         |             CAST(FLOOR(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w
+         |        FROM st),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w)
+         |SELECT source, n, sx, v, w, (100 * w) // wtot AS alloc
+         |  FROM w, t ORDER BY source""".stripMargin,
     // k-anonymity audit: quasi-identifier classes (lang, source, 100-char
     // length bucket) with population and the sub-k re-identifiability flag
     "q_kanonymity" ->

@@ -672,6 +672,25 @@ object ScaleProof {
         a -> ((nc, nd * reps, mx * reps, mn * reps, ts))
       })
 
+    // Neyman plan at reps×: counts and char mass scale exactly and the
+    // variance numerator scales by reps² (v' = (r·n)(r·sxx) − (r·sx)² =
+    // r²·v); the weight is the integer sqrt of that, so w' sits in
+    // [r·w, r·w + r−1] — the bracket is the closed form (isqrt(r²v) need
+    // not equal r·isqrt(v) exactly)
+    val baseNy = Curation.neymanAllocation(Sources.documents(spark, sfDir))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (ny10, tNy) = timed(Curation.neymanAllocation(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap)
+    results += "neyman_10x" -> tNy
+    checks += "neyman_closed_form" ->
+      (ny10.keySet == baseNy.keySet && baseNy.forall { case (s, (n, sx, v, w)) =>
+        val (n1, sx1, v1, w1) = ny10(s)
+        n1 == n * reps && sx1 == sx * reps &&
+          v1 == v * reps * reps && w1 >= w * reps && w1 <= w * reps + reps - 1
+      })
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

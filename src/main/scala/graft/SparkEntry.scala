@@ -221,6 +221,10 @@ object SparkEntry {
       Curation.contamAttribution(Sources.documents(s, dir))),
     "q_ccnet_buckets" -> ((s, dir) =>
       Curation.ccnetBuckets(Sources.documents(s, dir))),
+    "q_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Sources.embeddings(s, dir))),
+    "q_neyman" -> ((s, dir) =>
+      Curation.neymanAllocation(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -255,6 +255,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Neyman-allocation sampling plan — the statistically optimal way to
+    * spend a fixed labeling/eval budget across strata: allocate
+    * proportionally to N_h·σ_h (big AND internally varied strata earn more
+    * samples; a huge but homogeneous crawl earns few). Everything stays in
+    * exact integer arithmetic: N_h·σ_h = √(n·Σx² − (Σx)²) with the
+    * variance numerator an order-free int64 sum and ONE correctly-rounded
+    * IEEE sqrt+floor per stratum (exact cross-engine at these magnitudes;
+    * past ~3·10⁹ chars per stratum the products move to DECIMAL(38,0) —
+    * the same documented swap as splitDrift); the final allocation is an
+    * integer `div` against the broadcast weight total. One |strata|-row
+    * aggregation, a 1-row broadcast back — nothing wider than |strata|
+    * ever shuffles at any corpus size. Output
+    * (source, n, sx, v, w, alloc) ordered by source. */
+  def neymanAllocation(docs: DataFrame, budget: Long = 100L): DataFrame = {
+    val st = docs.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("sx"),
+      sum(col("n_chars") * col("n_chars")).as("sxx"))
+    val w = st
+      .withColumn("v", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("w", floor(sqrt(col("v").cast("double"))).cast("long"))
+      .drop("sxx")
+    w.crossJoin(broadcast(w.agg(sum(col("w")).as("wtot"))))
+      .select(col("source"), col("n"), col("sx"), col("v"), col("w"),
+        expr(s"($budget * w) div wtot").as("alloc"))
+      .orderBy("source")
+  }
+
   /** Contamination attribution — for every contaminated document (same
     * overlap definition and threshold as [[decontaminate]]), WHICH
     * benchmark document it leaks: the bench doc sharing the most distinct

@@ -208,6 +208,35 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Matryoshka dimension-ablation recall — the evaluation a pipeline runs
+    * before truncating stored embeddings (MRL-style nested representations:
+    * can the 8/16/32-dim PREFIX stand in for the full 64-dim vector?):
+    * per prefix width and query, |prefix-cosine top-k ∩ full-dim top-k|.
+    * The ground truth is exactly [[annBruteForce]]'s gated answer, and
+    * each prefix chain is the same broadcast-queries × streamed-candidates
+    * scan over `slice(emb)` — |dims| linear passes, no pair space, and at
+    * 100 TB each pass takes the same IVF swap q_ann_ivf documents. The
+    * payoff being measured is real: a 8× narrower prefix is an 8× smaller
+    * index and 8× less exchange traffic wherever recall holds. Output
+    * (dim, qid, n_overlap, recall) ordered by (dim, qid). */
+  def matryoshkaRecall(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+                       nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val full = annBruteForce(emb, nQueries, k)
+      .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+    val perDim = dims.map { d =>
+      annBruteForce(
+        emb.select(col("vec_id"), slice(col("emb"), 1, d).as("emb")),
+        nQueries, k)
+        .select(lit(d.toLong).as("dim"), col("qid"), col("nid"))
+    }.reduce(_.unionAll(_))
+    perDim.join(full, Seq("qid", "nid"), "left")
+      .groupBy("dim", "qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("dim"), col("qid"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
+      .orderBy("dim", "qid")
+  }
+
   /** Embedding-space anomaly screen: every vector's cosine to its ASSIGNED
     * trained centroid; the `topN` least-similar vectors are the cleaning
     * candidates — garbled or out-of-distribution embeddings sit far from

@@ -33,6 +33,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_hard_negatives", // broadcast query side x candidate scan, as q_ann_topk
 
     "q_ann_recall", // brute-force ground-truth side of the recall measure
+    "q_matryoshka", // |dims| brute chains x the broadcast query side, as q_ann_topk
     "q_pq_adc", // ADC scan x the broadcast 5-row query side
     "q_pq_recall", // exact-L2 ground-truth side of the PQ recall measure
     "q_ivfpq_recall", // brute-force ground-truth side of the composed-index recall
@@ -59,7 +60,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_heavy_hitters", // candidate counts x the SINGLE-ROW token total
     "q_pr_curve", // |bins| curve rows x the SINGLE-ROW positive total
     "q_corpus_build", // inherits q_mixture's |langs| x SINGLE-ROW total stage
-    "q_diversity") // |classes| rows x the SINGLE-ROW total-bits aggregate
+    "q_diversity", // |classes| rows x the SINGLE-ROW total-bits aggregate
+    "q_neyman") // |strata| rows x the SINGLE-ROW weight total
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

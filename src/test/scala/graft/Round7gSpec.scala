@@ -70,6 +70,48 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("matryoshka recall is bounded, complete, and grows with prefix width") {
+    val rows = graft.operators.Similarity
+      .matryoshkaRecall(Sources.embeddings(spark, d01)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // complete grid: every (dim, query) cell reports
+    assert(rows.map(r => (r._1, r._2)).toSet ===
+      (for (d <- Seq(8L, 16L, 32L); q <- 0L until 5L) yield (d, q)).toSet)
+    rows.foreach { case (_, _, ov, rec) =>
+      assert(ov >= 0L && ov <= 10L)
+      assert(rec === ov.toDouble / 10.0)
+    }
+    // wider prefixes recover more of the full-dim top-10 in aggregate —
+    // the MRL premise the ablation exists to measure
+    val byDim = rows.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).sum }
+    assert(byDim(8L) < byDim(16L) && byDim(16L) < byDim(32L),
+      s"aggregate overlap not increasing: $byDim")
+  }
+
+  test("neyman allocation matches a driver recount and respects the budget") {
+    val docs = Sources.documents(spark, d01)
+    val base = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val rows = Curation.neymanAllocation(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet === base.keySet)
+    val wTot = rows.map(_._5).sum
+    for ((src, n, sx, v, w, alloc) <- rows) {
+      val xs = base(src).map(_._2)
+      assert(n === xs.length && sx === xs.sum)
+      // exact integer variance numerator n·Σx² − (Σx)²
+      assert(v === n * xs.map(x => x * x).sum - sx * sx)
+      // w is the integer sqrt of v
+      assert(w * w <= v && (w + 1) * (w + 1) > v)
+      assert(alloc === (100L * w) / wTot)
+    }
+    // floor allocations never overspend the budget, and the plan spends
+    // most of it (sum within |strata| of the target)
+    val spent = rows.map(_._6).sum
+    assert(spent <= 100L && spent >= 100L - rows.length)
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
