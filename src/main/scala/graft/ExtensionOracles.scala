@@ -932,6 +932,24 @@ object ExtensionOracles {
          |       CAST(n_overlap AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
          |  FROM ov ORDER BY dim, qid""".stripMargin
     },
+    // MRR over the same brute cosine ordering as q_ann_topk: first
+    // same-label rank per query, reciprocal as one integer division
+    "q_mrr" ->
+      s"""WITH el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+         |              FROM '<sfDir>/embeddings.parquet'),
+         |hq AS (SELECT vec_id AS qid, label AS qlabel, emb AS qv
+         |         FROM el WHERE vec_id < 5),
+         |hs AS (SELECT hq.qid, hq.qlabel, el.label AS nlabel, el.vec_id AS nid,
+         |              ${cosSql("hq.qv", "el.emb")} AS cos
+         |         FROM el, hq WHERE el.vec_id <> hq.qid),
+         |hr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                      ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |         FROM hs),
+         |f AS (SELECT qid, qlabel, CAST(MIN(rank) AS BIGINT) AS first_rank
+         |        FROM hr WHERE nlabel = qlabel GROUP BY 1, 2)
+         |SELECT qid, qlabel, first_rank,
+         |       CAST(1 AS DOUBLE) / CAST(first_rank AS DOUBLE) AS rr
+         |  FROM f ORDER BY qid""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
          |              FROM '<sfDir>/embeddings.parquet'),
@@ -1828,6 +1846,18 @@ object ExtensionOracles {
          |  FROM ev JOIN tot ON ev.doc_id = tot.doc_id
          |  LEFT JOIN hit ON ev.doc_id = hit.doc_id
          | ORDER BY ev.doc_id""".stripMargin,
+    // right-to-be-forgotten audit: survivors' XOR fingerprint proves the
+    // deletion landed (a residual row flips it); counts ride along
+    "q_forget" ->
+      s"""WITH h AS (SELECT source,
+         |                  ${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR) || ':' || text")} AS h,
+         |                  doc_id % 101 = 0 AS del
+         |             FROM $DOCS)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
+         |       CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         |       CAST(SUM(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         |       CAST(bit_xor(CASE WHEN NOT del THEN h ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS xor_after
+         |  FROM h GROUP BY source ORDER BY source""".stripMargin,
     // Neyman allocation: integer variance numerator + one IEEE sqrt/floor
     // per stratum, integer div against the weight total
     "q_neyman" ->

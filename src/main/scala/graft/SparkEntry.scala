@@ -225,6 +225,9 @@ object SparkEntry {
       Similarity.matryoshkaRecall(Sources.embeddings(s, dir))),
     "q_neyman" -> ((s, dir) =>
       Curation.neymanAllocation(Sources.documents(s, dir))),
+    "q_mrr" -> ((s, dir) => Similarity.mrr(Sources.embeddings(s, dir))),
+    "q_forget" -> ((s, dir) =>
+      DataQuality.forgetAudit(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

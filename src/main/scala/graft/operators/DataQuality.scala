@@ -360,6 +360,30 @@ object DataQuality {
       .orderBy(col("bin").desc)
   }
 
+  /** Right-to-be-forgotten audit — the evidence a deletion request (DSAR /
+    * GDPR art. 17) actually landed: per source, counts before/after
+    * removing the deletion list (here the deterministic stand-in
+    * `doc_id % 101 == 0`; in production the request table), plus an XOR
+    * fingerprint over the SURVIVORS' (doc_id, text) hashes — the
+    * fingerprint, not the count, is what proves the deleted rows are gone
+    * rather than merely uncounted, because a residual row flips it. One
+    * map-side-combined aggregation; in deployment the deletion list is a
+    * broadcast anti-join feeding the same audit shape, and the audit runs
+    * as the post-delete verification pass over the rewritten files.
+    * Output (source, n_before, n_deleted, n_after, xor_after). */
+  def forgetAudit(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        graft.functions.Hashes.h60(
+          concat_ws(":", col("doc_id"), col("text"))).as("h"),
+        (col("doc_id") % 101 === 0).as("del"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(!col("del"), 1L).otherwise(0L)).as("n_after"),
+        expr("bit_xor(CASE WHEN NOT del THEN h ELSE CAST(0 AS BIGINT) END)")
+          .as("xor_after"))
+      .orderBy("source")
+
   /** k-anonymity audit over the release metadata — the privacy screen a
     * corpus runs before publishing per-document attributes: every
     * quasi-identifier class (lang, source, n_chars bucketed to 100) with

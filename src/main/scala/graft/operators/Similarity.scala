@@ -208,6 +208,38 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Mean-reciprocal-rank retrieval evaluation — the ranking-quality
+    * number a retrieval deployment reports next to recall: per query, the
+    * rank of the FIRST same-label candidate in the full cosine ordering
+    * (labels stand in for relevance judgments), and its reciprocal. Uses
+    * the same broadcast-queries × streamed-candidates scan as
+    * [[annBruteForce]] and the identical total tie-break, so the metric
+    * is measured over exactly the ordering the top-k gates verify. The
+    * reciprocal is ONE integer division (exact cross-engine); at 100 TB
+    * the ordering comes from the retriever's top-k instead of a full
+    * rank — the same IVF swap — with first_rank > k reported as a miss.
+    * Output (qid, qlabel, first_rank, rr) ordered by qid. */
+  def mrr(emb: DataFrame, nQueries: Int = 5): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("emb").as("qv")))
+    val scored = emb
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("emb").as("nv"))
+      .crossJoin(q)
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("nlabel"),
+        cosine(col("qv"), col("nv")).as("cos"), col("nid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("nlabel") === col("qlabel"))
+      .groupBy("qid", "qlabel")
+      .agg(min(col("rank")).as("first_rank"))
+      .select(col("qid"), col("qlabel"), col("first_rank"),
+        (lit(1.0) / col("first_rank").cast("double")).as("rr"))
+      .orderBy("qid")
+  }
+
   /** Matryoshka dimension-ablation recall — the evaluation a pipeline runs
     * before truncating stored embeddings (MRL-style nested representations:
     * can the 8/16/32-dim PREFIX stand in for the full 64-dim vector?):

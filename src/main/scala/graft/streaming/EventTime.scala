@@ -79,6 +79,28 @@ object EventTime {
       .select(col("c.user_id").as("user_id"),
         col("c.ts").as("click_ts"), col("v.ts").as("conv_ts"))
 
+  /** Left-outer watermarked stream-stream join — the attribution shape
+    * when the UNCONVERTED clicks are the point (funnel drop-off, ad-spend
+    * reconciliation): same bounded-state interval join as [[intervalJoin]],
+    * but a click whose interval closes under the advancing watermark with
+    * no conversion EMITS with a null conversion time instead of aging out
+    * silently. The null-padded row can only be produced once the watermark
+    * proves no match can still arrive — which is why the outer side's
+    * emission lags by the watermark delay, the documented latency/
+    * completeness trade of outer stream joins. State bounds are identical
+    * to the inner form. */
+  def intervalJoinLeftOuter(clicks: DataFrame, convs: DataFrame,
+                            maxDelay: String = "30 minutes",
+                            lateness: String = "10 minutes"): DataFrame =
+    clicks.withWatermark("ts", lateness).alias("c")
+      .join(
+        convs.withWatermark("ts", lateness).alias("v"),
+        expr(s"""c.user_id = v.user_id AND
+                 v.ts >= c.ts AND v.ts <= c.ts + interval $maxDelay"""),
+        "leftOuter")
+      .select(col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("v.ts").as("conv_ts"))
+
   /** Stream-static broadcast enrichment — the "join the stream with
     * reference data" shape: every micro-batch hash-joins against the
     * static dimension, explicitly broadcast (dims are small next to the

@@ -34,6 +34,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
 
     "q_ann_recall", // brute-force ground-truth side of the recall measure
     "q_matryoshka", // |dims| brute chains x the broadcast query side, as q_ann_topk
+    "q_mrr", // the same broadcast-query brute ordering as q_ann_topk
     "q_pq_adc", // ADC scan x the broadcast 5-row query side
     "q_pq_recall", // exact-L2 ground-truth side of the PQ recall measure
     "q_ivfpq_recall", // brute-force ground-truth side of the composed-index recall

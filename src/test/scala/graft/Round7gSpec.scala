@@ -112,6 +112,60 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     assert(spent <= 100L && spent >= 100L - rows.length)
   }
 
+  test("mrr equals a first-principles driver recompute of the full ordering") {
+    val emb = Sources.embeddings(spark, d01)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expected = emb.filter(_._1 < 5).map { case (qid, qv, qlabel) =>
+      val ranked = emb.filter(_._1 != qid)
+        .map { case (nid, nv, nl) => (nid, nl, cos(qv, nv)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }
+      val first = ranked.indexWhere(_._2 == qlabel) + 1
+      (qid, qlabel, first.toLong, 1.0 / first)
+    }.sortBy(_._1).toSeq
+    val got = graft.operators.Similarity.mrr(Sources.embeddings(spark, d01))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    // non-vacuous: on this fixture not every query's nearest neighbor
+    // shares its label (else MRR degenerates to 1.0 everywhere)
+    assert(got.exists(_._3 > 1L), s"fixture too easy: $got")
+  }
+
+  test("forget audit balances counts and the survivor fingerprint moves") {
+    val docs = Sources.documents(spark, d01)
+    val rows = DataQuality.forgetAudit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).sum === docs.count())
+    rows.foreach { case (_, nb, nd, na, _) => assert(nb === nd + na) }
+    // the deletion list is non-empty at this sf and every deleted row is
+    // really absent from the fingerprint: recompute the survivor XOR
+    assert(rows.map(_._3).sum > 0L)
+    val h = docs.select(col("source"), col("doc_id"),
+        graft.functions.Hashes.h60(
+          concat_ws(":", col("doc_id"), col("text"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = h.filter(_._2 % 101 != 0).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._3).reduce(_ ^ _) }
+    rows.foreach { case (s, _, nd, na, x) =>
+      assert(x === (if (na == 0) 0L else expected(s)))
+      // where something was deleted, the audit fingerprint differs from
+      // the keep-everything fingerprint (the residue detector is live)
+      if (nd > 0) {
+        val all = h.filter(_._1 == s).map(_._3).reduce(_ ^ _)
+        assert(x !== all, s"source $s: deletion did not move the fingerprint")
+      }
+    }
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()

@@ -70,6 +70,40 @@ class StreamingWideningSpec extends AnyFunSuite with SharedSpark {
     assert(!rows.exists(_._1 == 2L), s"conversion without click must not pair, got $rows")
   }
 
+  test("left-outer interval join emits unmatched clicks as nulls after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val convs = MemoryStream[(Timestamp, Long)]
+    val cdf = clicks.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+    val vdf = convs.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+    val q = EventTime.intervalJoinLeftOuter(cdf, vdf,
+        maxDelay = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("t_ssjoin_outer")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1 clicks and converts in bound; user 3 clicks and never converts
+    clicks.addData((ts(0), 1L), (ts(0), 3L))
+    convs.addData((ts(10), 1L))
+    q.processAllAvailable()
+    // advance both watermarks far past click+maxDelay+lateness so the
+    // unmatched click's state entry closes and the null row emits
+    clicks.addData((ts(300), 9L))
+    convs.addData((ts(300), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_ssjoin_outer")
+      .select(col("user_id"), col("click_ts"), col("conv_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)))).toList
+    assert(rows.contains((1L, ts(0), Some(ts(10)))),
+      s"matched click must pair normally, got $rows")
+    assert(rows.contains((3L, ts(0), None)),
+      s"unmatched click must emit null-padded after watermark, got $rows")
+    // the null row appears exactly once — outer emission is not retried
+    assert(rows.count(r => r._1 == 3L) == 1, s"outer row must be unique, got $rows")
+  }
+
   test("stream-static broadcast enrichment joins reference data per batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long)]
