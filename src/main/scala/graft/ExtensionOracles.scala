@@ -1846,6 +1846,36 @@ object ExtensionOracles {
          |  FROM ev JOIN tot ON ev.doc_id = tot.doc_id
          |  LEFT JOIN hit ON ev.doc_id = hit.doc_id
          | ORDER BY ev.doc_id""".stripMargin,
+    // robust per-source stats: exact discrete percentiles + integer
+    // winsorized sum, one division
+    "q_robust_stats" ->
+      s"""WITH thr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |                    CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p01,
+         |                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+         |                    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99
+         |               FROM $DOCS GROUP BY source),
+         |w AS (SELECT d.source, thr.n, thr.p01, thr.p50, thr.p99,
+         |             CAST(SUM(GREATEST(thr.p01, LEAST(thr.p99, d.n_chars))) AS BIGINT) AS wins_sum
+         |        FROM $DOCS d JOIN thr ON d.source = thr.source
+         |       GROUP BY 1, 2, 3, 4, 5)
+         |SELECT source, n, p01, p50, p99, wins_sum,
+         |       CAST(wins_sum AS DOUBLE) / CAST(n AS DOUBLE) AS wins_mean
+         |  FROM w ORDER BY source""".stripMargin,
+    // token burstiness: implicit-zeros index of dispersion, exact integer
+    // numerator, one division
+    "q_burstiness" ->
+      s"""WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+         |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS)
+         |             GROUP BY doc_id, tok),
+         |g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         |             CAST(SUM(m) AS BIGINT) AS total,
+         |             CAST(SUM(m * m) AS BIGINT) AS m2
+         |        FROM tf GROUP BY tok),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM $DOCS)
+         |SELECT tok, df, total, m2,
+         |       CAST(nd.n_docs * m2 - total * total AS DOUBLE)
+         |         / CAST(nd.n_docs * total AS DOUBLE) AS vmr
+         |  FROM g, nd ORDER BY tok""".stripMargin,
     // right-to-be-forgotten audit: survivors' XOR fingerprint proves the
     // deletion landed (a residual row flips it); counts ride along
     "q_forget" ->

@@ -228,6 +228,10 @@ object SparkEntry {
     "q_mrr" -> ((s, dir) => Similarity.mrr(Sources.embeddings(s, dir))),
     "q_forget" -> ((s, dir) =>
       DataQuality.forgetAudit(Sources.documents(s, dir))),
+    "q_robust_stats" -> ((s, dir) =>
+      DataQuality.robustStats(Sources.documents(s, dir))),
+    "q_burstiness" -> ((s, dir) =>
+      TextAnalysis.burstiness(Sources.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -360,6 +360,40 @@ object DataQuality {
       .orderBy(col("bin").desc)
   }
 
+  /** Robust per-source statistics — the profile that survives a corrupted
+    * length field where mean/max do not: exact DISCRETE p01/p50/p99 of
+    * n_chars per source (`percentile_disc` picks real elements, the same
+    * cross-engine-exact choice as q_percentiles) plus the winsorized mean
+    * with values clipped to [p01, p99] — computed as an exact integer
+    * clipped sum over a second pass with the |sources|-row threshold
+    * table broadcast back onto the scan, then ONE division. Two narrow
+    * aggregations; nothing wider than |sources| shuffles. The discrete
+    * order statistics are exact-at-audit; the 100 TB swap is the
+    * quantile-sketch threshold pass, same shape. Output
+    * (source, n, p01, p50, p99, wins_sum, wins_mean). */
+  def robustStats(docs: DataFrame): DataFrame = {
+    val thr = docs.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      // percentile_disc RETURNS double even over an integer column; the
+      // picked value is an actual element, so the long cast is lossless
+      expr("CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY n_chars) AS LONG)")
+        .as("p01"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS LONG)")
+        .as("p50"),
+      expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS LONG)")
+        .as("p99"))
+    docs.select(col("source"), col("n_chars"))
+      .join(broadcast(thr), "source")
+      .groupBy(col("source"), col("n"), col("p01"), col("p50"), col("p99"))
+      .agg(sum(greatest(col("p01"), least(col("p99"), col("n_chars"))))
+        .as("wins_sum"))
+      .select(col("source"), col("n"), col("p01"), col("p50"), col("p99"),
+        col("wins_sum"),
+        (col("wins_sum").cast("double") / col("n").cast("double"))
+          .as("wins_mean"))
+      .orderBy("source")
+  }
+
   /** Right-to-be-forgotten audit — the evidence a deletion request (DSAR /
     * GDPR art. 17) actually landed: per source, counts before/after
     * removing the deletion list (here the deterministic stand-in

@@ -948,4 +948,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("n_types"))
       .orderBy("tok_len")
+
+  /** Token burstiness — the variance-to-mean ratio (index of dispersion)
+    * of each token's per-document count over ALL documents (zeros
+    * included): Poisson scatter gives VMR ≈ 1, content words clump
+    * (VMR ≫ 1), and boilerplate template tokens sit uniformly (VMR < 1).
+    * This is the lexical signal frequency alone cannot see — two tokens
+    * with identical corpus counts separate cleanly when one concentrates
+    * in a few documents. Exact integer numerator over the implicit-zeros
+    * form: VMR = (N·Σm² − T²) / (N·T) with every sum an order-free int64
+    * (the per-doc token matrix is never densified — zeros enter only
+    * through N), ONE double division at the end. Shapes: one |doc·type|
+    * aggregation collapsing to |vocab| rows, a 1-row broadcast. Output
+    * (tok, df, total, m2, vmr) ordered by tok. */
+  def burstiness(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("m")).as("total"),
+        sum(col("m") * col("m")).as("m2"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("tok"), col("df"), col("total"), col("m2"),
+        ((col("n_docs") * col("m2") - col("total") * col("total"))
+          .cast("double") /
+          (col("n_docs") * col("total")).cast("double")).as("vmr"))
+      .orderBy("tok")
 }

@@ -166,6 +166,51 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("robust stats pick real elements and the winsorized sum recomputes") {
+    val docs = Sources.documents(spark, d01)
+    val base = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val rows = DataQuality.robustStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSet === base.keySet)
+    for ((src, n, p01, p50, p99, ws, wm) <- rows) {
+      val xs = base(src)
+      assert(n === xs.length)
+      // discrete percentiles are actual elements, ordered
+      assert(xs.contains(p01) && xs.contains(p50) && xs.contains(p99))
+      assert(p01 <= p50 && p50 <= p99)
+      // winsorized sum recomputes exactly from the clip
+      assert(ws === xs.map(x => math.max(p01, math.min(p99, x))).sum)
+      assert(wm === ws.toDouble / n.toDouble)
+    }
+  }
+
+  test("burstiness equals the implicit-zeros dispersion recomputed in the driver") {
+    val docs = Sources.documents(spark, d01)
+    val n = docs.count()
+    val tf = TextAnalysis.tokens(docs).groupBy("doc_id", "tok").count()
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = TextAnalysis.burstiness(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSet === tf.keySet)
+    for ((tok, df, total, m2, vmr) <- rows) {
+      val ms = tf(tok)
+      assert(df === ms.length && total === ms.sum &&
+        m2 === ms.map(m => m * m).sum)
+      assert(vmr === (n * m2 - total * total).toDouble / (n * total).toDouble)
+    }
+    // the dispersion signal separates tokens frequency cannot: on this
+    // fixture every token is super-Poisson (clumped), but the SPREAD is
+    // wide — the ranking the signal exists for is non-degenerate
+    val vmrs = rows.map(_._5)
+    assert(vmrs.max > 1.0 && vmrs.max > 1.2 * vmrs.min,
+      s"vmr spread degenerate: min=${vmrs.min} max=${vmrs.max}")
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
