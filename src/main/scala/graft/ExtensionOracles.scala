@@ -1170,6 +1170,21 @@ object ExtensionOracles {
     // the WAV twin: the engine writes a REAL 44-byte RIFF/PCM header and
     // chunk-walks it back; the oracle replays the rate/channel arithmetic
     // and the parsed-field sample/duration integer math
+    // MP4 box-walk metadata: every field replays the writer's arithmetic
+    // from the payload length (the parse itself is JVM-side; the gate
+    // proves writer ∘ walker == the declared closed form)
+    "q_video_meta" ->
+      s"""WITH m AS (SELECT doc_id,
+         |                  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+         |             FROM $DOCS)
+         |SELECT doc_id AS media_id,
+         |       CAST(140 + n AS BIGINT) AS n_bytes,
+         |       CAST(3 AS BIGINT) AS n_boxes,
+         |       CAST(600 + (n * 7) % 9000 AS BIGINT) AS timescale,
+         |       CAST(n * 25 AS BIGINT) AS duration_ticks,
+         |       CAST((n * 25 * 1000) // (600 + (n * 7) % 9000) AS BIGINT) AS duration_ms,
+         |       n AS mdat_bytes
+         |  FROM m ORDER BY media_id""".stripMargin,
     "q_audio_meta" ->
       s"""WITH m AS (SELECT doc_id,
          |                  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n

@@ -159,6 +159,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Sources.embeddings(s, dir))),
     "q_audio_meta" -> ((s, dir) => Multimodal.audioMeta(Sources.documents(s, dir))),
+    "q_video_meta" -> ((s, dir) => Multimodal.videoMeta(Sources.documents(s, dir))),
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(Sources.documents(s, dir))),
     "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairs(Sources.documents(s, dir))),
     "q_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Sources.documents(s, dir))),

@@ -197,6 +197,100 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class VideoMeta(media_id: Long, n_bytes: Long, n_boxes: Long,
+                             timescale: Long, duration_ticks: Long,
+                             duration_ms: Long, mdat_bytes: Long)
+
+  /** Serialize a minimal ISO-BMFF (MP4) container: `ftyp` (brand isom),
+    * `moov` wrapping a version-0 `mvhd` carrying timescale+duration, and
+    * `mdat` with the payload — all box sizes big-endian u32, the real
+    * wire format. The nested moov/mvhd is what distinguishes this walk
+    * from WAV's flat chunk list. */
+  private[graft] def mp4Bytes(timescale: Int, durationTicks: Int,
+                              payload: Array[Byte]): Array[Byte] = {
+    val mvhdBody = 100 // v0: flags+times+timescale+duration+rate+vol+mtx+...
+    val out = new Array[Byte](16 + (8 + 8 + mvhdBody) + 8 + payload.length)
+    val bb = java.nio.ByteBuffer.wrap(out) // BIG endian by default
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(8 + 8 + mvhdBody).put("moov".getBytes("US-ASCII"))
+    bb.putInt(8 + mvhdBody).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version+flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescale).putInt(durationTicks)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+    bb.position(bb.position() + 8 + 36 + 24) // reserved + matrix + predefined
+    bb.putInt(1) // next_track_id
+    bb.putInt(8 + payload.length).put("mdat".getBytes("US-ASCII"))
+      .put(payload)
+    out
+  }
+
+  /** Walk an ISO-BMFF box tree the way a demuxer does: top-level boxes by
+    * big-endian u32 size, then INTO moov for mvhd's timescale/duration
+    * (version-0 layout). Returns (nBoxes, timescale, durationTicks,
+    * mdatBytes); requires ftyp first, like real validators. */
+  private[graft] def decodeMp4(m: Array[Byte]): (Long, Long, Long, Long) = {
+    def be32(i: Int): Long = ((m(i) & 0xFFL) << 24) | ((m(i + 1) & 0xFFL) << 16) |
+      ((m(i + 2) & 0xFFL) << 8) | (m(i + 3) & 0xFFL)
+    def tag(i: Int): String = new String(m, i, 4, "US-ASCII")
+    require(m.length >= 16 && tag(4) == "ftyp", "not an ISO-BMFF file")
+    var off = 0; var nBoxes = 0L
+    var ts = -1L; var dur = -1L; var mdat = -1L
+    while (off + 8 <= m.length) {
+      val sz = be32(off); val id = tag(off + 4)
+      nBoxes += 1
+      if (id == "moov") { // nested walk
+        var in = off + 8
+        while (in + 8 <= off + sz) {
+          val isz = be32(in)
+          if (tag(in + 4) == "mvhd") {
+            ts = be32(in + 8 + 4 + 8) // after version/flags + 2 timestamps
+            dur = be32(in + 8 + 4 + 8 + 4)
+          }
+          in += isz.toInt
+        }
+      } else if (id == "mdat") mdat = sz - 8
+      off += sz.toInt
+    }
+    require(ts > 0 && mdat >= 0, "MP4: missing mvhd or mdat")
+    (nBoxes, ts, dur, mdat)
+  }
+
+  /** Video fixture: every document becomes a minimal MP4 whose
+    * timescale/duration derive from the payload length (timescale
+    * 600+7n%9000, duration 25n ticks — the arithmetic the oracle
+    * replays). */
+  def videoFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val n = payload.length.toLong
+        val ts = (600L + (n * 7L) % 9000L).toInt
+        MediaRow(id, "mp4", mp4Bytes(ts, (n * 25L).toInt, payload))
+      })
+  }
+
+  /** Typed video metadata decode via the box walk — duration_ms is the
+    * PARSED ticks over the PARSED timescale (exact integer division), so
+    * a writer/walker disagreement breaks the q_video_meta hash gate. Same
+    * partition-preserving batch shape as the other decoders. */
+  def videoMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    videoFromDocuments(docs).mapPartitions(_.map { r =>
+      val (nBoxes, ts, dur, mdat) = decodeMp4(r.media)
+      VideoMeta(r.media_id, r.media.length.toLong, nBoxes, ts, dur,
+        dur * 1000L / ts, mdat)
+    }).toDF()
+      .select("media_id", "n_bytes", "n_boxes", "timescale",
+        "duration_ticks", "duration_ms", "mdat_bytes")
+      .orderBy("media_id")
+  }
+
   /** Build a media table from documents: deterministic fixture where even
     * doc_ids become PNG and odd become JPEG containers, dimensions derived
     * from the UTF-8 payload length (width 64+n%576, height 48+7n%432 — the

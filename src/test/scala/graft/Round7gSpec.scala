@@ -211,6 +211,36 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
       s"vmr spread degenerate: min=${vmrs.min} max=${vmrs.max}")
   }
 
+  test("mp4 box walk round-trips and survives an interposed free box") {
+    import graft.operators.Multimodal
+    val payload = Array.fill(20)(0x42.toByte)
+    val mp4 = Multimodal.mp4Bytes(1000, 2500, payload)
+    assert(mp4.length === 140 + 20)
+    val (nb, ts, dur, mdat) = Multimodal.decodeMp4(mp4)
+    assert((nb, ts, dur, mdat) === ((3L, 1000L, 2500L, 20L)))
+    // real muxers emit free/skip boxes between ftyp and moov: splice one
+    // in and the walker must still reach mvhd (fixed offsets would not)
+    val free = Array[Byte](0, 0, 0, 8) ++ "free".getBytes("US-ASCII")
+    val spliced = mp4.slice(0, 16) ++ free ++ mp4.slice(16, mp4.length)
+    val (nb2, ts2, dur2, mdat2) = Multimodal.decodeMp4(spliced)
+    assert((nb2, ts2, dur2, mdat2) === ((4L, 1000L, 2500L, 20L)))
+    // a non-BMFF blob fails loudly, not with garbage metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp4("definitely not a movie file".getBytes("US-ASCII"))
+    }
+    // the fixture pipeline agrees with first principles
+    val meta = Multimodal.videoMeta(Sources.documents(spark, dir)).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { r =>
+      val n = r.getAs[Long]("n_bytes") - 140
+      assert(r.getAs[Long]("mdat_bytes") === n)
+      assert(r.getAs[Long]("duration_ticks") === n * 25)
+      assert(r.getAs[Long]("timescale") === 600 + (n * 7) % 9000)
+      assert(r.getAs[Long]("duration_ms") ===
+        n * 25 * 1000 / (600 + (n * 7) % 9000))
+    }
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
