@@ -1861,6 +1861,30 @@ object ExtensionOracles {
          |  FROM ev JOIN tot ON ev.doc_id = tot.doc_id
          |  LEFT JOIN hit ON ev.doc_id = hit.doc_id
          | ORDER BY ev.doc_id""".stripMargin,
+    // incremental view maintenance identity: merge(base,batch) must equal
+    // the recompute; the consistent flag rides in the gate
+    "q_ivm" ->
+      s"""WITH v AS (SELECT lang, doc_id,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |             FROM $DOCS),
+         |b AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |        FROM v WHERE doc_id % 10 <> 0 GROUP BY lang),
+         |d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |        FROM v WHERE doc_id % 10 = 0 GROUP BY lang),
+         |m AS (SELECT COALESCE(b.lang, d.lang) AS lang,
+         |             COALESCE(b.n_docs, 0) + COALESCE(d.n_docs, 0) AS n_docs,
+         |             COALESCE(b.n_tokens, 0) + COALESCE(d.n_tokens, 0) AS n_tokens
+         |        FROM b FULL OUTER JOIN d ON b.lang = d.lang),
+         |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS g_docs,
+         |             CAST(SUM(nt) AS BIGINT) AS g_tokens
+         |        FROM v GROUP BY lang)
+         |SELECT m.lang, CAST(m.n_docs AS BIGINT) AS n_docs,
+         |       CAST(m.n_tokens AS BIGINT) AS n_tokens,
+         |       (m.n_docs = g.g_docs AND m.n_tokens = g.g_tokens) AS consistent
+         |  FROM m FULL OUTER JOIN g ON m.lang = g.lang
+         | ORDER BY m.lang""".stripMargin,
     // robust per-source stats: exact discrete percentiles + integer
     // winsorized sum, one division
     "q_robust_stats" ->

@@ -233,6 +233,7 @@ object SparkEntry {
       DataQuality.robustStats(Sources.documents(s, dir))),
     "q_burstiness" -> ((s, dir) =>
       TextAnalysis.burstiness(Sources.documents(s, dir))),
+    "q_ivm" -> ((s, dir) => Relational.incrementalView(s, dir)),
     "q_emb_outliers" -> ((s, dir) => Similarity.embOutliers(Sources.embeddings(s, dir))),
     "q_epochs" -> ((s, dir) => Curation.epochPlan(Sources.documents(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Sources.embeddings(s, dir))),

@@ -685,4 +685,41 @@ object Relational {
         // ts div 1000: µs resolution; minus a 2024-01-01 base so the int64
         // sum of ~60k sf0.1 values stays far from overflow at any sf
         sum(expr("ts div 1000") - lit(1704067200000000L)).as("us_checksum"))
+
+  /** Incremental view maintenance — the materialized-aggregate identity a
+    * lakehouse refresh relies on: for a distributive view V (per-lang doc
+    * and token counts), V(base ∪ batch) must equal V(base) ⊕ V(batch)
+    * merged by key. Both sides are computed here — the MERGE path (two
+    * partial views full-outer-joined on the key, coalesced sums: work
+    * proportional to the BATCH plus |keys|, the entire point at 100 TB
+    * where base is a stored table and only the delta is scanned) and the
+    * gold recompute over the union — and the `consistent` flag rides in
+    * the hash gate, so an engine where merge and recompute disagree
+    * (non-distributive agg, key leak, null mishandling) fails loudly.
+    * The batch stand-in is `doc_id % 10 == 0`. Output
+    * (lang, n_docs, n_tokens, consistent) ordered by lang. */
+  def incrementalView(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    def view(d: DataFrame): DataFrame =
+      d.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val merged = view(docs.filter(col("doc_id") % 10 =!= 0)).alias("b")
+      .join(view(docs.filter(col("doc_id") % 10 === 0)).alias("d"),
+        Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("b.n_docs"), lit(0L)) +
+          coalesce(col("d.n_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("b.n_tokens"), lit(0L)) +
+          coalesce(col("d.n_tokens"), lit(0L))).as("n_tokens"))
+    merged.join(view(docs)
+        .withColumnRenamed("n_docs", "g_docs")
+        .withColumnRenamed("n_tokens", "g_tokens"),
+      Seq("lang"), "full_outer")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") === col("g_docs") &&
+          col("n_tokens") === col("g_tokens")).as("consistent"))
+      .orderBy("lang")
+  }
 }
