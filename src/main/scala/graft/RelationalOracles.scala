@@ -66,6 +66,23 @@ object RelationalOracles {
          |       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
          |  FROM t WHERE dst IS NOT NULL
          | GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    // Markov-2 event trigrams: same per-user total order as q_transitions,
+    // conditional p as count-over-context (one division)
+    "q_trigrams" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts, event_id
+         |             FROM '<sfDir>/events.parquet'),
+         |t AS (SELECT event_type AS t1,
+         |             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         |             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+         |        FROM e),
+         |tri AS (SELECT t1, t2, t3 FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+         |cx AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS ctx FROM tri GROUP BY 1, 2),
+         |c3 AS (SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+         |         FROM tri GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5)
+         |SELECT c3.t1, c3.t2, c3.t3, c3.n, cx.ctx,
+         |       CAST(c3.n AS DOUBLE) / CAST(cx.ctx AS DOUBLE) AS p
+         |  FROM c3 JOIN cx ON c3.t1 = cx.t1 AND c3.t2 = cx.t2
+         | ORDER BY c3.t1, c3.t2, c3.t3""".stripMargin,
     "q_cohorts" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
          |             FROM '<sfDir>/events.parquet'),
@@ -74,6 +91,22 @@ object RelationalOracles {
          |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
          |  FROM e JOIN c USING (user_id)
          | GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // DAU/WAU stickiness: each active (user, day) covers days d..d+6, so
+    // the trailing-7-day distinct is one explode + distinct count
+    "q_stickiness" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |                   epoch_ns(ts) // 86400000000000 AS day
+         |              FROM '<sfDir>/events.parquet'),
+         |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+         |          FROM ud GROUP BY day),
+         |wau AS (SELECT day + o.i AS day,
+         |               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+         |          FROM ud, LATERAL unnest(generate_series(0, 6)) AS o(i)
+         |         GROUP BY 1)
+         |SELECT dau.day, dau.dau, wau.wau,
+         |       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+         |  FROM dau JOIN wau ON dau.day = wau.day
+         | ORDER BY dau.day""".stripMargin,
     "q_bloom_join" ->
       s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
          |       ${dsum(dec("l_extendedprice"))} AS revenue

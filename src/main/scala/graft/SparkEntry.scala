@@ -252,6 +252,8 @@ object SparkEntry {
     "q_join_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_top_orders" -> ((s, dir) => Relational.topOrdersPerCustomer(s, dir)),
     "q_events_daily" -> ((s, dir) => Relational.eventsDaily(s, dir)),
+    "q_stickiness" -> ((s, dir) => Relational.stickiness(s, dir)),
+    "q_trigrams" -> ((s, dir) => Relational.eventTrigrams(s, dir)),
     "q_events_ts" -> ((s, dir) => Relational.eventsTsCanary(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     "q_parquet_roundtrip" -> ((s, dir) => Sources.parquetRoundTrip(s, dir)),

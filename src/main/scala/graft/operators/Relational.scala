@@ -686,6 +686,59 @@ object Relational {
         // sum of ~60k sf0.1 values stays far from overflow at any sf
         sum(expr("ts div 1000") - lit(1704067200000000L)).as("us_checksum"))
 
+  /** DAU/WAU stickiness — the product-analytics engagement ratio: per day,
+    * distinct active users (DAU), distinct users active in the trailing
+    * 7-day window (WAU, via each active (user, day) pair COVERING days
+    * d..d+6 — a 7-way explode on the deduplicated user-day table, never
+    * on raw events), and DAU/WAU as one exact division. The explode-then-
+    * distinct shape is the scale-safe sliding-distinct: state is
+    * |users·days|·7 short rows, not a per-day rescan of the event log,
+    * and both aggregations are map-side combined. Output
+    * (day, dau, wau, stickiness) ordered by day. */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Second-order event-sequence transitions — the Markov-2 upgrade of
+    * [[eventTransitions]]: per user timeline (total order: ts, then
+    * event_id), every consecutive event-type TRIGRAM with its count and
+    * the conditional probability p(t3 | t1,t2) as count-over-context —
+    * both exact integers, ONE division. The sequence windows are
+    * per-user (the partitioning key the event log is already bucketed by
+    * at scale), so no global sort exists; min-support keeps the output
+    * at the head where a sequence model actually reads it. Output
+    * (t1, t2, t3, n, ctx, p) ordered by (t1, t2, t3). */
+  def eventTrigrams(spark: SparkSession, sfDir: String,
+                    minCount: Long = 5L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = Sources.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select("t1", "t2", "t3")
+    val ctx = tri.groupBy("t1", "t2").agg(count(lit(1)).as("ctx"))
+    tri.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .join(ctx, Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("t3"), col("n"), col("ctx"),
+        (col("n").cast("double") / col("ctx").cast("double")).as("p"))
+      .orderBy("t1", "t2", "t3")
+  }
+
   /** Incremental view maintenance — the materialized-aggregate identity a
     * lakehouse refresh relies on: for a distributive view V (per-lang doc
     * and token counts), V(base ∪ batch) must equal V(base) ⊕ V(batch)

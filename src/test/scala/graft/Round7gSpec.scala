@@ -255,6 +255,51 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     assert(docs.filter(col("doc_id") % 10 =!= 0).count() > 0L)
   }
 
+  test("stickiness recomputes from the user-day table and sits in (0, 1]") {
+    val ud = Sources.events(spark, d01)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = graft.operators.Relational.stickiness(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet === ud.map(_._2).toSet)
+    for ((day, dau, wau, st) <- rows) {
+      assert(dau === ud.filter(_._2 == day).map(_._1).distinct.length)
+      assert(wau === ud.filter(x => x._2 >= day - 6 && x._2 <= day)
+        .map(_._1).distinct.length)
+      assert(dau <= wau && st === dau.toDouble / wau.toDouble)
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // non-degenerate: somewhere the weekly window exceeds a single day's
+    // actives, else the ratio never leaves 1.0
+    assert(rows.exists(_._4 < 1.0))
+  }
+
+  test("event trigrams recompute from driver-sorted per-user timelines") {
+    val ev = Sources.events(spark, d01)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = ev.groupBy(_._1).values.flatMap { xs =>
+      xs.sortBy(x => (x._2, x._3)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(s => (s(0), s(1), s(2)))
+    }.toSeq
+    val ctx = tris.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    val expected = tris.groupBy(identity).collect {
+      case (t, xs) if xs.size >= 5 =>
+        (t._1, t._2, t._3, xs.size.toLong, ctx((t._1, t._2)).toLong,
+          xs.size.toDouble / ctx((t._1, t._2)).toDouble)
+    }.toSeq.sortBy(t => (t._1, t._2, t._3))
+    val got = graft.operators.Relational.eventTrigrams(spark, d01).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // conditional probabilities per context sum to <= 1 (min-support
+    // truncates the tail, never inflates)
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, xs) =>
+      assert(xs.map(_._6).sum <= 1.0 + 1e-12)
+    }
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
