@@ -83,6 +83,61 @@ object RelationalOracles {
          |       CAST(c3.n AS DOUBLE) / CAST(cx.ctx AS DOUBLE) AS p
          |  FROM c3 JOIN cx ON c3.t1 = cx.t1 AND c3.t2 = cx.t2
          | ORDER BY c3.t1, c3.t2, c3.t3""".stripMargin,
+    // gaps-and-islands: day - row_number is constant within a run
+    "q_streaks" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |                   epoch_ns(ts) // 86400000000000 AS day
+         |              FROM '<sfDir>/events.parquet'),
+         |i AS (SELECT user_id, day,
+         |             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+         |        FROM ud),
+         |g AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+         |        FROM i GROUP BY 1, 2)
+         |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+         |       CAST(COUNT(*) AS BIGINT) AS n_streaks, MAX(len) AS max_streak
+         |  FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // day-partitioned sweep line: clamped segments, deltas netted per
+    // instant, peak = max prefix sum
+    "q_concurrency" ->
+      s"""WITH iv AS (SELECT epoch_ns(ts) AS s,
+         |                   epoch_ns(ts) + 1800000000000 AS e
+         |              FROM '<sfDir>/events.parquet'),
+         |seg AS (SELECT day,
+         |               GREATEST(s, day * 86400000000000) AS cs,
+         |               LEAST(e, (day + 1) * 86400000000000) AS ce
+         |          FROM (SELECT s, e,
+         |                       unnest(generate_series(s // 86400000000000,
+         |                                              (e - 1) // 86400000000000)) AS day
+         |                  FROM iv)),
+         |d AS (SELECT day, cs AS t, CAST(1 AS BIGINT) AS d FROM seg
+         |      UNION ALL
+         |      SELECT day, ce AS t, CAST(-1 AS BIGINT) AS d FROM seg),
+         |nd AS (SELECT day, t, CAST(SUM(d) AS BIGINT) AS nd FROM d GROUP BY 1, 2),
+         |r AS (SELECT day, SUM(nd) OVER (PARTITION BY day ORDER BY t
+         |                                ROWS UNBOUNDED PRECEDING) AS run
+         |        FROM nd),
+         |p AS (SELECT day, CAST(MAX(run) AS BIGINT) AS peak FROM r GROUP BY day),
+         |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_intervals
+         |        FROM seg GROUP BY day)
+         |SELECT c.day, c.n_intervals, p.peak
+         |  FROM c JOIN p USING (day) ORDER BY c.day""".stripMargin,
+    // Lorenz/Pareto deciles over per-user activity, cumulative share as
+    // one division per curve row
+    "q_pareto" ->
+      s"""WITH ue AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+         |              FROM '<sfDir>/events.parquet' GROUP BY user_id),
+         |r AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY n DESC, user_id) AS BIGINT) AS decile
+         |        FROM ue),
+         |b AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |             CAST(SUM(n) AS BIGINT) AS n_events FROM r GROUP BY decile),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM ue),
+         |cg AS (SELECT decile, n_users, n_events,
+         |              CAST(SUM(n_events) OVER (ORDER BY decile
+         |                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+         |         FROM b)
+         |SELECT decile, n_users, n_events, cum_events,
+         |       CAST(cum_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+         |  FROM cg, t ORDER BY decile""".stripMargin,
     "q_cohorts" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
          |             FROM '<sfDir>/events.parquet'),

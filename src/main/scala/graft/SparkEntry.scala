@@ -254,6 +254,9 @@ object SparkEntry {
     "q_events_daily" -> ((s, dir) => Relational.eventsDaily(s, dir)),
     "q_stickiness" -> ((s, dir) => Relational.stickiness(s, dir)),
     "q_trigrams" -> ((s, dir) => Relational.eventTrigrams(s, dir)),
+    "q_streaks" -> ((s, dir) => Relational.activeStreaks(s, dir)),
+    "q_concurrency" -> ((s, dir) => Relational.peakConcurrency(s, dir)),
+    "q_pareto" -> ((s, dir) => Relational.paretoDeciles(s, dir)),
     "q_events_ts" -> ((s, dir) => Relational.eventsTsCanary(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     "q_parquet_roundtrip" -> ((s, dir) => Sources.parquetRoundTrip(s, dir)),

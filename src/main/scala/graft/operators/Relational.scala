@@ -739,6 +739,90 @@ object Relational {
       .orderBy("t1", "t2", "t3")
   }
 
+  /** Longest active-day streaks per user — the canonical gaps-and-islands
+    * pattern: on the deduplicated (user, day) table, `day − row_number()`
+    * is constant exactly within a run of consecutive days, so islands
+    * fall out of one per-user window plus one aggregation — no self-join,
+    * no recursion. Per-user windows partition on the key the log is
+    * bucketed by at scale. Output (user_id, n_days, n_streaks,
+    * max_streak) ordered by user_id. */
+  def activeStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Sources.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    ud.withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_days"), count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  /** Peak concurrency per day — the sweep-line pattern: each event opens a
+    * 30-minute presence interval; intervals become ±1 endpoint deltas,
+    * NETTED per (day, instant) so the running sum is order-independent at
+    * equal timestamps, and the peak is the max prefix sum. Midnight-
+    * crossing intervals are clamped into each day they touch (the +1 at
+    * day start carries the overhang in, the −1 at the true end closes it)
+    * — which is what makes the sweep DAY-PARTITIONED: no global sort of
+    * the log exists at any scale, each day's window sorts only its own
+    * |2·events-of-day| netted instants. Output (day, n_intervals, peak)
+    * ordered by day. */
+  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val iv = Sources.events(spark, sfDir)
+      .select(col("ts").as("s"), (col("ts") + 1800000000000L).as("e"))
+    // explode into per-day clamped segments (an interval spans at most 2
+    // days at these lengths; sequence() handles the general case)
+    val seg = iv
+      .select(col("s"), col("e"),
+        explode(sequence(expr(s"s div $dayNs"), expr(s"(e - 1) div $dayNs")))
+          .as("day"))
+      .select(col("day"),
+        greatest(col("s"), col("day") * dayNs).as("cs"),
+        least(col("e"), (col("day") + 1) * dayNs).as("ce"))
+    val deltas = seg.select(col("day"), col("cs").as("t"), lit(1L).as("d"))
+      .unionAll(seg.select(col("day"), col("ce").as("t"), lit(-1L).as("d")))
+      .groupBy("day", "t").agg(sum(col("d")).as("nd"))
+    val w = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = deltas.withColumn("run", sum(col("nd")).over(w))
+      .groupBy("day").agg(max(col("run")).as("peak"))
+    // interval count comes from the segments directly — netting at equal
+    // instants can cancel a start against an end and must not undercount
+    seg.groupBy("day").agg(count(lit(1)).as("n_intervals"))
+      .join(peaks, "day")
+      .select("day", "n_intervals", "peak")
+      .orderBy("day")
+  }
+
+  /** Lorenz/Pareto activity concentration — "what share of users produce
+    * what share of events": users ranked by activity (total order:
+    * count desc, user_id), cut into deciles, cumulative event share per
+    * decile as one exact integer division per row. The rank is over
+    * |users| rows (≪ |events|, the analytics premise); the curve itself
+    * is 10 rows. Output (decile, n_users, n_events, cum_events,
+    * cum_share) ordered by decile. */
+  def paretoDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ue = Sources.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val ranked = ue.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("n").desc, col("user_id")))
+        .cast("long"))
+    val byDec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec.withColumn("cum_events", sum(col("n_events")).over(w))
+      .crossJoin(broadcast(ue.agg(sum(col("n")).as("total"))))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("cum_events"),
+        (col("cum_events").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** Incremental view maintenance — the materialized-aggregate identity a
     * lakehouse refresh relies on: for a distributive view V (per-lang doc
     * and token counts), V(base ∪ batch) must equal V(base) ⊕ V(batch)

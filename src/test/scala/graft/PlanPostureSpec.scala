@@ -63,7 +63,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_corpus_build", // inherits q_mixture's |langs| x SINGLE-ROW total stage
     "q_diversity", // |classes| rows x the SINGLE-ROW total-bits aggregate
     "q_neyman", // |strata| rows x the SINGLE-ROW weight total
-    "q_burstiness") // |vocab| rows x the SINGLE-ROW doc count
+    "q_burstiness", // |vocab| rows x the SINGLE-ROW doc count
+    "q_pareto") // 10 curve rows x the SINGLE-ROW event total
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

@@ -300,6 +300,61 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("streaks recompute from driver islands over the user-day set") {
+    val ud = Sources.events(spark, d01)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ud.groupBy(_._1).map { case (u, xs) =>
+      val days = xs.map(_._2).sorted
+      // island lengths via consecutive grouping: day - index is constant
+      // within a run of consecutive days
+      val lens = days.zipWithIndex.groupBy { case (d, i) => d - i }
+        .values.map(_.length.toLong).toSeq
+      (u, days.length.toLong, lens.size.toLong, lens.max)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Relational.activeStreaks(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // non-degenerate fixture: some user has a multi-day streak AND a gap
+    assert(got.exists(_._4 >= 2L) && got.exists(g => g._3 >= 2L))
+  }
+
+  test("peak concurrency matches a driver sweep with netted instants") {
+    val dayNs = 86400000000000L
+    val ivs = Sources.events(spark, d01).select(col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1800000000000L))
+    val segs = ivs.flatMap { case (s, e) =>
+      (s / dayNs to (e - 1) / dayNs).map(day =>
+        (day, math.max(s, day * dayNs), math.min(e, (day + 1) * dayNs)))
+    }
+    val expected = segs.groupBy(_._1).map { case (day, xs) =>
+      val deltas = (xs.map(x => (x._2, 1L)) ++ xs.map(x => (x._3, -1L)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val peaks = deltas.scanLeft(0L)(_ + _._2).drop(1)
+      (day, xs.length.toLong, peaks.max)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Relational.peakConcurrency(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // overlap actually occurs (peak > 1 somewhere) or the sweep is vacuous
+    assert(got.exists(_._3 > 1L))
+  }
+
+  test("pareto deciles concentrate activity and close at share 1.0") {
+    val got = graft.operators.Relational.paretoDeciles(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSeq === (1L to 10L))
+    // cum_events is the running sum and the curve closes at exactly 1.0
+    assert(got.map(_._3).sum === got.last._4)
+    assert(got.last._5 === 1.0)
+    // deciles are ranked by activity: per-decile event mass non-increasing
+    got.map(_._3).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // concentration is real: the top decile out-produces the bottom
+    assert(got.head._3 > got.last._3)
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
