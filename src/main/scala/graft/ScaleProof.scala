@@ -672,6 +672,70 @@ object ScaleProof {
         a -> ((nc, nd * reps, mx * reps, mn * reps, ts))
       })
 
+    // session-g event operators at reps× (disjoint users, identical
+    // timelines): per-user shapes replicate rows ×reps with identical
+    // stats (streaks, trigram p bit-identical via (r·n)/(r·ctx)); the
+    // sweep line STACKS — every netted delta multiplies, so each day's
+    // peak is exactly ×reps; stickiness's dau/wau both ×reps so the
+    // ratio is bit-identical; Lorenz deciles: 1500 users split evenly,
+    // so per-decile users/events ×reps with identical shares
+    val baseStk = Relational.stickinessOf(eventsBase).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (stk10, tStk) = timed(Relational.stickinessOf(eventsRep).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap)
+    results += "stickiness_10x" -> tStk
+    checks += "stickiness_closed_form" ->
+      (stk10 == baseStk.map { case (d, (dau, wau, s)) =>
+        d -> ((dau * reps, wau * reps, s))
+      })
+
+    val baseStrk = Relational.activeStreaksOf(eventsBase).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val (strk10, tStrk) = timed(Relational.activeStreaksOf(eventsRep)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap)
+    results += "streaks_10x" -> tStrk
+    checks += "streaks_closed_form" ->
+      (strk10 == baseStrk.map { case (k, n) => k -> n * reps })
+
+    val baseCcy = Relational.peakConcurrencyOf(eventsBase).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (ccy10, tCcy) = timed(Relational.peakConcurrencyOf(eventsRep)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap)
+    results += "concurrency_10x" -> tCcy
+    checks += "concurrency_stacks_exactly" ->
+      (ccy10 == baseCcy.map { case (d, (ni, pk)) =>
+        d -> ((ni * reps, pk * reps))
+      })
+
+    val baseEtri = Relational.eventTrigramsOf(eventsBase).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (etri10, tEtri) = timed(Relational.eventTrigramsOf(eventsRep).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap)
+    results += "trigrams_10x" -> tEtri
+    checks += "trigrams_closed_form" ->
+      (etri10 == baseEtri.map { case (k, (n, cx, p)) =>
+        k -> ((n * reps, cx * reps, p))
+      })
+
+    val basePar = Relational.paretoDecilesOf(eventsBase).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val (par10, tPar) = timed(Relational.paretoDecilesOf(eventsRep).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap)
+    results += "pareto_10x" -> tPar
+    checks += "pareto_closed_form" ->
+      (par10 == basePar.map { case (d, (nu, ne, ce, sh)) =>
+        d -> ((nu * reps, ne * reps, ce * reps, sh))
+      })
+
     // Neyman plan at reps×: counts and char mass scale exactly and the
     // variance numerator scales by reps² (v' = (r·n)(r·sxx) − (r·sx)² =
     // r²·v); the weight is the integer sqrt of that, so w' sits in

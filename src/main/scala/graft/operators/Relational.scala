@@ -695,8 +695,11 @@ object Relational {
     * |users·days|·7 short rows, not a per-day rescan of the event log,
     * and both aggregations are map-side combined. Output
     * (day, dau, wau, stickiness) ordered by day. */
-  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
-    val ud = Sources.events(spark, sfDir)
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame =
+    stickinessOf(Sources.events(spark, sfDir))
+
+  def stickinessOf(events: DataFrame): DataFrame = {
+    val ud = events
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       .distinct()
     val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
@@ -721,9 +724,12 @@ object Relational {
     * at the head where a sequence model actually reads it. Output
     * (t1, t2, t3, n, ctx, p) ordered by (t1, t2, t3). */
   def eventTrigrams(spark: SparkSession, sfDir: String,
-                    minCount: Long = 5L): DataFrame = {
+                    minCount: Long = 5L): DataFrame =
+    eventTrigramsOf(Sources.events(spark, sfDir), minCount)
+
+  def eventTrigramsOf(events: DataFrame, minCount: Long = 5L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val tri = Sources.events(spark, sfDir)
+    val tri = events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("t1"))
       .withColumn("t2", lead(col("t1"), 1).over(w))
@@ -746,8 +752,11 @@ object Relational {
     * no recursion. Per-user windows partition on the key the log is
     * bucketed by at scale. Output (user_id, n_days, n_streaks,
     * max_streak) ordered by user_id. */
-  def activeStreaks(spark: SparkSession, sfDir: String): DataFrame = {
-    val ud = Sources.events(spark, sfDir)
+  def activeStreaks(spark: SparkSession, sfDir: String): DataFrame =
+    activeStreaksOf(Sources.events(spark, sfDir))
+
+  def activeStreaksOf(events: DataFrame): DataFrame = {
+    val ud = events
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       .distinct()
     val w = Window.partitionBy("user_id").orderBy("day")
@@ -769,9 +778,12 @@ object Relational {
     * the log exists at any scale, each day's window sorts only its own
     * |2·events-of-day| netted instants. Output (day, n_intervals, peak)
     * ordered by day. */
-  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame =
+    peakConcurrencyOf(Sources.events(spark, sfDir))
+
+  def peakConcurrencyOf(events: DataFrame): DataFrame = {
     val dayNs = 86400000000000L
-    val iv = Sources.events(spark, sfDir)
+    val iv = events
       .select(col("ts").as("s"), (col("ts") + 1800000000000L).as("e"))
     // explode into per-day clamped segments (an interval spans at most 2
     // days at these lengths; sequence() handles the general case)
@@ -804,8 +816,11 @@ object Relational {
     * |users| rows (≪ |events|, the analytics premise); the curve itself
     * is 10 rows. Output (decile, n_users, n_events, cum_events,
     * cum_share) ordered by decile. */
-  def paretoDeciles(spark: SparkSession, sfDir: String): DataFrame = {
-    val ue = Sources.events(spark, sfDir)
+  def paretoDeciles(spark: SparkSession, sfDir: String): DataFrame =
+    paretoDecilesOf(Sources.events(spark, sfDir))
+
+  def paretoDecilesOf(events: DataFrame): DataFrame = {
+    val ue = events
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     val ranked = ue.withColumn("decile",
       ntile(10).over(Window.orderBy(col("n").desc, col("user_id")))
