@@ -437,6 +437,38 @@ object RelationalOracles {
          |SELECT doc_id, n_bigrams, cond_bits,
          |       CAST(cond_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bits_per_bigram
          |  FROM g ORDER BY doc_id""".stripMargin,
+    // held-out LM: bigram counts trained on the 80% hash split, scoring
+    // the eval 20%; OOV reported, whole-bit integer surprisal
+    "q_holdout_ppl" ->
+      s"""WITH sided AS (SELECT doc_id, text,
+         |                      (${graft.functions.Hashes.h60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 8) AS is_tr
+         |                 FROM '<sfDir>/documents.parquet'),
+         |a AS (SELECT doc_id, string_split(text, ' ') AS toks, is_tr
+         |        FROM sided WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, is_tr,
+         |              toks[CAST(u.i AS INTEGER)] AS w1,
+         |              toks[CAST(u.i AS INTEGER) + 1] AS w2
+         |         FROM a, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+         |cab AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |          FROM bg WHERE is_tr GROUP BY 1, 2),
+         |ca AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+         |ev AS (SELECT bg.doc_id, cab.c_ab, ca.c_a
+         |         FROM bg
+         |         LEFT JOIN cab ON bg.w1 = cab.w1 AND bg.w2 = cab.w2
+         |         LEFT JOIN ca ON bg.w1 = ca.w1
+         |        WHERE NOT bg.is_tr),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |             CAST(SUM(CASE WHEN c_ab IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |             CAST(SUM(CASE WHEN c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |             CAST(SUM(CASE WHEN c_ab IS NOT NULL
+         |                          THEN (length(bin(c_a)) - 1) - (length(bin(c_ab)) - 1)
+         |                          ELSE 0 END) AS BIGINT) AS cond_bits
+         |        FROM ev GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, n_scored, n_oov, cond_bits,
+         |       CASE WHEN n_scored > 0
+         |            THEN CAST(cond_bits AS DOUBLE) / CAST(n_scored AS DOUBLE)
+         |       END AS bits_per_scored
+         |  FROM g ORDER BY doc_id""".stripMargin,
     // CCNet-style per-lang perplexity terciles over the SAME lm chain as
     // q_lm_score (whole-bit conditional surprisal), ntile(3) on the total
     // order (bits_per_bigram, doc_id)

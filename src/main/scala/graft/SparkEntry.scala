@@ -166,6 +166,8 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => Bpe.bpeEncode(Sources.documents(s, dir))),
     "q_tok_lengths" -> ((s, dir) => TextAnalysis.tokenLengths(Sources.documents(s, dir))),
     "q_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Sources.documents(s, dir))),
+    "q_holdout_ppl" -> ((s, dir) =>
+      TextAnalysis.holdoutLmScore(Sources.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Sources.documents(s, dir))),
     "q_doc_entropy" -> ((s, dir) => TextAnalysis.charEntropy(Sources.documents(s, dir))),
     "q_doc_meta" -> ((s, dir) => DataQuality.docMeta(Sources.documents(s, dir))),

@@ -949,6 +949,53 @@ object TextAnalysis {
         countDistinct(col("tok")).as("n_types"))
       .orderBy("tok_len")
 
+  /** Held-out LM scoring — the cross-split twin of [[lmScore]] and the
+    * shape of a real quality/memorization eval: the bigram LM is trained
+    * ONLY on the train split (stable hash coin, the same 80/20 rule every
+    * split operator here uses) and scores the EVAL split's documents.
+    * Bigrams the train LM never saw cannot be scored (their conditional
+    * count is zero) and are reported as `n_oov` instead of silently
+    * skewing the average — the eval-side number a corpus report needs
+    * next to the in-split score. Whole-bit integer surprisal as in
+    * lmScore (exact floor_log2 sums, no libm), ONE division. Shapes: the
+    * train-count tables are token-keyed aggregates joined onto the eval
+    * bigram stream — the same narrow equi-joins lmScore plans. Output
+    * (doc_id, n_bigrams, n_scored, n_oov, cond_bits, bits_per_scored);
+    * eval docs whose bigrams are all OOV carry bits_per_scored null. */
+  def holdoutLmScore(docs: DataFrame): DataFrame = {
+    val sided = docs.select(col("doc_id"), col("text"),
+      (Hashes.h60(col("doc_id").cast("string")) % 10 < 8).as("is_tr"))
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), col("arr"),
+        explode(sequence(lit(1), size(col("arr")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("arr"), col("i")).as("w1"),
+        element_at(col("arr"), col("i") + 1).as("w2"))
+    val trBg = bigrams(sided.filter(col("is_tr")))
+    val cab = trBg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
+    bigrams(sided.filter(!col("is_tr")))
+      .join(cab, Seq("w1", "w2"), "left")
+      .join(broadcast(ca), Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_ab").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("c_ab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("c_ab").isNotNull,
+          (length(bin(col("c_a"))) - 1).cast("long") -
+            (length(bin(col("c_ab"))) - 1).cast("long")).otherwise(0L))
+          .as("cond_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_scored"),
+        col("n_oov"), col("cond_bits"),
+        when(col("n_scored") > 0,
+          col("cond_bits").cast("double") / col("n_scored").cast("double"))
+          .as("bits_per_scored"))
+      .orderBy("doc_id")
+  }
+
   /** Token burstiness — the variance-to-mean ratio (index of dispersion)
     * of each token's per-document count over ALL documents (zeros
     * included): Poisson scatter gives VMR ≈ 1, content words clump

@@ -355,6 +355,52 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     assert(got.head._3 > got.last._3)
   }
 
+  test("holdout LM covers exactly the eval split and accounts every bigram") {
+    val docs = Sources.documents(spark, d01)
+    val evalIds = docs.select(col("doc_id"),
+        (graft.functions.Hashes.h60(col("doc_id").cast("string")) % 10 < 8)
+          .as("is_tr"))
+      .filter(!col("is_tr")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val nToks = TextAnalysis.tokens(docs).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TextAnalysis.holdoutLmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly the eval docs with >= 2 tokens are scored
+    assert(rows.map(_._1).toSet ===
+      evalIds.filter(id => nToks.getOrElse(id, 0L) >= 2L))
+    rows.foreach { case (id, nb, ns, no) =>
+      // every bigram is either scored or OOV, and the count is n_tokens-1
+      assert(nb === ns + no)
+      assert(nb === nToks(id) - 1)
+    }
+    // the fixture's 31-token shared vocabulary scores every eval bigram
+    // (n_oov = 0 corpus-wide) — so the OOV path is proven on a
+    // constructed corpus below, not here
+    assert(rows.map(_._3).sum > 0L, "nothing scored — train side vacuous")
+
+    // OOV path: an eval-split doc carrying a bigram no train doc has —
+    // pick ids by replaying the operator's own hash coin
+    def isTr(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10 < 8
+    }
+    val trainId = (1L to 200L).find(isTr).get
+    val evalId = (1L to 200L).find(!isTr(_)).get
+    val spk = spark
+    import spk.implicits._
+    val tiny = Seq(
+      (trainId, "alpha beta alpha beta", "en", "s0", 21L),
+      (evalId, "alpha beta gamma delta", "en", "s0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.holdoutLmScore(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // eval doc: bigrams (alpha,beta) scored; (beta,gamma), (gamma,delta) OOV
+    assert(got.toSeq === Seq((evalId, 3L, 1L, 2L)))
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
