@@ -1861,6 +1861,48 @@ object ExtensionOracles {
          |  FROM ev JOIN tot ON ev.doc_id = tot.doc_id
          |  LEFT JOIN hit ON ev.doc_id = hit.doc_id
          | ORDER BY ev.doc_id""".stripMargin,
+    // Spearman agreement between the heuristic quality and LM surprisal
+    // signals: exact integer Sd2, rho in two IEEE ops
+    "q_signal_corr" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+         |             CAST(SUM(CASE WHEN tok IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM t GROUP BY doc_id),
+         |q AS (SELECT d.doc_id,
+         |             CAST(0.5 AS DOUBLE)*(CAST(g.n_distinct AS DOUBLE)/CAST(g.n_tokens AS DOUBLE))
+         |               + CAST(0.3 AS DOUBLE)*LEAST((CAST(g.n_stop AS DOUBLE)/CAST(g.n_tokens AS DOUBLE))*CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |               + CAST(0.2 AS DOUBLE)*LEAST(CAST(g.n_tokens AS DOUBLE)/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) AS quality
+         |        FROM $DOCS d JOIN g ON d.doc_id = g.doc_id),
+         |a AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS
+         |       WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, toks[CAST(u.i AS INTEGER)] AS w1,
+         |              toks[CAST(u.i AS INTEGER) + 1] AS w2
+         |         FROM a, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+         |dbg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+         |          FROM bg GROUP BY doc_id, w1, w2),
+         |cab AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c_ab FROM dbg GROUP BY w1, w2),
+         |ca AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY w1),
+         |lm AS (SELECT dbg.doc_id,
+         |              CAST(SUM(dbg.m * ((length(bin(ca.c_a)) - 1) -
+         |                                (length(bin(cab.c_ab)) - 1))) AS BIGINT) AS cond_bits,
+         |              CAST(SUM(dbg.m) AS BIGINT) AS n_bigrams
+         |         FROM dbg
+         |         JOIN cab ON dbg.w1 = cab.w1 AND dbg.w2 = cab.w2
+         |         JOIN ca ON dbg.w1 = ca.w1
+         |        GROUP BY dbg.doc_id),
+         |j AS (SELECT q.doc_id, q.quality,
+         |             CAST(lm.cond_bits AS DOUBLE) / CAST(lm.n_bigrams AS DOUBLE) AS bpb
+         |        FROM q JOIN lm ON q.doc_id = lm.doc_id),
+         |r AS (SELECT doc_id,
+         |             CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS r1,
+         |             CAST(ROW_NUMBER() OVER (ORDER BY bpb ASC, doc_id) AS BIGINT) AS r2
+         |        FROM j)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+         |       CAST(1 AS DOUBLE) - CAST(SUM((r1 - r2) * (r1 - r2)) * 6 AS DOUBLE)
+         |         / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) AS rho
+         |  FROM r""".stripMargin,
     // incremental view maintenance identity: merge(base,batch) must equal
     // the recompute; the consistent flag rides in the gate
     "q_ivm" ->

@@ -168,6 +168,8 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Sources.documents(s, dir))),
     "q_holdout_ppl" -> ((s, dir) =>
       TextAnalysis.holdoutLmScore(Sources.documents(s, dir))),
+    "q_signal_corr" -> ((s, dir) =>
+      TextAnalysis.signalCorrelation(Sources.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Sources.documents(s, dir))),
     "q_doc_entropy" -> ((s, dir) => TextAnalysis.charEntropy(Sources.documents(s, dir))),
     "q_doc_meta" -> ((s, dir) => DataQuality.docMeta(Sources.documents(s, dir))),

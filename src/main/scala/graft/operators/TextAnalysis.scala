@@ -996,6 +996,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Signal agreement — exact Spearman rank correlation between the two
+    * quality signals this library computes ([[qualityScore]]'s heuristic
+    * vs [[lmScore]]'s LM surprisal, fluent-first): the number that decides
+    * whether a second filter stage adds information or re-ranks the same
+    * ordering. Ranks are row_numbers over total orders (signal, doc_id),
+    * Σd² is an exact int64 sum, and ρ = 1 − 6Σd²/(n(n²−1)) is two IEEE
+    * ops — bit-identical cross-engine. The global rank is the audit-time
+    * exact form (|docs| rows through one window each); the 100 TB swap is
+    * sketch-ranked binning, the same trade every exact-rank gate here
+    * documents. Output one row (n, sum_d2, rho). */
+  def signalCorrelation(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val l = lmScore(docs).select(col("doc_id"), col("bits_per_bigram"))
+    val joined = q.join(l, "doc_id")
+    val ranked = joined
+      .withColumn("r1", row_number()
+        .over(Window.orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      .withColumn("r2", row_number()
+        .over(Window.orderBy(col("bits_per_bigram").asc, col("doc_id")))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - (col("sum_d2") * 6L).cast("double") /
+          (col("n") * (col("n") * col("n") - 1L)).cast("double")).as("rho"))
+  }
+
   /** Token burstiness — the variance-to-mean ratio (index of dispersion)
     * of each token's per-document count over ALL documents (zeros
     * included): Poisson scatter gives VMR ≈ 1, content words clump

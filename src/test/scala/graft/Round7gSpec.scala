@@ -401,6 +401,25 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq === Seq((evalId, 3L, 1L, 2L)))
   }
 
+  test("signal correlation equals a driver Spearman over the joined signals") {
+    val docs = Sources.documents(spark, d01)
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l = TextAnalysis.lmScore(docs).select("doc_id", "bits_per_bigram")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ids = q.keySet.intersect(l.keySet).toSeq
+    val r1 = ids.sortBy(id => (-q(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val r2 = ids.sortBy(id => (l(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val sd2 = ids.map(id => { val d = r1(id) - r2(id); d * d }).sum
+    val n = ids.length.toLong
+    val row = TextAnalysis.signalCorrelation(docs).head()
+    assert(row.getLong(0) === n && row.getLong(1) === sd2)
+    assert(row.getDouble(2) === 1.0 - (sd2 * 6L).toDouble / (n * (n * n - 1L)).toDouble)
+    assert(row.getDouble(2) >= -1.0 && row.getDouble(2) <= 1.0)
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
