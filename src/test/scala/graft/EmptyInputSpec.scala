@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, DataQuality, Dedup, Similarity,
+  TextAnalysis}
+import graft.sources.Sources
+
+/** Zero-row robustness sweep — the other degenerate input a 100 TB
+  * pipeline hits routinely (an empty partition filter, a source that
+  * landed nothing today): every DataFrame-parameterized operator must
+  * return an EMPTY (or summary-shaped) result on an empty input of the
+  * correct schema, never throw on reduce-of-nothing or min-of-empty.
+  */
+class EmptyInputSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val emptyDocs: DataFrame =
+    Sources.documents(spark, "/root/testdata/sf0.001").filter(lit(false))
+  private lazy val emptyEmb: DataFrame =
+    Sources.embeddings(spark, "/root/testdata/sf0.001").filter(lit(false))
+
+  private def runs(name: String)(body: => DataFrame): Unit =
+    assert(body.count() >= 0L, s"$name threw or miscounted on empty input")
+
+  test("text-analysis operators accept a zero-row corpus") {
+    runs("tokenCounts")(TextAnalysis.tokenCounts(emptyDocs))
+    runs("qualityScore")(TextAnalysis.qualityScore(emptyDocs))
+    runs("langId")(TextAnalysis.langId(emptyDocs))
+    runs("fingerprint")(TextAnalysis.fingerprint(emptyDocs))
+    runs("lmScore")(TextAnalysis.lmScore(emptyDocs))
+    runs("holdoutLmScore")(TextAnalysis.holdoutLmScore(emptyDocs))
+    runs("burstiness")(TextAnalysis.burstiness(emptyDocs))
+    runs("signalCorrelation")(TextAnalysis.signalCorrelation(emptyDocs))
+    runs("cleanCorpus")(TextAnalysis.cleanCorpus(emptyDocs))
+  }
+
+  test("dedup and curation operators accept a zero-row corpus") {
+    runs("docSignatures")(Dedup.docSignatures(emptyDocs, h = 4))
+    runs("exactGroups")(Dedup.exactGroups(emptyDocs))
+    runs("minhashLshPairs")(Dedup.minhashLshPairs(emptyDocs))
+    runs("simhash")(Dedup.simhash(emptyDocs))
+    runs("decontaminate")(Curation.decontaminate(emptyDocs))
+    runs("neymanAllocation")(Curation.neymanAllocation(emptyDocs))
+    runs("ccnetBuckets")(Curation.ccnetBuckets(emptyDocs))
+    runs("contamAttribution")(Curation.contamAttribution(emptyDocs))
+  }
+
+  test("audit and similarity operators accept zero-row inputs") {
+    runs("kAnonymity")(DataQuality.kAnonymity(emptyDocs))
+    runs("diversity")(DataQuality.diversity(emptyDocs))
+    runs("forgetAudit")(DataQuality.forgetAudit(emptyDocs))
+    runs("robustStats")(DataQuality.robustStats(emptyDocs))
+    runs("mrr")(Similarity.mrr(emptyEmb))
+    runs("matryoshkaRecall")(Similarity.matryoshkaRecall(emptyEmb))
+    runs("annBruteForce")(Similarity.annBruteForce(emptyEmb))
+  }
+}
