@@ -24,6 +24,28 @@ object EventTime {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Streaming daily-active-users: EXACT distinct users per event-time
+    * window, as a two-stage streaming pipeline — watermarked
+    * `dropDuplicatesWithinWatermark` on (user, window-day) collapses each
+    * user to one row per day while the watermark bounds the dedup state,
+    * then a windowed count aggregates the survivors. This is the
+    * streaming twin of the batch distinct user-day table (q_stickiness's
+    * first stage): exact (not approx_count_distinct), state proportional
+    * to |active users per in-flight day|, windows finalize under the
+    * watermark for append sinks. */
+  def dauStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "1 day").getField("start").as("day"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      // second stateful stage: the surviving row keeps its ts, and all of
+      // a (user, day) set's rows share the day window, so the windowed agg
+      // counts exactly one row per active user per day
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").as("day"), col("dau"))
+
   /** Hopping (sliding) window counts: `window(ts, width, slide)` replicates
     * each event into width/slide overlapping windows — the streaming twin of
     * the batch [[graft.operators.Relational.eventsHopping]]. Watermark

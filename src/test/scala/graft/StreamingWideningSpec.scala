@@ -104,6 +104,36 @@ class StreamingWideningSpec extends AnyFunSuite with SharedSpark {
     assert(rows.count(r => r._1 == 3L) == 1, s"outer row must be unique, got $rows")
   }
 
+  test("streaming DAU counts each user once per day and matches the batch distinct") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+    val q = EventTime.dauStream(df, lateness = "1 hour")
+      .writeStream.format("memory").queryName("t_dau")
+      .outputMode(OutputMode.Append()).start()
+
+    // ts() is MINUTES from the day-19723 boundary. Day 0: user 1 three
+    // times, user 2 once; day 1: user 1 once — the dedup stage must
+    // collapse user 1's day-0 repeats to one row
+    val dayMin = 1440
+    ms.addData((ts(10), 1L), (ts(20), 1L), (ts(500), 1L), (ts(40), 2L))
+    ms.addData((ts(dayMin + 10), 1L))
+    q.processAllAvailable()
+    // advance the watermark far past day 1 so both windows finalize
+    ms.addData((ts(3 * dayMin), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val day0 = 19723L * 86400L // epoch seconds of the fixture's day boundary
+    val rows = spark.table("t_dau")
+      .select(col("day").cast("long"), col("dau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.get(day0) === Some(2L),
+      s"day 0 must count users {1,2} once each, got $rows")
+    assert(rows.get(day0 + 86400L) === Some(1L),
+      s"day 1 must count user 1, got $rows")
+  }
+
   test("stream-static broadcast enrichment joins reference data per batch") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long)]
