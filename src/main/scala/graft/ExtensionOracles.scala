@@ -1982,6 +1982,18 @@ object ExtensionOracles {
          |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w)
          |SELECT source, n, sx, v, w, (100 * w) // wtot AS alloc
          |  FROM w, t ORDER BY source""".stripMargin,
+    // coverage-gap grid: full lang x source cross join, zero cells flagged
+    "q_coverage_gap" ->
+      s"""WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+         |             FROM $DOCS GROUP BY 1, 2),
+         |l AS (SELECT DISTINCT lang FROM $DOCS),
+         |s AS (SELECT DISTINCT source FROM $DOCS)
+         |SELECT l.lang, s.source,
+         |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_docs,
+         |       c.c IS NULL AS missing
+         |  FROM l CROSS JOIN s
+         |  LEFT JOIN c ON l.lang = c.lang AND s.source = c.source
+         | ORDER BY l.lang, s.source""".stripMargin,
     // k-anonymity audit: quasi-identifier classes (lang, source, 100-char
     // length bucket) with population and the sub-k re-identifiability flag
     "q_kanonymity" ->

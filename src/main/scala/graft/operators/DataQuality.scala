@@ -360,6 +360,27 @@ object DataQuality {
       .orderBy(col("bin").desc)
   }
 
+  /** Coverage-gap grid — the completeness audit a multi-source multilingual
+    * corpus runs before mixture design: the FULL lang × source grid
+    * (cross join of the two distinct axes — tiny by construction), each
+    * cell's document count, and `missing` flagged where a combination has
+    * no documents at all. The absent cells are the report's point — a
+    * plain groupBy can only show what exists, never what's missing. At
+    * scale the axes are |langs| and |sources| rows (both ≪ corpus), so
+    * the grid is driver-trivial and the single corpus aggregation is
+    * map-side combined. Output (lang, source, n_docs, missing) ordered
+    * by (lang, source). */
+  def coverageGaps(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    docs.select("lang").distinct()
+      .crossJoin(docs.select("source").distinct())
+      .join(counts, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("c"), lit(0L)).as("n_docs"),
+        col("c").isNull.as("missing"))
+      .orderBy("lang", "source")
+  }
+
   /** Robust per-source statistics — the profile that survives a corrupted
     * length field where mean/max do not: exact DISCRETE p01/p50/p99 of
     * n_chars per source (`percentile_disc` picks real elements, the same

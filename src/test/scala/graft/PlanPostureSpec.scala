@@ -64,7 +64,8 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_diversity", // |classes| rows x the SINGLE-ROW total-bits aggregate
     "q_neyman", // |strata| rows x the SINGLE-ROW weight total
     "q_burstiness", // |vocab| rows x the SINGLE-ROW doc count
-    "q_pareto") // 10 curve rows x the SINGLE-ROW event total
+    "q_pareto", // 10 curve rows x the SINGLE-ROW event total
+    "q_coverage_gap") // |langs| x |sources| grid: both axes tiny by construction
 
   test("no contract query plans a CartesianProduct") {
     for (name <- SparkEntry.queries.keys) {

@@ -420,6 +420,27 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     assert(row.getDouble(2) >= -1.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("coverage grid is complete, counts recompute, and gaps are real") {
+    val docs = Sources.documents(spark, d01)
+    val langs = docs.select("lang").distinct().count()
+    val sources = docs.select("source").distinct().count()
+    val rows = DataQuality.coverageGaps(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    // the grid is the FULL cross product — absent combinations included
+    assert(rows.length.toLong === langs * sources)
+    assert(rows.map(_._3).sum === docs.count())
+    rows.foreach { case (_, _, n, missing) => assert(missing === (n == 0L)) }
+    // the fixture really has holes (sf0.01 showed 97 of 100 cells filled)
+    assert(rows.exists(_._4), "no coverage gaps — grid audit vacuous")
+    // every flagged gap is genuinely absent from the corpus
+    val present = docs.select("lang", "source").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    rows.filter(_._4).foreach { case (l, s, _, _) =>
+      assert(!present((l, s)))
+    }
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
