@@ -691,6 +691,24 @@ object ExtensionOracles {
          |       CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_survivors,
          |       CAST(COUNT(*) - SUM(dropped) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
          |  FROM sel GROUP BY source ORDER BY source""".stripMargin,
+    // token-mass dedup ROI: same closure, dropped members' token counts
+    "q_dedup_tokens" ->
+      s"""WITH RECURSIVE $ccLabCtes,
+         |tk AS (SELECT doc_id, source,
+         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |         FROM $DOCS),
+         |sel AS (SELECT tk.source, tk.nt,
+         |               CASE WHEN EXISTS (SELECT 1 FROM lab
+         |                                  WHERE lab.doc_id = tk.doc_id
+         |                                    AND lab.cluster_id <> lab.doc_id)
+         |                    THEN 1 ELSE 0 END AS dropped
+         |          FROM tk)
+         |SELECT source, CAST(SUM(nt) AS BIGINT) AS tokens_before,
+         |       CAST(SUM(CASE WHEN dropped = 1 THEN nt ELSE 0 END) AS BIGINT) AS tokens_dropped,
+         |       CAST(SUM(nt) - SUM(CASE WHEN dropped = 1 THEN nt ELSE 0 END) AS BIGINT) AS tokens_after,
+         |       CAST(SUM(CASE WHEN dropped = 1 THEN nt ELSE 0 END) AS DOUBLE)
+         |         / CAST(SUM(nt) AS DOUBLE) AS savings
+         |  FROM sel GROUP BY source ORDER BY source""".stripMargin,
     // ---- repetition metrics (bigrams via per-doc index ranges; 1-based
     // list subscripts pair token i with i+1, mirroring element_at) ----
     "q_repetition" ->

@@ -969,6 +969,32 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Dedup ROI in TOKENS — the number the training-cost ledger reads,
+    * where [[dedupRetention]] counts documents: per source, token mass
+    * before dedup, the mass carried by dropped (non-representative)
+    * cluster members, the surviving mass, and the savings fraction. Same
+    * shared cluster chain as the other three dedup-cluster gates (this
+    * view can never describe a different dedup run), one extra narrow
+    * token-count projection joined on doc_id. Output (source,
+    * tokens_before, tokens_dropped, tokens_after, savings). */
+  def dedupTokenSavings(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    val dropped = droppedMembers(docs, h, rows, threshold)
+      .withColumn("is_drop", lit(1L))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum(col("nt")).as("tokens_before"),
+        sum(when(col("is_drop").isNotNull, col("nt")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("tokens_before"), col("tokens_dropped"),
+        (col("tokens_before") - col("tokens_dropped")).as("tokens_after"),
+        (col("tokens_dropped").cast("double") /
+          col("tokens_before").cast("double")).as("savings"))
+      .orderBy("source")
+  }
+
   /** 32-bit SimHash over whitespace tokens (with multiplicity): per bit b,
     * sign-sum of token-hash bits; simhash bit b set iff the sum is positive.
     *

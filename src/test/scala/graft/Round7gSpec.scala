@@ -441,6 +441,28 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dedup token savings reconcile with retention and the token table") {
+    val docs = Sources.documents(spark, d01)
+    val rows = graft.operators.Dedup.dedupTokenSavings(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // token masses balance per source and total token mass matches tokens()
+    rows.foreach { case (_, tb, td, ta, sv) =>
+      assert(tb === td + ta)
+      assert(sv === td.toDouble / tb.toDouble)
+    }
+    assert(rows.map(_._2).sum === TextAnalysis.tokens(docs).count())
+    // doc-level retention and token-level savings describe the SAME run:
+    // a source drops tokens iff it drops documents
+    val ret = graft.operators.Dedup.dedupRetention(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    rows.foreach { case (src, _, td, _, _) =>
+      assert((td > 0L) === (ret(src) > 0L),
+        s"$src: token and doc drops disagree")
+    }
+    assert(rows.exists(_._3 > 0L), "no source drops tokens — dedup vacuous")
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
