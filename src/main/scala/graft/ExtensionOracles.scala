@@ -2000,6 +2000,24 @@ object ExtensionOracles {
          |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w)
          |SELECT source, n, sx, v, w, (100 * w) // wtot AS alloc
          |  FROM w, t ORDER BY source""".stripMargin,
+    // deterministic token-dropout augmentation: per-(doc,pos) hash coins,
+    // survivors reassembled in position order, rebuilt string hashed
+    "q_augment" ->
+      s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS),
+         |t AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+         |             toks[CAST(u.i AS INTEGER)] AS tok
+         |        FROM a, LATERAL unnest(generate_series(1, len(toks))) AS u(i)),
+         |k AS (SELECT doc_id, pos, tok,
+         |             (${graft.functions.Hashes.h60Sql(
+                           "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':aug1'")} % 10 <> 0) AS keep
+         |        FROM t),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |             string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos) AS aug
+         |        FROM k GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_kept,
+         |       ${graft.functions.Hashes.h60Sql("COALESCE(aug, '')")} AS aug_fp
+         |  FROM g ORDER BY doc_id""".stripMargin,
     // coverage-gap grid: full lang x source cross join, zero cells flagged
     "q_coverage_gap" ->
       s"""WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c

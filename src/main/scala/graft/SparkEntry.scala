@@ -174,6 +174,8 @@ object SparkEntry {
       TextAnalysis.signalCorrelation(Sources.documents(s, dir))),
     "q_coverage_gap" -> ((s, dir) =>
       DataQuality.coverageGaps(Sources.documents(s, dir))),
+    "q_augment" -> ((s, dir) =>
+      TextAnalysis.augmentDropout(Sources.documents(s, dir))),
     "q_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(Sources.documents(s, dir))),
     "q_doc_entropy" -> ((s, dir) => TextAnalysis.charEntropy(Sources.documents(s, dir))),
     "q_doc_meta" -> ((s, dir) => DataQuality.docMeta(Sources.documents(s, dir))),

@@ -996,6 +996,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic augmentation — token dropout with reproducible hash
+    * coins, the contrastive/regularization view generator that must be
+    * REPLAYABLE (the same doc always augments identically, across reruns
+    * and partitionings — a seeded RNG per partition cannot promise that;
+    * a per-(doc, position) hash coin can). Each token survives unless
+    * h60(doc:pos:salt) lands in the drop band (~10%); survivors reassemble
+    * in position order and the gate hashes the REBUILT STRING, so both
+    * the coin and the reassembly are verified cross-engine. One narrow
+    * pass: posexplode → filter → per-doc sorted re-collect (the only
+    * shuffle, keyed by doc_id). Output (doc_id, n_tokens, n_kept,
+    * aug_fp). */
+  def augmentDropout(docs: DataFrame, salt: String = "aug1"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("keep",
+        Hashes.h60(concat_ws(":", col("doc_id"), col("pos"), lit(salt)))
+          % 10 =!= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("tok"))))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        Hashes.h60(concat_ws(" ",
+          transform(col("kept"), x => x.getField("tok")))).as("aug_fp"))
+      .orderBy("doc_id")
+
   /** Signal agreement — exact Spearman rank correlation between the two
     * quality signals this library computes ([[qualityScore]]'s heuristic
     * vs [[lmScore]]'s LM surprisal, fluent-first): the number that decides

@@ -463,6 +463,38 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     assert(rows.exists(_._3 > 0L), "no source drops tokens — dedup vacuous")
   }
 
+  test("augmentation is replayable, partition-invariant, and ~10% dropout") {
+    val docs = Sources.documents(spark, d01)
+    val a1 = TextAnalysis.augmentDropout(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replayable: a second run over a different partitioning is identical
+    val a2 = TextAnalysis.augmentDropout(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a1.sortBy(_._1).toSeq === a2.sortBy(_._1).toSeq)
+    // dropout rate: hash coins land in the 10% band within loose bounds
+    val total = a1.map(_._2).sum.toDouble
+    val kept = a1.map(_._3).sum.toDouble
+    assert(kept / total > 0.85 && kept / total < 0.95,
+      s"dropout rate off: kept ${kept / total}")
+    // the salt changes the view: a different salt produces different coins
+    val b = TextAnalysis.augmentDropout(docs, salt = "aug2").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val fp1 = a1.map(r => r._1 -> r._4).toMap
+    assert(b.exists { case (id, fp) => fp1(id) != fp },
+      "salt does not move any fingerprint")
+    // and a driver replay of one doc's coins agrees exactly
+    val one = docs.orderBy("doc_id").select("doc_id", "text").head()
+    val toks = one.getString(1).split(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val keptDriver = toks.zipWithIndex.count { case (_, i) =>
+      h60(s"${one.getLong(0)}:$i:aug1") % 10 != 0
+    }
+    assert(a1.find(_._1 == one.getLong(0)).get._3 === keptDriver.toLong)
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
