@@ -691,6 +691,25 @@ object ExtensionOracles {
          |       CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_survivors,
          |       CAST(COUNT(*) - SUM(dropped) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
          |  FROM sel GROUP BY source ORDER BY source""".stripMargin,
+    // degree assortativity of the verified near-dup graph: directed edge
+    // list, integer moment sums, ONE division (symmetric denominator)
+    "q_assortativity" ->
+      s"""WITH $minhashCtes,
+         |$verifiedPairsCte,
+         |de AS (SELECT a AS u, b AS v FROM vp UNION ALL SELECT b AS u, a AS v FROM vp),
+         |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM de GROUP BY u),
+         |e AS (SELECT dx.d AS dx, dy.d AS dy
+         |        FROM de JOIN dg dx ON de.u = dx.u JOIN dg dy ON de.v = dy.u),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |             CAST(SUM(dx) AS BIGINT) AS sx,
+         |             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |             CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM e)
+         |SELECT m, sx, sxx, sxy,
+         |       CASE WHEN m * sxx <> sx * sx
+         |            THEN CAST(m * sxy - sx * sx AS DOUBLE)
+         |                   / CAST(m * sxx - sx * sx AS DOUBLE)
+         |       END AS r
+         |  FROM g""".stripMargin,
     // token-mass dedup ROI: same closure, dropped members' token counts
     "q_dedup_tokens" ->
       s"""WITH RECURSIVE $ccLabCtes,

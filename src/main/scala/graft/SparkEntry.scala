@@ -151,6 +151,8 @@ object SparkEntry {
     "q_dedup_retention" -> ((s, dir) => Dedup.dedupRetention(Sources.documents(s, dir))),
     "q_dedup_tokens" -> ((s, dir) =>
       Dedup.dedupTokenSavings(Sources.documents(s, dir))),
+    "q_assortativity" -> ((s, dir) =>
+      Dedup.assortativity(Sources.documents(s, dir))),
     "q_incr_dedup" -> ((s, dir) =>
       Dedup.incrementalDedup(Sources.documents(s, dir), "src17")),
     "q_sorted_neighbors" -> ((s, dir) =>

@@ -294,6 +294,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Degree assortativity of the near-dup pair graph — does duplication
+    * concentrate (hubs link hubs: template families, r > 0) or radiate
+    * (hubs link leaves: one canonical doc with many variants, r < 0)?
+    * Standard Newman assortativity: Pearson correlation of endpoint
+    * degrees over the DIRECTED edge list (each undirected pair counted in
+    * both orientations). Every sum is an exact int64 over |2·pairs| rows
+    * — m, Σx, Σx², Σxy — and r is one fixed expression tree of IEEE ops
+    * (two correctly-rounded sqrts), bit-identical cross-engine. Same
+    * verified pair list as every dedup-graph gate. Output one row
+    * (m, sx, sxx, sxy, r); r is null on a degree-regular graph (zero
+    * variance). */
+  def assortativity(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val p = lshPairs(docs, h, rows, threshold).localCheckpoint()
+    val directed = p.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(p.select(col("b").as("u"), col("a").as("v")))
+    val deg = directed.groupBy("u").agg(count(lit(1)).as("d"))
+    val e = directed
+      .join(deg.select(col("u"), col("d").as("dx")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dy")), "v")
+    // by symmetry of the directed list Σy = Σx and Σy² = Σx², so the two
+    // denominator factors are EQUAL and r collapses to ONE integer
+    // division — no sqrt at all
+    e.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+        when(col("m") * col("sxx") =!= col("sx") * col("sx"),
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("r"))
+  }
+
   /** Per-document triangle participation in the SimHash near-dup pair graph
     * — the local-clustering view that separates genuine duplicate CLIQUES
     * (template families, mirrored sites: their pairs close into triangles)

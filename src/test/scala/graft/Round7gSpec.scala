@@ -495,6 +495,28 @@ class Round7gSpec extends AnyFunSuite with SharedSpark {
     assert(a1.find(_._1 == one.getLong(0)).get._3 === keptDriver.toLong)
   }
 
+  test("assortativity recomputes from the pair list and is 1.0 on cliques") {
+    val docs = Sources.documents(spark, d01)
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val directed = pairs.flatMap(p => Seq(p, p.swap))
+    val deg = directed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = directed.length.toLong
+    val sx = directed.map(e => deg(e._1)).sum
+    val sxx = directed.map(e => deg(e._1) * deg(e._1)).sum
+    val sxy = directed.map(e => deg(e._1) * deg(e._2)).sum
+    val row = graft.operators.Dedup.assortativity(docs).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((m, sx, sxx, sxy)))
+    assert(row.getDouble(4) ===
+      (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble)
+    // the fixture's duplication is exact-copy cliques: within a clique all
+    // degrees are equal, so dx = dy on every edge and r is EXACTLY 1.0 —
+    // the theorem doubles as the non-vacuity check (any broken degree
+    // join would move it off 1)
+    assert(row.getDouble(4) === 1.0)
+  }
+
   test("ccnet terciles are balanced per lang and ordered by score") {
     val docs = Sources.documents(spark, d01)
     val rows = Curation.ccnetBuckets(docs).collect()
