@@ -185,7 +185,21 @@ object Bench {
     // tail-scrapers read the last line, and rounds 1-4 proved the fat line
     // overflows the driver's tail window (parsed:null four rounds running) —
     // the final line must parse standalone with no per-query map or env blob
-    println(s"""{"metric":"bench_detail","queries":{${details.mkString(",")}},"env":$env}""")
+    val detailJson =
+      s"""{"metric":"bench_detail","queries":{${details.mkString(",")}},"env":$env}"""
+    println(detailJson)
+    // First-class per-query artifact (r7 verdict #4): the driver's
+    // BENCH_r{N}.json tail window truncates the per-query map to its last
+    // ~40 entries, so regression hunts started blind for most of the suite.
+    // The full detail (every query: reps, cpu, gc/jit deltas, shuffle/input
+    // bytes) is therefore ALSO written to a file the next session can read
+    // directly; BASELINE.md references it.
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_per_query.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(perQueryPath), detailJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"bench detail write failed ($perQueryPath): ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"env_suspect":$anySuspect,"suspect_queries":$suspects,"sf":"$sfDir","env":$env}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"env_suspect":$anySuspect}""")
     spark.stop()

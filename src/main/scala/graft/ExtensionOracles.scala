@@ -110,17 +110,57 @@ object ExtensionOracles {
 
   private def bruteTopkCtes: String = s"$EMB,\n$bruteTopkCtesNoEmb"
 
-  /** The trained-IVF blocked near-dup pair chain (cells via pinned centers,
-    * within-cell scored pairs in `s`) — shared by q_neardup_blocked and
-    * q_semdedup so the two gates can never verify divergent blockings. */
-  private def blockedPairCtes: String =
+  /** Pinned-center cell assignment ending in `cells` (vec_id, emb, cid) —
+    * the coarse-quantizer blocking every celled chain starts from
+    * ([[blockedPairCtes]], the banded LSH chain). */
+  private def cellAsnCtes: String =
     s"""$EMB,
        |$ivfCentCte,
        |asn AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("e.emb", "c.cv")} AS ccos FROM e, cent c),
        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
-       |cells AS (SELECT vec_id, emb, cid FROM rk WHERE crank = 1),
+       |cells AS (SELECT vec_id, emb, cid FROM rk WHERE crank = 1)""".stripMargin
+
+  /** The trained-IVF blocked near-dup pair chain (cells via pinned centers,
+    * within-cell scored pairs in `s`) — shared by q_neardup_blocked and
+    * q_semdedup so the two gates can never verify divergent blockings. */
+  private def blockedPairCtes: String =
+    s"""$cellAsnCtes,
        |s AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosSql("x.emb", "y.emb")} AS cos
        |        FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)""".stripMargin
+
+  /** SQL twin of [[graft.operators.Similarity.embLshPairs]]'s banded
+    * blocking: 16 bands × 8 sign bits (plane k = band·8+bit, md5-derived
+    * ±1 literals inlined), composed with the pinned-center cell id — the
+    * (band, bv, cid) join key whose cardinality grows with the corpus
+    * (r7 verdict #1: the old 4×4-bit banding had 64 possible keys TOTAL,
+    * candidates ~n²/8 by construction). Ends in verified pairs `v`. */
+  private def lshBandCaseSql: String = {
+    val planes = graft.operators.Similarity.signPlanes(16 * 8, 64)
+    def bandSql(b: Int): String = (0 until 8).map { j =>
+      val lst = planes(b * 8 + j).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(list_zip(emb, $lst), z -> z[1]*z[2])) >= 0" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    "CASE t.band " +
+      (0 until 16).map(b => s"WHEN $b THEN (${bandSql(b)})").mkString(" ") + " END"
+  }
+
+  private def lshPairCtes: String =
+    s"""$cellAsnCtes,
+       |c2 AS (SELECT vec_id, emb, cid FROM rk WHERE crank <= 2),
+       |bnd AS (SELECT vec_id, cid, t.band AS band, $lshBandCaseSql AS bv
+       |          FROM c2, (VALUES ${(0 until 16).map(b => s"($b)").mkString(",")}) t(band)),
+       |prb AS (SELECT vec_id, cid, band,
+       |               CASE WHEN f.j < 0 THEN bv
+       |                    ELSE xor(bv, CAST(1 AS BIGINT) << f.j) END AS pv
+       |          FROM bnd, (VALUES (-1),(0),(1),(2),(3),(4),(5),(6),(7)) f(j)),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |           FROM prb x JOIN bnd y
+       |             ON x.band = y.band AND x.pv = y.bv AND x.cid = y.cid
+       |                AND x.vec_id < y.vec_id),
+       |v AS (SELECT cand.a, cand.b, ${cosSql("ea.emb", "eb.emb")} AS cos
+       |        FROM cand JOIN e ea ON cand.a = ea.vec_id
+       |                  JOIN e eb ON cand.b = eb.vec_id)""".stripMargin
 
   /** Pinned per-subspace PQ codebooks ([[PqPins]], regenerate with
     * `runMain graft.PqCenterPin`) as one (s, cid, cv) VALUES relation —
@@ -1633,32 +1673,30 @@ object ExtensionOracles {
       s"""WITH $EMB
          |SELECT vec_id, $lshCodeSql AS code FROM e ORDER BY vec_id""".stripMargin,
     "q_emb_lsh_pairs" ->
-      s"""WITH $EMB,
-         |c AS (SELECT vec_id, emb, $lshCodeSql AS code FROM e),
-         |bnd AS (SELECT vec_id, band, (code >> (band*4)) & 15 AS bv
-         |          FROM c, (VALUES (0),(1),(2),(3)) t(band)),
-         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |           FROM bnd x JOIN bnd y
-         |             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
-         |v AS (SELECT cand.a, cand.b, ${cosSql("ea.emb", "eb.emb")} AS cos
-         |        FROM cand JOIN e ea ON cand.a = ea.vec_id
-         |                  JOIN e eb ON cand.b = eb.vec_id)
+      s"""WITH $lshPairCtes
          |SELECT a, b, cos FROM v WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    // recall gauge for the banded chain: exact all-pairs ground truth `xp`,
+    // banded verified pairs from the SAME chain the pairs gate verifies
+    "q_emb_lsh_recall" ->
+      s"""WITH $lshPairCtes,
+         |xp AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |         FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |        WHERE ${cosSql("x.emb", "y.emb")} >= 0.45),
+         |f AS (SELECT a, b FROM v WHERE cos >= 0.45),
+         |h AS (SELECT f.a FROM f JOIN xp ON f.a = xp.a AND f.b = xp.b),
+         |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM xp) AS n_true,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_found,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hit)
+         |SELECT n_true, n_found, n_hit,
+         |       CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+         |  FROM n""".stripMargin,
     "q_csv_roundtrip" ->
       s"SELECT doc_id, text, lang, source, n_chars FROM $DOCS ORDER BY doc_id",
     // semantic cross-split leakage: the q_emb_lsh_pairs chain + salted
     // split assignment, keeping only pairs that cross the boundary
     "q_split_leakage" ->
-      s"""WITH $EMB,
-         |c AS (SELECT vec_id, emb, $lshCodeSql AS code FROM e),
-         |bnd AS (SELECT vec_id, band, (code >> (band*4)) & 15 AS bv
-         |          FROM c, (VALUES (0),(1),(2),(3)) t(band)),
-         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |           FROM bnd x JOIN bnd y
-         |             ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
-         |v AS (SELECT cand.a, cand.b, ${cosSql("ea.emb", "eb.emb")} AS cos
-         |        FROM cand JOIN e ea ON cand.a = ea.vec_id
-         |                  JOIN e eb ON cand.b = eb.vec_id),
+      s"""WITH $lshPairCtes,
          |p AS (SELECT a, b, cos,
          |             CASE WHEN ${graft.functions.Hashes.h60Sql("CAST(a AS VARCHAR) || ':split1'")} % 10 < 8
          |                  THEN 'train' ELSE 'eval' END AS sa,

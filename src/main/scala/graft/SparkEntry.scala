@@ -99,8 +99,12 @@ object SparkEntry {
     // source carves micro-batches.
     "q_freq_stream" -> ((s, dir) => {
       import s.implicits._
+      // keyed on the FULL sfDir path via md5 (not String.hashCode, whose
+      // 32-bit value can collide two sfDirs onto one replay directory)
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
       val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_freq_stream_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+        s"graft_freq_stream_$dirKey").getAbsolutePath
       Sources.streamItems(s, dir).orderBy("seq").limit(SP.n.toInt)
         .select(col("seq").cast("long"), col("item").cast("long"))
         .repartition(4).write.mode("overwrite").parquet(replay)
@@ -360,6 +364,8 @@ object SparkEntry {
       Similarity.embLshCodes(Sources.embeddings(s, dir))),
     "q_emb_lsh_pairs" -> ((s, dir) =>
       Similarity.embLshPairs(Sources.embeddings(s, dir))),
+    "q_emb_lsh_recall" -> ((s, dir) =>
+      Similarity.embLshRecall(Sources.embeddings(s, dir))),
     "q_csv_roundtrip" -> ((s, dir) => Sources.csvRoundTrip(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Relational.docsGroupingSets(s, dir)),
     "q_chunks" -> ((s, dir) =>
@@ -433,6 +439,28 @@ object SparkEntry {
   private val S =
     s"SELECT event_id AS seq, user_id % 50 AS item FROM '<sfDir>/events.parquet' " +
       s"ORDER BY seq LIMIT ${SP.n}"
+
+  /** `scala.util.hashing.byteswap64` replayed in SQL (r7 verdict #3: the
+    * bottom-m reservoir is a pure function of this mix, so the merged
+    * sample is hash-gateable). byteswap64(v) = C·reverseBytes(C·v) in
+    * uint64 arithmetic with C = 0x9e3775cd9e3775cd: products run in
+    * HUGEINT with the 32×32 split (a·b mod 2⁶⁴ = a₀b₀ + ((a₀b₁+a₁b₀) mod
+    * 2³²)·2³² mod 2⁶⁴ — a full 64×64 HUGEINT product would overflow
+    * int128), reverseBytes is the 8-byte digit swap. Verified
+    * value-for-value against the JVM on seqs 0..4. */
+  private def bswapMulSql(u: String): String =
+    s"""(($u % 4294967296) * 2654434765
+       | + ((($u % 4294967296) * 2654434765 + ($u // 4294967296) * 2654434765)
+       |    % 4294967296) * 4294967296) % 18446744073709551616""".stripMargin
+  private def bswapRevSql(u: String): String =
+    s"""( ($u // 72057594037927936) % 256
+       | + (($u // 281474976710656) % 256) * 256
+       | + (($u // 1099511627776) % 256) * 65536
+       | + (($u // 4294967296) % 256) * 16777216
+       | + (($u // 16777216) % 256) * 4294967296
+       | + (($u // 65536) % 256) * 1099511627776
+       | + (($u // 256) % 256) * 281474976710656
+       | + ($u % 256) * 72057594037927936 )""".stripMargin
 
   /** Grid cell CTE over a point relation alias `p` — λ = D/(2√2) written with
     * the same expression shape as [[GridOutliers.cellify]] for bit equality. */
@@ -574,6 +602,23 @@ object SparkEntry {
     "q_freq_exact" -> freqExactSql,
     // the streaming file-replay twin converges to the BATCH answer: same SQL
     "q_freq_stream" -> freqExactSql,
+    // mergeable bottom-m reservoir: key = byteswap64(seq ^ 42) is a bijection
+    // (three invertible uint64 steps), so "the m smallest keys" is a unique,
+    // order-free set both engines agree on bit-for-bit
+    "q_reservoir_merge" ->
+      s"""WITH s AS ($S),
+         |x0 AS (SELECT item, CAST(xor(seq, 42) AS HUGEINT) AS u FROM s),
+         |m1 AS (SELECT item, ${bswapMulSql("u")} AS u FROM x0),
+         |rb AS (SELECT item, ${bswapRevSql("u")} AS u FROM m1),
+         |m2 AS (SELECT item, ${bswapMulSql("u")} AS u FROM rb),
+         |keyed AS (SELECT item,
+         |                 CAST(CASE WHEN u >= 9223372036854775808
+         |                           THEN u - 18446744073709551616
+         |                           ELSE u END AS BIGINT) AS k
+         |            FROM m2),
+         |bottom AS (SELECT item FROM keyed ORDER BY k LIMIT ${SP.reservoirSize})
+         |SELECT DISTINCT CAST(item AS BIGINT) AS item FROM bottom
+         | ORDER BY item""".stripMargin,
     "q_freq_compare" ->
       s"""WITH s AS ($S),
          |g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY item),

@@ -86,9 +86,15 @@ object Hw1Main {
   * MRFFT radius becomes the MRApproxOutliers threshold. */
 object Hw2Main {
   def main(args: Array[String]): Unit = {
-    require(args.length == 4, "Usage: Hw2Main <file_path> <M> <K> <L>")
-    val Array(path, mS, kS, lS) = args
+    require(args.length == 4 || args.length == 6 && args(4) == "--seed",
+      "Usage: Hw2Main <file_path> <M> <K> <L> [--seed <S>]")
+    val Array(path, mS, kS, lS) = args.take(4)
     val (m, k, l) = (mS.toInt, kS.toInt, lS.toInt)
+    // faithful-randomness mode (big_data_computing_2.py:19 — each
+    // SequentialFFT call draws its first center uniformly at random):
+    // --seed S replays the reference's uniform first-center choice from a
+    // seeded RNG; without it the injectable deterministic default applies.
+    val seed: Option[Long] = if (args.length == 6) Some(args(5).toLong) else None
     val spark = AppSession.get("graft-hw2")
     // spark.locality.wait=0s passthrough (big_data_computing_2.py:124) is
     // irrelevant in local mode; cluster deployments set it via spark-submit.
@@ -99,7 +105,10 @@ object Hw2Main {
     println(s"Number of points = $n")
 
     val vecs = points.select(col("id"), array(col("x"), col("y")).as("vec")).cache()
-    val (centers, ms1, ms2) = Clustering.mrfftCentersTimed(vecs, k, l)
+    val (centers, ms1, ms2) = seed match {
+      case Some(s) => Clustering.mrfftCentersRandomTimed(vecs, k, l, s)
+      case None    => Clustering.mrfftCentersTimed(vecs, k, l)
+    }
     val (radius, ms3) = AppSession.timedMs(
       Clustering.radius(vecs, centers).head().getDouble(0))
     println(s"Running time of MRFFT R1 = $ms1 ms") // :162-164

@@ -36,28 +36,14 @@ object KMeans {
   private val Q30 = 1073741824.0 // 2^30 — centroid quantization
   private val Q20 = 1048576.0 // 2^20 — cost quantization
 
-  /** Squared distance to a literal center via the loop-codegen'd
-    * [[graft.functions.SqDiffSum]] kernel — same strict left-to-right fold
-    * as the oracle's `list_sum`, but ONE compact generated loop instead of
-    * a 64-term unrolled chain: with k centers per row the unrolled form
-    * grew the generated method past the JVM 64 KB limit, whole-stage
-    * codegen bailed, and the whole assignment stage ran interpreted
-    * (measured ~19 CPU-seconds per trained-IVF query at sf0.1, r6). */
-  private def sqDist(vecCol: Column, c: Array[Double]): Column =
-    graft.functions.SqDiffSum.sqDiffSum(vecCol, array(c.map(lit(_)): _*))
-
-  /** Argmin assignment against literal centers: one narrow codegen'd pass,
-    * ties broken toward the lowest cid (struct ordering compares dist
-    * first). Output (vec_id, emb, cid, d). */
-  def assign(vecs: DataFrame, centers: Seq[(Long, Array[Double])]): DataFrame = {
-    val structs = centers.map { case (cid, cv) =>
-      struct(sqDist(col("emb"), cv).as("d"), lit(cid).as("cid"))
-    }
-    vecs.select(col("vec_id"), col("emb"),
-        array_min(array(structs: _*)).as("m"))
-      .select(col("vec_id"), col("emb"),
-        col("m.cid").as("cid"), col("m.d").as("d"))
-  }
+  /** Argmin assignment against broadcast centers — the
+    * [[CenterKernels.assignByL2]] mapPartitions kernel (same strict
+    * Σ(vᵢ−cᵢ)² fold and (d asc, cid asc) tie-break as the literal-center
+    * `array_min(struct(...))` projection it replaces; see
+    * [[CenterKernels]] for why plan literals stop working once k grows
+    * with the corpus). Output (vec_id, emb, cid, d). */
+  def assign(vecs: DataFrame, centers: Seq[(Long, Array[Double])]): DataFrame =
+    CenterKernels.assignByL2(vecs, centers)
 
   /** Exact order-independent centroid update: per (cid, dim), int64 sums of
     * floor(e·2³⁰), divided back out on the driver — k·d rows collected. */
@@ -117,21 +103,31 @@ object KMeans {
       (0 until m).map(s => init.map { case (cid, v) =>
         (cid, v.slice(s * subDim, (s + 1) * subDim))
       })
+    val spark = emb.sparkSession
+    import spark.implicits._
     var round = 1
     while (round < iters) {
-      val assigned = vecs.select(
-        explode(array((0 until m).map { s =>
-          val sub = slice(col("emb"), s * subDim + 1, subDim)
-          struct(lit(s).as("s"),
-            array_min(array(books(s).map { case (cid, cv) =>
-              struct(graft.functions.SqDiffSum.sqDiffSum(sub,
-                array(cv.map(lit(_)): _*)).as("d"), lit(cid).as("cid"))
-            }: _*)).getField("cid").as("cid"),
-            sub.as("emb"))
-        }: _*)).as("a"))
+      // all-subspace argmin in ONE mapPartitions pass over broadcast books
+      // (the [[CenterKernels]] treatment: same slice, same strict fold,
+      // same (d asc, cid asc) tie-break as the literal-book projection)
+      val bcBooks = spark.sparkContext.broadcast(books.map(_.toArray).toArray)
+      val assigned = vecs
+        .select(col("vec_id"), col("emb").cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val bks = bcBooks.value
+          it.flatMap { case (_, v) =>
+            (0 until m).iterator.map { s =>
+              val sub = java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)
+              val (cid, _) = CenterKernels.nearestByL2(sub, bks(s))
+              (s, cid, sub)
+            }
+          }
+        }
+        .toDF("s", "cid", "emb")
       val rows = assigned
-        .select(col("a.s").as("s"), col("a.cid").as("cid"),
-          posexplode(col("a.emb")).as(Seq("dim", "e")))
+        .select(col("s"), col("cid"),
+          posexplode(col("emb")).as(Seq("dim", "e")))
         .groupBy("s", "cid", "dim")
         .agg(count(lit(1)).as("n"),
           sum(floor(col("e") * lit(Q30)).cast("long")).as("qsum"))

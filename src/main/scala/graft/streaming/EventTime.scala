@@ -25,24 +25,31 @@ object EventTime {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
   /** Streaming daily-active-users: EXACT distinct users per event-time
-    * window, as a two-stage streaming pipeline — watermarked
-    * `dropDuplicatesWithinWatermark` on (user, window-day) collapses each
-    * user to one row per day while the watermark bounds the dedup state,
-    * then a windowed count aggregates the survivors. This is the
+    * window, as a two-stage streaming pipeline — dedup on
+    * (user, day-WINDOW), then a windowed count of the survivors.
+    *
+    * The dedup key deliberately includes the day *window column* (not a
+    * plain derived day scalar): a window key's state is evicted only when
+    * the watermark passes the window END, so a user's (user, day) row
+    * survives the entire day and every same-day re-arrival deduplicates —
+    * exactly once per user-day reaches the count. The previous shape
+    * (`dropDuplicatesWithinWatermark("user_id", "day")` under a raw-ts
+    * watermark) evicted a user's state `lateness` after their FIRST event
+    * and double-counted an evening return (caught by ScratchDauSpec:
+    * morning + evening activity of one user read as DAU 2, not 1).
+    * State stays bounded: |active users per in-flight day|, closed days
+    * evicted by the watermark; exact (not approx_count_distinct) — the
     * streaming twin of the batch distinct user-day table (q_stickiness's
-    * first stage): exact (not approx_count_distinct), state proportional
-    * to |active users per in-flight day|, windows finalize under the
-    * watermark for append sinks. */
+    * first stage). */
   def dauStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events
-      .select(col("ts"), col("user_id"),
-        window(col("ts"), "1 day").getField("start").as("day"))
       .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark("user_id", "day")
-      // second stateful stage: the surviving row keeps its ts, and all of
-      // a (user, day) set's rows share the day window, so the windowed agg
-      // counts exactly one row per active user per day
-      .groupBy(window(col("ts"), "1 day").as("w"))
+      .select(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .dropDuplicates("user_id", "w")
+      // second stateful stage: window-on-window chaining — the agg groups
+      // by the same day window, finalizing each day for append sinks once
+      // the watermark passes its end
+      .groupBy(col("w"))
       .agg(count(lit(1)).as("dau"))
       .select(col("w.start").as("day"), col("dau"))
 

@@ -31,11 +31,13 @@ object FrequentItems {
   /** Exact frequent items (C7, `big_data_computing_3.py:10-12`): items whose
     * count over the first n stream items is ≥ φ·n. Streaming-exact counts are
     * the same groupBy under `outputMode(update)`. */
-  def exactFrequent(items: DataFrame, n: Long, phi: Double): DataFrame =
+  def exactFrequent(items: DataFrame, n: Long, phi: Double): DataFrame = {
+    require(n <= Int.MaxValue, s"prefix length n=$n exceeds limit()'s Int range")
     items.orderBy("seq").limit(n.toInt)
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= lit(phi) * lit(n.toDouble))
       .orderBy("item")
+  }
 
   /** ±-marked membership comparison (§2.7, `big_data_computing_3.py:125-137`):
     * left join of a candidate set against the true-frequent set. */
@@ -60,6 +62,8 @@ object FrequentItems {
     * operator expressible as joins+aggregations (hence oracle-checkable).
     * Report filter: count > (φ−ε)·n (`:110`). */
   def stickyDeterministic(items: DataFrame, p: StreamParams): DataFrame = {
+    require(p.n <= Int.MaxValue,
+      s"prefix length n=${p.n} exceeds limit()'s Int range")
     val firstN = items.orderBy("seq").limit(p.n.toInt)
     val thr = lit(p.stickyRate / p.n) * lit(1152921504606846976.0) // 2^60
     val coins = firstN.withColumn("h",

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CenterKernels, Clustering, KMeans, Similarity}
+import graft.sources.Sources
+
+/** Round-8 hardening: broadcast-centers kernels replace literal-center
+  * projections (bit-identity gate), and the faithful-randomness HW2 mode
+  * (seeded uniform first-center draw, replayable trace). */
+class Round8Spec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CenterKernels reproduce the literal-column folds bit-for-bit") {
+    // The kernels' bit-equality contract vs the Catalyst expressions they
+    // replaced: same strict left-to-right folds, same dot/(sqrt·sqrt)
+    // division order, same (double, cid) struct ordering. Verified here
+    // against the column formulation rebuilt inline with the ORIGINAL
+    // DotProduct/SqDiffSum expressions — any fold-order or tie-break drift
+    // in the kernels fails on exact doubles.
+    val emb = Sources.embeddings(spark, dir).select(col("vec_id"), col("emb"))
+    val centers = KMeans.trainCenters(
+      Sources.embeddings(spark, dir), Similarity.ivfK(Sources.embeddings(spark, dir)),
+      Similarity.IvfTrainIters)
+
+    def cosLit(c: Array[Double]) = {
+      val d = graft.functions.DotProduct.dot _
+      val cl = graft.functions.ArrLit.darr(c)
+      d(col("emb"), cl) / (sqrt(d(col("emb"), col("emb"))) * sqrt(d(cl, cl)))
+    }
+    val structs = array(centers.map { case (cid, cv) =>
+      struct((-cosLit(cv)).as("nc"), lit(cid).as("cid"))
+    }: _*)
+
+    // argmax-cosine assignment + score
+    val colForm = emb.select(col("vec_id"), array_min(structs).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), (-col("m.nc")).as("ccos"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val kernForm = CenterKernels.assignByCos(emb, centers)
+      .select(col("vec_id"), col("cid"), col("ccos"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(kernForm.size === colForm.size)
+    kernForm.foreach { case (id, (cid, ccos)) =>
+      val (ecid, eccos) = colForm(id)
+      assert(cid === ecid, s"cid mismatch at vec $id")
+      assert(java.lang.Double.doubleToRawLongBits(ccos) ===
+        java.lang.Double.doubleToRawLongBits(eccos), s"ccos bits at vec $id")
+    }
+
+    // multi-probe cells: slice(array_sort(...), 1, p) vs topCellsByCos
+    val p = Similarity.LshCellProbes
+    val colProbe = emb.select(col("vec_id"),
+        explode(slice(array_sort(structs), 1, p)).as("m"))
+      .select(col("vec_id"), col("m.cid"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val kernProbe = CenterKernels.probeCells(emb, centers, p)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSeq).toMap
+    assert(kernProbe === colProbe)
+
+    // L2 assignment: array_min(struct(sqDiffSum, cid)) vs assignByL2
+    val l2Structs = array(centers.map { case (cid, cv) =>
+      struct(graft.functions.SqDiffSum.sqDiffSum(col("emb"),
+        graft.functions.ArrLit.darr(cv)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val colL2 = emb.select(col("vec_id"), array_min(l2Structs).as("m"))
+      .select(col("vec_id"), col("m.cid"), col("m.d"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val kernL2 = KMeans.assign(emb, centers)
+      .select(col("vec_id"), col("cid"), col("d"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    colL2.foreach { case (id, (ecid, ed)) =>
+      val (cid, d) = kernL2(id)
+      assert(cid === ecid)
+      assert(java.lang.Double.doubleToRawLongBits(d) ===
+        java.lang.Double.doubleToRawLongBits(ed))
+    }
+  }
+
+  test("cmpD matches Spark SQL double ordering on the edge values") {
+    import CenterKernels.cmpD
+    assert(cmpD(-0.0, 0.0) === 0) // SQL treats -0.0 = 0.0
+    assert(cmpD(Double.NaN, Double.PositiveInfinity) === 1) // NaN greatest
+    assert(cmpD(Double.NaN, Double.NaN) === 0)
+    assert(cmpD(Double.NegativeInfinity, -1.0) === -1)
+    assert(cmpD(1.0, 2.0) === -1)
+  }
+
+  test("faithful-randomness MRFFT: seeded trace replays bit-for-bit") {
+    val pts = Sources.points2d(spark, dir)
+    val vecs = pts.select(col("id"), array(col("x"), col("y")).as("vec"))
+    val (c1, _, _) = Clustering.mrfftCentersRandomTimed(vecs, k = 4, l = 2, seed = 7L)
+    val (c2, _, _) = Clustering.mrfftCentersRandomTimed(vecs, k = 4, l = 2, seed = 7L)
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq)) // same seed → same trace
+    assert(c1.length === 4)
+    // the coreset-round draw is exactly the seeded RNG's uniform index:
+    // rebuild the round-1 coreset deterministically and replay round 2
+    val (cOther, _, _) = Clustering.mrfftCentersRandomTimed(vecs, 4, 2, seed = 8L)
+    // any-first-center approximation: radius within the 4-approx band of
+    // the deterministic run (ratio bounded by the approx factor both ways)
+    val rDet = Clustering.radius(vecs,
+      Clustering.mrfftCentersDeterministic(vecs, 4, 2)).head().getDouble(0)
+    for (c <- Seq(c1, cOther)) {
+      val r = Clustering.radius(vecs, c).head().getDouble(0)
+      assert(r > 0.0 && r <= 4.0 * rDet && r >= rDet / 4.0)
+    }
+  }
+
+  test("faithful-randomness MRFFT: the first round-2 center IS the seeded draw") {
+    val pts = Sources.points2d(spark, dir)
+    val vecs = pts.select(col("id"), array(col("x"), col("y")).as("vec"))
+    // replicate round 1 with the same deterministic partitioning + the same
+    // per-partition seeded draws, entirely first-principles
+    import spark.implicits._
+    val l = 2
+    val coreset = vecs
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .repartition(l, pmod(col("id"), lit(l * 128)))
+      .sortWithinPartitions(col("id"), col("vec"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val buf = it.toIndexedSeq
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val rng = new scala.util.Random(11L ^ pid.toLong * 0x9e3779b97f4a7c15L)
+          Clustering.sequentialFFT(buf.map(_._2), 3, rng.nextInt(buf.length)).iterator
+        }
+      }
+      .collect()
+    val expectedFirst = coreset(new scala.util.Random(11L).nextInt(coreset.length))
+    val (centers, _, _) = Clustering.mrfftCentersRandomTimed(vecs, 3, l, seed = 11L)
+    assert(centers.head.toSeq === expectedFirst.toSeq)
+  }
+}

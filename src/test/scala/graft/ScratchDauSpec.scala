@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -10,6 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventTime
 
 class ScratchDauSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
 
   private def ts(min: Long): Timestamp =
     new Timestamp((19723L * 86400L + min * 60L) * 1000L)
