@@ -147,7 +147,7 @@ object ExtensionOracles {
 
   private def lshPairCtes: String =
     s"""$cellAsnCtes,
-       |c2 AS (SELECT vec_id, emb, cid FROM rk WHERE crank <= 2),
+       |c2 AS (SELECT vec_id, emb, cid FROM rk WHERE crank <= 4),
        |bnd AS (SELECT vec_id, cid, t.band AS band, $lshBandCaseSql AS bv
        |          FROM c2, (VALUES ${(0 until 16).map(b => s"($b)").mkString(",")}) t(band)),
        |prb AS (SELECT vec_id, cid, band,

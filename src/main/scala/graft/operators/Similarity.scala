@@ -101,11 +101,14 @@ object Similarity {
   private[graft] val LshBandBits = 8
 
   /** Cell multi-probe width for the banded chain: each vector blocks into
-    * its 2 nearest coarse cells. Measured at sf0.01: exact-pair cell
-    * co-residency is 5/14 at nprobe=1 (a cos-0.45 pair is 63° apart —
-    * routinely straddling a Voronoi boundary) but 11/14 at nprobe=2; the
-    * standard IVF multi-probe trade, costing 2× blocking rows. */
-  private[graft] val LshCellProbes = 2
+    * its 4 nearest coarse cells. Measured loss breakdown on the 144 exact
+    * pairs at sf0.1 (k=63 cells): the bands catch 142/144 at hd≤1, so
+    * cell-splitting is the whole recall loss — co-residency is 27/144 at
+    * p=1, 66 at p=2, 114 at p=4, 142 at p=8 (a cos-0.45 pair is 63° apart
+    * and routinely straddles Voronoi boundaries). p=4 is the trade point:
+    * recall 0.78 for 4×16·n blocking rows, candidates still
+    * ~n·occupancy·p² — linear in corpus size. */
+  private[graft] val LshCellProbes = 4
 
   /** (vec_id, cid, band, bv) — the banded+celled blocking table behind
     * [[embLshPairs]]/[[splitLeakage]]: [[LshCellProbes]]·[[LshBands]]·n
