@@ -22,19 +22,28 @@ import graft.operators.ExactOutliers
   * Output: one JSON line recorded as a BASELINE.md footnote with the
   * documented crossover threshold.
   */
-object SkewProof {
-
-  private final class TaskTimes extends SparkListener {
+private[graft] object SkewMeasure {
+  final class TaskTimes extends SparkListener {
     val ms = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (t.taskInfo != null) ms.add(t.taskInfo.duration): Unit
   }
 
-  private def timed[T](body: => T): (T, Double) = {
+  def timed[T](body: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = body
     (r, (System.nanoTime() - t0) / 1e9)
   }
+
+  def pctl(ts: Seq[Long], q: Double): Long =
+    if (ts.isEmpty) 0L else ts((q * (ts.size - 1)).toInt)
+
+  def fmt(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+}
+
+object SkewProof {
+  import SkewMeasure.{TaskTimes, timed}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,9 +108,8 @@ object SkewProof {
     val (jRes, jSum, jT, jTasks) = run("join")
     val agree = kRes == jRes && kSum == jSum
 
-    def p(ts: Seq[Long], q: Double): Long =
-      if (ts.isEmpty) 0L else ts((q * (ts.size - 1)).toInt)
-    def fmt(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    def p(ts: Seq[Long], q: Double): Long = SkewMeasure.pctl(ts, q)
+    def fmt(x: Double) = SkewMeasure.fmt(x)
     println(s"""{"metric":"skew_proof","n_points":$n,"hot_cell_points":$hotN,""" +
       s""""skew_threshold":"${sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "256m")}",""" +
       s""""advisory":"${sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m")}",""" +
@@ -111,5 +119,88 @@ object SkewProof {
       s""""join_task_p50_ms":${p(jTasks, 0.5)},"join_task_max_ms":${jTasks.lastOption.getOrElse(0L)}}""")
     spark.stop()
     if (!agree) sys.exit(1)
+  }
+}
+
+/** Hot-band straggler evidence for the MinHash LSH band join (r7 verdict
+  * #7, the [[SkewProof]] treatment extended to the dedup chain): a
+  * boilerplate family of F byte-identical documents shares every MinHash
+  * signature, so ALL its band rows collapse into ONE (band, bsig) bucket
+  * and the band self-join must emit F(F−1)/2 candidate pairs from a
+  * single join key — the canonical dedup hot key (think license headers
+  * or scraped nav chrome at 100 TB).
+  *
+  * Three timed runs, AQE skew-join on: (a) the organic sf corpus,
+  * (b) organic + family (the hot band), (c) the production mitigation —
+  * EXACT dedup first (keep-lowest-id, [[graft.operators.Dedup
+  * .dedupedDocIds]]), which collapses the family to one survivor BEFORE
+  * any signature exists; near-dup LSH then runs on distinct texts only.
+  * Correctness closes the A/B honestly: the family text is alien to the
+  * corpus and exact copies share every shingle, so
+  * |pairs(hot)| = |pairs(organic)| + C(F,2) exactly, and the mitigated
+  * count equals the DEDUPED-organic count (the surviving family
+  * representative verifies against nothing; exact dedup also collapses
+  * the corpus's own deliberate byte-identical dups, so the raw organic
+  * count is not the right reference). Per-task wall times expose the
+  * straggler (task_max vs task_p50) in each form.
+  *
+  * Output: one `skew_proof_lsh` JSON line recorded in BASELINE.md. */
+object LshSkewProof {
+  import SkewMeasure.{TaskTimes, fmt, pctl, timed}
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val famN = sys.env.getOrElse("SPARK_GRAFT_HOT_DOCS", "2000").toInt
+    val spark = SparkLocal.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      extraConf = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "256m"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+          sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m")))
+    import graft.operators.Dedup
+    // alien vocabulary: no organic shingle can collide at the verify stage
+    val boiler = (0 until 40).map(i => s"zqxboilerplate$i").mkString(" ")
+    val organic = graft.sources.Sources.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val family = spark.range(famN).select(
+      (col("id") + 50000000L).as("doc_id"), lit(boiler).as("text"))
+    val hot = organic.unionAll(family).localCheckpoint()
+
+    def run(df: org.apache.spark.sql.DataFrame): (Long, Double, Seq[Long]) = {
+      val tt = new TaskTimes
+      spark.sparkContext.addSparkListener(tt)
+      val (n, t) = timed(Dedup.minhashLshPairs(df).count())
+      spark.sparkContext.removeSparkListener(tt)
+      import scala.jdk.CollectionConverters._
+      (n, t, tt.ms.asScala.toSeq.sorted)
+    }
+
+    val (orgN, orgT, orgTasks) = run(organic)
+    val (hotN2, hotT, hotTasks) = run(hot)
+    // mitigation: exact dedup first — survivors only, then the same chain
+    val (mitN, mitT, mitTasks) = run(
+      hot.join(Dedup.dedupedDocIds(hot), Seq("doc_id"), "left_semi")
+        .localCheckpoint())
+    // the mitigation's honest reference: exact dedup collapses ORGANIC
+    // byte-identical texts too (the corpus ships deliberate exact dups), so
+    // the expected count is the deduped-organic chain, not the raw one
+    val (orgDedupN, _, _) = run(
+      organic.join(Dedup.dedupedDocIds(organic), Seq("doc_id"), "left_semi")
+        .localCheckpoint())
+
+    val closedForm = hotN2 == orgN + famN.toLong * (famN - 1) / 2
+    val mitigated = mitN == orgDedupN
+    println(s"""{"metric":"skew_proof_lsh","n_docs":${organic.count()},""" +
+      s""""family_docs":$famN,"organic_pairs":$orgN,"hot_pairs":$hotN2,""" +
+      s""""mitigated_pairs":$mitN,"organic_deduped_pairs":$orgDedupN,""" +
+      s""""closed_form":$closedForm,"mitigated_eq_deduped_organic":$mitigated,""" +
+      s""""organic_s":${fmt(orgT)},"hot_s":${fmt(hotT)},"mitigated_s":${fmt(mitT)},""" +
+      s""""organic_task_p50_ms":${pctl(orgTasks, 0.5)},"organic_task_max_ms":${orgTasks.lastOption.getOrElse(0L)},""" +
+      s""""hot_task_p50_ms":${pctl(hotTasks, 0.5)},"hot_task_max_ms":${hotTasks.lastOption.getOrElse(0L)},""" +
+      s""""mitigated_task_p50_ms":${pctl(mitTasks, 0.5)},"mitigated_task_max_ms":${mitTasks.lastOption.getOrElse(0L)}}""")
+    spark.stop()
+    if (!closedForm || !mitigated) sys.exit(1)
   }
 }

@@ -23,7 +23,7 @@ class StateRecoverySpec extends AnyFunSuite with SharedSpark {
       .select(to_timestamp(col("raw_ts")).as("ts"), col("event_type"))
   }
 
-  test("windowedCounts survives a checkpointed restart without dupes or loss") {
+  private def recoveryRoundTrip(provider: Option[String]): Unit = {
     val base = java.nio.file.Files.createTempDirectory("graft_state").toString
     val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
 
@@ -40,6 +40,8 @@ class StateRecoverySpec extends AnyFunSuite with SharedSpark {
     val batch2 = eventsDf(Seq(("2024-01-01 04:00:00", "view")))
 
     def runOnce(): Unit = {
+      provider.foreach(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
       val stream = spark.readStream
         .schema("ts TIMESTAMP, event_type STRING")
         .parquet(srcDir)
@@ -49,8 +51,11 @@ class StateRecoverySpec extends AnyFunSuite with SharedSpark {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
-      assert(!q.isActive, "AvailableNow query must drain and stop")
+      try {
+        q.awaitTermination(120000)
+        assert(!q.isActive, "AvailableNow query must drain and stop")
+      } finally
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
     batch1.coalesce(1).write.mode("overwrite").parquet(srcDir)
@@ -79,5 +84,18 @@ class StateRecoverySpec extends AnyFunSuite with SharedSpark {
       ("2024-01-01 01:00:00.0", "view") -> 2L,
       ("2024-01-01 02:00:00.0", "click") -> 1L),
       s"restored state must finalize with pre-stop rows included: $byKey")
+  }
+
+  test("windowedCounts survives a checkpointed restart without dupes or loss") {
+    recoveryRoundTrip(provider = None) // default HDFS-backed memory store
+  }
+
+  // r7 verdict #8: at 100 TB of keys the default in-memory store IS the
+  // bottleneck (every key lives on-heap per executor); RocksDB is the
+  // production provider — state spills to local disk, memory stays bounded.
+  // Same contract, same checkpoint round-trip, RocksDB-backed.
+  test("windowedCounts recovery holds on the RocksDB state store") {
+    recoveryRoundTrip(provider = Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 }
