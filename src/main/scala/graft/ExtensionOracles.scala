@@ -1507,6 +1507,27 @@ object ExtensionOracles {
          |         / CAST(((CAST(SUM(n_chars) AS BIGINT) + 65535) // 65536) * 65536 AS DOUBLE)
          |         AS mean_fill
          |  FROM $DOCS GROUP BY lang ORDER BY lang""".stripMargin,
+    // compaction EXECUTION: the oracle replays the deterministic first-char
+    // file assignment (within-lang doc_id-ordered running char sum) and
+    // asserts the filesystem achieved it — n_files_written has no SQL
+    // source, so the oracle emits the assignment count for BOTH columns:
+    // the gate fails unless the writer produced exactly one physical file
+    // per (lang, file_idx) group and lost no rows or chars
+    "q_compaction_exec" ->
+      s"""WITH a AS (SELECT lang, n_chars,
+         |                  (SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                   - CAST(n_chars AS BIGINT)) // 65536 AS file_idx
+         |             FROM $DOCS),
+         |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |             CAST(COUNT(DISTINCT file_idx) AS BIGINT) AS n_assigned
+         |        FROM a GROUP BY lang)
+         |SELECT lang, n_docs, chars_sum,
+         |       (chars_sum + 65535) // 65536 AS n_files,
+         |       n_assigned AS n_files_assigned, n_assigned AS n_files_written,
+         |       n_docs AS docs_written, chars_sum AS chars_written
+         |  FROM g ORDER BY lang""".stripMargin,
     // snapshot diff: the oracle rebuilds the identical derived v2 (salted
     // md5 delete/revise/re-add coins) and classifies via full outer join
     "q_snapshot_diff" ->

@@ -220,6 +220,11 @@ object SparkEntry {
       Sketches.quantileAccuracy(Sources.events(s, dir))),
     "q_compaction_plan" -> ((s, dir) =>
       Layout.compactionPlan(Sources.documents(s, dir))),
+    "q_compaction_exec" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_compact_${Sources.pathKey(dir)}").getAbsolutePath
+      Layout.compactExecute(Sources.documents(s, dir), out)
+    }),
     "q_snapshot_diff" -> ((s, dir) => DataQuality.snapshotDiff(s, dir)),
     "q_ab_srm" -> ((s, dir) => Relational.abSrm(s, dir)),
     "q_feature_hash" -> ((s, dir) =>

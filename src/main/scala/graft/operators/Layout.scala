@@ -80,4 +80,75 @@ object Layout {
         col("chars_sum").cast("double") /
           (col("n_files") * targetChars).cast("double"))
       .orderBy("lang")
+
+  /** EXECUTE the compaction (r7 verdict #9 — closing the plan→write loop
+    * the way q_zorder measured its pruning payoff): each document is
+    * assigned to the file where its first character lands under a
+    * deterministic within-lang (doc_id-ordered) running character sum —
+    * file_idx = (cum − n_chars) div targetChars — and the writer
+    * guarantees EXACTLY one physical parquet file per (lang, file_idx)
+    * group: rows are placed with a custom exact partitioner (one group =
+    * one task; hash `repartition` would collide groups into shared tasks
+    * and merge their files), then written `partitionBy(lang)`.
+    *
+    * The returned report joins three independent sources per lang — the
+    * ceil-division PLAN, the assignment's distinct file count, and the
+    * FILESYSTEM's `input_file_name()` count from reading the written
+    * layout back — plus the read-back doc/char totals, so the gate
+    * verifies the physical writer achieved the mathematical layout and
+    * lost nothing. (n_files_written ≤ n_files planned: a doc longer than
+    * targetChars overfills its file rather than splitting, so consecutive
+    * file indices can skip; the plan is the upper bound, the assignment
+    * is the realized layout — both are pure functions the DuckDB oracle
+    * replays.) At 100 TB this whole report is |langs| rows; the write is
+    * one shuffle sized by the plan. Output (lang, n_docs, chars_sum,
+    * n_files, n_files_assigned, n_files_written, docs_written,
+    * chars_written). */
+  def compactExecute(docs: DataFrame, path: String,
+                     targetChars: Long = 65536L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val assigned = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("file_idx", expr(s"(cum - n_chars) div $targetChars"))
+      .drop("cum")
+      .localCheckpoint() // assignment reused by the writer AND the report
+    // plan-sized driver state: one dense id per (lang, file_idx) group
+    val groups = assigned.select("lang", "file_idx").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.zipWithIndex.toMap
+    val nGroups = math.max(1, groups.size)
+    val bcGroups = spark.sparkContext.broadcast(groups)
+    val placed = assigned
+      .as[(Long, String, String, String, Long, Long)]
+      .rdd.keyBy { case (_, _, lang, _, _, fi) => bcGroups.value((lang, fi)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nGroups
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataset(placed)
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "file_idx")
+      .drop("file_idx")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    val back = spark.read.parquet(path)
+      // input_file_name is non-deterministic: project it before aggregating
+      .select(col("lang"), col("n_chars"), input_file_name().as("f"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("docs_written"),
+        sum(col("n_chars")).as("chars_written"),
+        countDistinct(col("f")).as("n_files_written"))
+    val assignedFiles = assigned.groupBy("lang")
+      .agg(countDistinct(col("file_idx")).as("n_files_assigned"))
+    compactionPlan(docs, targetChars).drop("mean_fill")
+      .join(assignedFiles, Seq("lang"))
+      .join(back, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("chars_sum"), col("n_files"),
+        col("n_files_assigned"), col("n_files_written"),
+        col("docs_written"), col("chars_written"))
+      .orderBy("lang")
+  }
 }

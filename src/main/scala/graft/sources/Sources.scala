@@ -100,13 +100,20 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Collision-free temp-dir key for sink round trips: md5 of the FULL
+    * sfDir path (String.hashCode is 32-bit — two sfDirs could collide onto
+    * one scratch directory and cross-contaminate their round trips). */
+  private[graft] def pathKey(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+
   /** Sink round trip: write documents partitioned by lang, read the layout
     * back, and return the full table — the losslessness gate for the writer
     * (the oracle is the unwritten source, so any encode/partition-column
     * drift breaks the hash). */
   def parquetRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sink_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+      s"graft_sink_${pathKey(sfDir)}").getAbsolutePath
     writePartitioned(documents(spark, sfDir), out, Seq("lang"))
     spark.read.parquet(out)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -122,7 +129,7 @@ object Sources {
     val src = documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source", "n_chars")
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sink_${fmt}_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+      s"graft_sink_${fmt}_${pathKey(sfDir)}").getAbsolutePath
     src.write.mode("overwrite").format(fmt).save(out)
     spark.read.schema(src.schema).format(fmt).load(out).orderBy("doc_id")
   }
@@ -161,7 +168,7 @@ object Sources {
         "text — CSV cannot distinguish '' from NULL on read-back; use the " +
         "parquet/ORC/JSON sinks for this corpus")
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sink_csv_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+      s"graft_sink_csv_${pathKey(sfDir)}").getAbsolutePath
     src.write.mode("overwrite").option("header", "true").csv(out)
     spark.read.schema(src.schema)
       .option("header", "true").option("multiLine", "true").csv(out)
