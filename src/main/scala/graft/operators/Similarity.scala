@@ -375,10 +375,11 @@ object Similarity {
     * literal-center assignment pass plus one k·d-cell aggregation per Lloyd
     * round (driver state k·d doubles, still far below data scale: 100 TB of
     * 64-dim vectors is n ≈ 2·10¹¹, k ≈ 6·10⁹ — at THAT point the coarse
-    * quantizer itself goes hierarchical (two-level: √k super-cells of √k
-    * cells each, the IMI/coarse-residual shape) and assignment joins against
-    * a broadcast centers table instead of plan literals; [[IvfMaxCells]]
-    * marks where the literal-plan regime ends in this build). The row count
+    * quantizer itself goes hierarchical: two-level √k super-cells of √k
+    * cells each, the IMI/coarse-residual shape, so per-row assignment cost
+    * stays 2·√k folds instead of k; [[IvfMaxCells]] marks where this build
+    * would switch — assignment itself already runs against broadcast
+    * centers with no per-k plan cost, [[CenterKernels]]). The row count
     * n comes from parquet footers / local-relation stats at zero jobs
     * ([[PlanStats.exactRowCount]]); only a statless source pays a count().
     *

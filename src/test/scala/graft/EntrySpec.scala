@@ -18,11 +18,12 @@ class EntrySpec extends AnyFunSuite with SharedSpark {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    // seeded-randomized (reservoir) and approximate-by-design (sketches) —
-    // everything else, including the deterministic MRFFT radii and the full
-    // hw2 pipeline (pinned-center oracles), must hash-match
-    assert(rowsOnly == Set(
-      "q_reservoir", "q_reservoir_merge", "q_sketch_stats"),
+    // seeded-randomized (reservoir — golden-trace-pinned in Round8Spec) and
+    // approximate-by-design (sketches) — everything else, including the
+    // deterministic MRFFT radii, the full hw2 pipeline (pinned-center
+    // oracles) and the merged bottom-m reservoir (byteswap64 replayed in
+    // SQL, r8), must hash-match
+    assert(rowsOnly == Set("q_reservoir", "q_sketch_stats"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

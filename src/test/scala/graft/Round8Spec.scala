@@ -107,6 +107,26 @@ class Round8Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q_reservoir golden replay: the seeded two-draw fold is pinned") {
+    // r7 verdict #3 second half: the sequential seeded reservoir has no
+    // SQL oracle (per-item driver RNG), so its trace is pinned instead —
+    // the golden buffer below was produced by an INDEPENDENT java.util
+    // .Random replication of the reference's draw order (acceptance
+    // nextDouble FIRST, slot nextInt only when accepted, one sticky
+    // admission nextDouble per untracked item — big_data_computing_3
+    // .py:15-33). Any reorder of the draws, off-by-one in the m/t
+    // acceptance, or change in the sticky interleave shifts the RNG
+    // stream and fails here on exact values.
+    val p = graft.model.StreamParams(1000L, 0.025, 0.01, 0.1)
+    val stream = (0 until 1000).map(i => (i.toLong * i + 7) % 37)
+    val st = new graft.streaming.SamplerState(p, seed = 42L)
+    st.fold(stream)
+    val golden = Seq(17L, 10L, 34L, 18L, 23L, 8L, 4L, 4L, 10L, 17L, 14L,
+      10L, 34L, 10L, 0L, 11L, 17L, 32L, 18L, 14L, 19L, 17L, 14L, 18L, 35L,
+      17L, 7L, 35L, 34L, 3L, 17L, 4L, 33L, 3L, 4L, 11L, 17L, 35L, 33L, 19L)
+    assert(st.reservoir.toSeq === golden)
+  }
+
   test("faithful-randomness MRFFT: the first round-2 center IS the seeded draw") {
     val pts = Sources.points2d(spark, dir)
     val vecs = pts.select(col("id"), array(col("x"), col("y")).as("vec"))
