@@ -516,6 +516,14 @@ object Dedup {
     // blocks are freed by the ContextCleaner when the plan is GC'd.
     val docAgg = sharedSignatures(docs, h)
       .getOrElse(docSignatures(docs, h).localCheckpoint())
+    lshPairsFrom(docAgg, h, rows, threshold)
+  }
+
+  /** [[lshPairs]] over an already-materialized signature table — the
+    * [[prefixJaccardPairsFrom]] counterpart for [[lshRecall]]'s shared
+    * checkpoint. */
+  private def lshPairsFrom(docAgg: DataFrame, h: Int, rows: Int,
+                           threshold: Double): DataFrame = {
     val cand = lshCandidates(docAgg, h, rows)
     cand
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
@@ -591,9 +599,15 @@ object Dedup {
     * (n_exact, n_caught, recall). */
   def lshRecall(docs: DataFrame, h: Int = 16, rows: Int = 4,
                 tNum: Int = 4, tDen: Int = 5): DataFrame = {
-    val exact = prefixJaccardPairs(docs, tNum, tDen)
+    // ONE shingle-kernel checkpoint feeds both sides: the h-variant table
+    // is a superset of the h=0 one (hs/c identical regardless of h), so
+    // the exact AllPairs side reads the same base the banded side bands
+    val docAgg = sharedSignatures(docs, h)
+      .getOrElse(docSignatures(docs, h).localCheckpoint())
+    val exact = prefixJaccardPairsFrom(
+        docAgg.select(col("doc_id"), col("hs"), col("c")), tNum, tDen)
       .select("a", "b").localCheckpoint()
-    val lsh = lshPairs(docs, h, rows, 0.5).select(col("a"), col("b"))
+    val lsh = lshPairsFrom(docAgg, h, rows, 0.5).select(col("a"), col("b"))
     val caught = exact.join(lsh, Seq("a", "b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
@@ -758,6 +772,17 @@ object Dedup {
     val docAgg = sharedSignatures(docs, h = 0)
       .getOrElse(docSignatures(docs, h = 0).localCheckpoint())
       .select(col("doc_id"), col("hs"), col("c"))
+    prefixJaccardPairsFrom(docAgg, tNum, tDen)
+  }
+
+  /** [[prefixJaccardPairs]] over an already-materialized (doc_id, hs, c)
+    * signature table — lets [[lshRecall]] feed BOTH its sides from ONE
+    * shingle-kernel checkpoint instead of each building its own (the
+    * kernel's md5-per-shingle pass was the query's duplicated cost in
+    * self-contained bench mode; the shared-memo path already collapsed it
+    * in Verify mode). */
+  private def prefixJaccardPairsFrom(docAgg: DataFrame, tNum: Int,
+                                     tDen: Int): DataFrame = {
     val inc = docAgg.select(col("doc_id"), col("c"), explode(col("hs")).as("h"))
     val dfs = inc.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
