@@ -162,6 +162,52 @@ object ExtensionOracles {
        |        FROM cand JOIN e ea ON cand.a = ea.vec_id
        |                  JOIN e eb ON cand.b = eb.vec_id)""".stripMargin
 
+  /** Pinned two-level IMI quantizer ([[ImiPins]], regenerate with
+    * `runMain graft.ImiCenterPin`) and its full probe chain — member
+    * table `mem` (per vector: nearest super cell, then nearest sub cell
+    * within it) and ranked probe results `ir` (per query: top-2 super
+    * cells × top-2 subs each, members ranked by exact cosine) — shared
+    * by q_ann_imi and q_imi_recall so the recall gate measures exactly
+    * the ranking the topk gate hash-verifies. Tie-breaks mirror the
+    * kernel's (−cos, cid) struct order: ROW_NUMBER ... ORDER BY c DESC,
+    * scell/sub. */
+  private def imiProbeCtes: String = {
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val supRows = ImiPins.superK4I2.map { case (sc, cv) =>
+      s"(CAST($sc AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
+    }.mkString(", ")
+    val subRows = ImiPins.subK4I2.map { case (sc, sub, cv) =>
+      s"(CAST($sc AS BIGINT), CAST($sub AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
+    }.mkString(", ")
+    s"""$EMB,
+       |sup AS (SELECT scell, cv FROM (VALUES $supRows) t(scell, cv)),
+       |sb AS (SELECT scell, sub, cv FROM (VALUES $subRows) t(scell, sub, cv)),
+       |sa AS (SELECT e.vec_id, e.emb, s.scell, ${cosSql("e.emb", "s.cv")} AS c FROM e, sup s),
+       |sar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, scell) AS rk FROM sa),
+       |sasn AS (SELECT vec_id, emb, scell FROM sar WHERE rk = 1),
+       |mb AS (SELECT a.vec_id, a.emb, a.scell, b.sub, ${cosSql("a.emb", "b.cv")} AS c
+       |         FROM sasn a JOIN sb b ON a.scell = b.scell),
+       |mbr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, sub) AS rk FROM mb),
+       |mem AS (SELECT vec_id AS nid, emb AS nv, scell, sub FROM mbr WHERE rk = 1),
+       |qp AS (SELECT e.vec_id AS qid, e.emb AS qv, s.scell, ${cosSql("e.emb", "s.cv")} AS c
+       |         FROM e, sup s WHERE e.vec_id < 5),
+       |qpr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, scell) AS rk FROM qp),
+       |qps AS (SELECT qid, qv, scell FROM qpr WHERE rk <= 2),
+       |qq AS (SELECT q.qid, q.qv, q.scell, b.sub, ${cosSql("q.qv", "b.cv")} AS c
+       |         FROM qps q JOIN sb b ON q.scell = b.scell),
+       |qqr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, scell ORDER BY c DESC, sub) AS rk FROM qq),
+       |prb AS (SELECT qid, qv, scell, sub FROM qqr WHERE rk <= 2),
+       |isc AS (SELECT p.qid, m.nid, ${cosSql("p.qv", "m.nv")} AS cos
+       |          FROM prb p JOIN mem m ON p.scell = m.scell AND p.sub = m.sub
+       |         WHERE m.nid <> p.qid),
+       |ir AS (SELECT qid, nid,
+       |              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |         FROM isc)""".stripMargin
+  }
+
   /** Pinned per-subspace PQ codebooks ([[PqPins]], regenerate with
     * `runMain graft.PqCenterPin`) as one (s, cid, cv) VALUES relation —
     * the same E0-literal discipline as [[ivfCentCte]]. */
@@ -1053,6 +1099,21 @@ object ExtensionOracles {
          |h AS (SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS hits
          |        FROM r JOIN br ON r.qid = br.qid AND r.nid = br.nid
          |       WHERE r.rank <= 10 AND br.rank <= 10 GROUP BY r.qid)
+         |SELECT bq.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |  FROM bq LEFT JOIN h ON bq.qid = h.qid ORDER BY bq.qid""".stripMargin,
+    // two-level IMI: pinned super centers + per-cell sub-codebooks, full
+    // hierarchical assignment + probe replayed from literals
+    "q_ann_imi" ->
+      s"""WITH $imiProbeCtes
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
+    "q_imi_recall" ->
+      s"""WITH $imiProbeCtes,
+         |$bruteTopkCtesNoEmb,
+         |h AS (SELECT ir.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |        FROM ir JOIN br ON ir.qid = br.qid AND ir.nid = br.nid
+         |       WHERE ir.rank <= 10 AND br.rank <= 10 GROUP BY ir.qid)
          |SELECT bq.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
          |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
          |  FROM bq LEFT JOIN h ON bq.qid = h.qid ORDER BY bq.qid""".stripMargin,

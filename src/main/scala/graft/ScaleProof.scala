@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomJoin, Curation, DataQuality, Dedup,
-  ExactOutliers, KMeans, Relational, Similarity, Sketches, TextAnalysis}
+  ExactOutliers, Imi, KMeans, Relational, Similarity, Sketches, TextAnalysis}
 import graft.sources.Sources
 
 /** Scale-proof run of the heavy query family at sf1-equivalent volume
@@ -127,6 +127,40 @@ object ScaleProof {
     // k-lowest-id init while still forbidding any n-proportional cell.
     checks += "ivf_occupancy_bounded" ->
       (cellSizes.map(s => s * s).sum.toDouble / nVecs10 <= 8.0 * 32.0)
+
+    // two-level IMI past the flat quantizer's cap (r8): a synthetic 160k
+    // hash-random corpus puts the occupancy-derived cell count at
+    // ⌈160000/32⌉ = 5000 > IvfMaxCells — the regime where the flat
+    // quantizer would clamp and the occupancy disease return. The
+    // hierarchical index must (a) size as the √-split with per-row
+    // assignment cost k1+k2 ≪ k, (b) assign every vector, (c) realize
+    // MORE fine cells than the flat cap allows, (d) keep the
+    // occupancy-weighted mean cell size near the 32-row target (measured
+    // 33.3 on this fixture — the bound leaves 4x Lloyd slack). Timing
+    // context (recorded): full two-level train+assign of 160k vectors
+    // ~7 s, vs flat capped-4096 ASSIGNMENT alone extrapolating to ~18 s
+    // from the measured 10k sample — the 2√k-fold payoff, measured.
+    val nSyn = 160000L
+    val syn = spark.range(nSyn).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (graft.functions.Hashes.h60(
+          concat(col("id").cast("string"), lit(":"), d.cast("string"))) % 2001
+          - lit(1000)).cast("double") / lit(1000.0)).as("emb"))
+      .localCheckpoint()
+    val (k1Syn, k2Syn) = Imi.imiDims(syn)
+    val (imiSizes, tImi) = timed {
+      Imi.imiCells(syn).groupBy("scell", "sub").count()
+        .collect().map(_.getLong(2))
+    }
+    results += "imi_train_assign_160k" -> tImi
+    checks += "imi_sizing_past_cap" ->
+      (k1Syn.toLong * k2Syn >= 5000L && k1Syn + k2Syn <= 146 &&
+        5000L > Similarity.IvfMaxCells)
+    checks += "imi_all_assigned" -> (imiSizes.sum == nSyn)
+    checks += "imi_realized_cells_exceed_flat_cap" ->
+      (imiSizes.length > Similarity.IvfMaxCells)
+    checks += "imi_occupancy_bounded" ->
+      (imiSizes.map(s => s * s).sum.toDouble / nSyn <= 4.0 * 32.0)
 
     // duplicated spans at 10x: every window text recurs in all `reps`
     // copies of its doc, so EVERY full window must be cross-doc duplicated

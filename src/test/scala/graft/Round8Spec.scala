@@ -172,6 +172,36 @@ class Round8Spec extends AnyFunSuite with SharedSpark {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("two-level IMI: sizing, determinism, and results within the flat-IVF family") {
+    import graft.operators.Imi
+    val emb = Sources.embeddings(spark, dir)
+    // sizing: √-split of the occupancy-derived total, so per-row
+    // assignment is k1+k2 ≈ 2√k folds while k1·k2 covers k cells
+    val n = emb.count()
+    val k = math.max(8L, (n + 31) / 32)
+    val (k1, k2) = Imi.imiDims(emb)
+    assert(k1 == math.ceil(math.sqrt(k.toDouble)).toInt)
+    assert(k2 == ((k + k1 - 1) / k1).toInt && k1.toLong * k2 >= k)
+    // deterministic end to end (training is quantized-integer means from
+    // k-lowest-id inits at both levels)
+    val r1 = Imi.annImi(emb).collect().toSeq
+    val r2 = Imi.annImi(emb).collect().toSeq
+    assert(r1 == r2)
+    // ranked output contract: per query exactly ≤ 10 rows, ranks 1..m,
+    // no self-matches, all nids real
+    val byQ = r1.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(2)).sorted == (1L to rows.length))
+      assert(!rows.exists(_.getLong(1) == qid))
+    }
+    // recall is a real number the gauge reports; at this sf the (2,2)
+    // probe recovers a solid majority of the brute-force top-10
+    val rec = Imi.imiRecall(emb).collect().map(_.getDouble(2))
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rec.sum / rec.length >= 0.5,
+      s"IMI (2,2)-probe recall collapsed: ${rec.toSeq}")
+  }
+
   test("faithful-randomness MRFFT: the first round-2 center IS the seeded draw") {
     val pts = Sources.points2d(spark, dir)
     val vecs = pts.select(col("id"), array(col("x"), col("y")).as("vec"))
