@@ -134,7 +134,11 @@ object Layout {
       .toDF("doc_id", "text", "lang", "source", "n_chars", "file_idx")
       .drop("file_idx")
       .write.mode("overwrite").partitionBy("lang").parquet(path)
-    val back = spark.read.parquet(path)
+    // read back under the KNOWN written schema (data cols + the lang
+    // partition col): inference has nothing to read on an empty corpus
+    val back = spark.read
+      .schema("doc_id LONG, text STRING, source STRING, n_chars LONG, lang STRING")
+      .parquet(path)
       // input_file_name is non-deterministic: project it before aggregating
       .select(col("lang"), col("n_chars"), input_file_name().as("f"))
       .groupBy("lang").agg(

@@ -55,5 +55,12 @@ class EmptyInputSpec extends AnyFunSuite with SharedSpark {
     runs("mrr")(Similarity.mrr(emptyEmb))
     runs("matryoshkaRecall")(Similarity.matryoshkaRecall(emptyEmb))
     runs("annBruteForce")(Similarity.annBruteForce(emptyEmb))
+    runs("annImi")(graft.operators.Imi.annImi(emptyEmb))
+    runs("imiRecall")(graft.operators.Imi.imiRecall(emptyEmb))
+    runs("compactExecute") {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_empty_compact").toString
+      graft.operators.Layout.compactExecute(emptyDocs, out)
+    }
   }
 }
