@@ -172,6 +172,61 @@ class Round8Spec extends AnyFunSuite with SharedSpark {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  private def dauRestartRoundTrip(provider: Option[String]): Unit = {
+    // The r8 dauStream fix keyed dedup state on the day WINDOW so a
+    // user-day survives same-day re-arrivals. This drives that state
+    // through a checkpointed RESTART: user 1's morning row arrives before
+    // the stop; their evening re-arrival comes in a FRESH query from the
+    // same checkpoint. A lost dedup state double-counts user 1 (day-0
+    // DAU 3); a recovered one reads exactly 2.
+    val base = java.nio.file.Files.createTempDirectory("graft_dau_state").toString
+    val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    import spark.implicits._
+    val day0 = 19723L * 86400L
+    def row(sec: Long, u: Long) = (new java.sql.Timestamp((day0 + sec) * 1000L), u)
+    def write(mode: String, rows: (java.sql.Timestamp, Long)*): Unit =
+      rows.toSeq.toDF("ts", "user_id").coalesce(1)
+        .write.mode(mode).parquet(srcDir)
+    def runOnce(): Unit = {
+      provider.foreach(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      val q = EventTime.dauStream(
+          spark.readStream.schema("ts TIMESTAMP, user_id LONG").parquet(srcDir),
+          lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(120000)
+        assert(!q.isActive)
+      } finally
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    write("overwrite", row(600, 1L), row(2400, 2L)) // day-0 morning: u1, u2
+    runOnce()
+    // evening re-arrival of u1 (dedup state must still know them) + a
+    // day-2 row pushing the watermark past day-0's end to finalize it
+    write("append", row(82800, 1L), row(2 * 86400 + 43200, 9L))
+    runOnce()
+    val out = spark.read.parquet(outDir)
+      .select(col("day").cast("long"), col("dau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.count(_._1 == day0) == 1, s"day 0 must emit exactly once: ${out.toSeq}")
+    assert(out.toMap.get(day0) === Some(2L),
+      s"restored dedup state must collapse u1's re-arrival: ${out.toSeq}")
+  }
+
+  test("dauStream dedup state survives a checkpointed restart") {
+    dauRestartRoundTrip(provider = None)
+  }
+
+  test("dauStream restart recovery holds on the RocksDB state store") {
+    dauRestartRoundTrip(provider = Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+  }
+
   test("two-level IMI: sizing, determinism, and results within the flat-IVF family") {
     import graft.operators.Imi
     val emb = Sources.embeddings(spark, dir)
