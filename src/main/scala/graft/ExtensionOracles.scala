@@ -1108,6 +1108,12 @@ object ExtensionOracles {
       s"""WITH $imiProbeCtes
          |SELECT qid, nid, rank FROM ir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
+    "q_imi_stats" ->
+      s"""WITH $imiProbeCtes,
+         |bs AS (SELECT scell, CAST(COUNT(*) AS BIGINT) AS n_subs FROM sb GROUP BY scell),
+         |ms AS (SELECT scell, CAST(COUNT(*) AS BIGINT) AS n_members FROM sasn GROUP BY scell)
+         |SELECT bs.scell, bs.n_subs, ms.n_members
+         |  FROM bs JOIN ms ON bs.scell = ms.scell ORDER BY bs.scell""".stripMargin,
     "q_imi_recall" ->
       s"""WITH $imiProbeCtes,
          |$bruteTopkCtesNoEmb,

@@ -266,6 +266,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(Sources.embeddings(s, dir))),
     "q_ann_imi" -> ((s, dir) => operators.Imi.annImi(Sources.embeddings(s, dir))),
     "q_imi_recall" -> ((s, dir) => operators.Imi.imiRecall(Sources.embeddings(s, dir))),
+    "q_imi_stats" -> ((s, dir) => operators.Imi.imiStats(Sources.embeddings(s, dir))),
     "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => KMeans.kmeans(Sources.embeddings(s, dir))),
     // ---- M7 extensions: multimodal plumbing (stub decode) ----

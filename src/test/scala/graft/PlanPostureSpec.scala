@@ -85,6 +85,14 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q_ann_imi candidates ride a broadcast equi-join on the fine cell") {
+    // the member table never shuffles: the ≤ nprobeSuper·nprobeSub·|Q|
+    // probe rows broadcast and the join keys on (scell, sub)
+    val plan = planOf("q_ann_imi")
+    assert(plan.contains("BroadcastHashJoin [scell"),
+      s"IMI candidate join must broadcast the probe side on (scell, sub):\n$plan")
+  }
+
   test("selective scans push their filters into the parquet reader") {
     val plan = planOf("q1_pricing")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
