@@ -94,7 +94,13 @@ object ScaleProof {
 
     // near-dup cosine: broadcast-kernel route (default gate) vs the
     // IVF-blocked route (forced); blocked recall ≤ exact by construction
-    val (exactPairs, tNd) = timed(Similarity.neardupCosine(emb).count())
+    // collected ONCE: the count feeds the blocked-recall check here and
+    // the pair SET feeds the banded-LSH subset check below — re-running
+    // the O(n²) cosine pass for the set would double the proof's most
+    // expensive stage
+    val (exactPairSet, tNd) = timed(Similarity.neardupCosine(emb)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val exactPairs = exactPairSet.size.toLong
     results += "neardup_exact_route" -> tNd
     val (blockedPairs, tNdB) = timed(
       Similarity.neardupCosine(emb, driverThreshold = 1L).count())
@@ -251,8 +257,6 @@ object ScaleProof {
       Similarity.embLshPairs(emb).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
     results += "emb_lsh_pairs_10x" -> tEmbLsh
-    val exactPairSet = Similarity.neardupCosine(emb).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     checks += "emb_lsh_verified_subset_exact" ->
       lshPairs10.subsetOf(exactPairSet)
 

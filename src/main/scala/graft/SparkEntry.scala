@@ -101,10 +101,8 @@ object SparkEntry {
       import s.implicits._
       // keyed on the FULL sfDir path via md5 (not String.hashCode, whose
       // 32-bit value can collide two sfDirs onto one replay directory)
-      val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
       val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_freq_stream_$dirKey").getAbsolutePath
+        s"graft_freq_stream_${Sources.pathKey(dir)}").getAbsolutePath
       Sources.streamItems(s, dir).orderBy("seq").limit(SP.n.toInt)
         .select(col("seq").cast("long"), col("item").cast("long"))
         .repartition(4).write.mode("overwrite").parquet(replay)

@@ -36,13 +36,12 @@ object Imi {
 
   private[graft] val ImiTrainIters = 2
 
-  /** (k1, k2): √-split of the occupancy-derived total cell count. At
-    * sf0.01 (n=500): k=16 → (4, 4); at sf0.1 (n=2000): k=63 → (8, 8). */
+  /** (k1, k2): √-split of the occupancy-derived total cell count
+    * ([[Similarity.ivfRawK]] — the same UNCAPPED sizing the flat quantizer
+    * clamps, so the two can never drift). At sf0.01 (n=500): k=16 →
+    * (4, 4); at sf0.1 (n=2000): k=63 → (8, 8). */
   private[graft] def imiDims(emb: DataFrame): (Int, Int) = {
-    val vecs = emb.select(col("vec_id"), col("emb"))
-    val n = PlanStats.exactRowCount(vecs).getOrElse(vecs.count())
-    val k = math.max(8L, (n + Similarity.IvfTargetOccupancy - 1) /
-      Similarity.IvfTargetOccupancy)
+    val k = Similarity.ivfRawK(emb)
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     val k2 = ((k + k1 - 1) / k1).toInt
     (k1, k2)

@@ -184,7 +184,10 @@ object Similarity {
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       .select(col("n_true"), col("n_found"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_true").cast("double"))
+        // zero-guard mirrors the oracle's CASE WHEN n_true = 0: a corpus
+        // with no exact pairs reads recall 0.0, not NULL
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true").cast("double"))
           .as("recall"))
   }
 
@@ -389,12 +392,17 @@ object Similarity {
     * (a drifted k trains different centers and fails loudly). */
   private[graft] val IvfTargetOccupancy = 32L
   private[graft] val IvfMaxCells = 4096
-  private[graft] def ivfK(emb: DataFrame): Int = {
+  /** The UNCAPPED occupancy-derived cell count max(8, ⌈n/32⌉) — shared by
+    * the flat quantizer (which caps it at [[IvfMaxCells]]) and
+    * [[Imi.imiDims]]'s √-split (which is how the count keeps growing past
+    * the cap), so the two sizings can never drift apart. */
+  private[graft] def ivfRawK(emb: DataFrame): Long = {
     val vecs = emb.select(col("vec_id"), col("emb"))
     val n = PlanStats.exactRowCount(vecs).getOrElse(vecs.count())
-    val k = (n + IvfTargetOccupancy - 1) / IvfTargetOccupancy
-    math.min(IvfMaxCells.toLong, math.max(8L, k)).toInt
+    math.max(8L, (n + IvfTargetOccupancy - 1) / IvfTargetOccupancy)
   }
+  private[graft] def ivfK(emb: DataFrame): Int =
+    math.min(IvfMaxCells.toLong, ivfRawK(emb)).toInt
   private[graft] val IvfTrainIters = 2
 
   /** Nearest-cell assignment against broadcast trained centers: one narrow
@@ -410,14 +418,15 @@ object Similarity {
     CenterKernels.assignByCos(vecs, centers)
       .select(col("vec_id"), col("emb"), col("cid"))
 
-  /** IVF-style ANN with a trained fixed-k coarse quantizer
-    * ([[KMeans.trainCenters]], k=[[IvfCentroids]]): every vector is assigned
-    * to its nearest centroid cell in one literal-center projection; a query
-    * probes its `nprobe` nearest cells (array_sort over the same k structs,
-    * sliced) and ranks only their members. The DuckDB oracle pins the sf0.01
-    * trained centers as literals ([[graft.IvfPins]], the `MrfftPins`
-    * pattern), so the hash gate verifies training + assignment + probe end
-    * to end. Output (qid, nid, rank). */
+  /** IVF-style ANN with a trained occupancy-scaled coarse quantizer
+    * ([[KMeans.trainCenters]], k=[[ivfK]]): every vector is assigned to its
+    * nearest centroid cell in one broadcast-centers kernel pass
+    * ([[assignCells]]); a query probes its `nprobe` nearest cells
+    * ([[CenterKernels.probeCells]]) and ranks only their members. The
+    * DuckDB oracle pins the sf0.01 trained centers as literals
+    * ([[graft.IvfPins]], the `MrfftPins` pattern), so the hash gate
+    * verifies sizing + training + assignment + probe end to end. Output
+    * (qid, nid, rank). */
   def annIvf(emb: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
     val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
     val cells = assignCells(emb.select(col("vec_id"), col("emb")), centers)
