@@ -168,6 +168,23 @@ object ScaleProof {
     checks += "imi_occupancy_bounded" ->
       (imiSizes.map(s => s * s).sum.toDouble / nSyn <= 4.0 * 32.0)
 
+    // banded-LSH blocking past the cap (r8): on the same synthetic corpus
+    // the chain must route its cell key through the hierarchical fine
+    // cells (packed scell·2²⁰+sub) — the blocking key domain keeps
+    // growing where the clamped flat key would freeze — and candidates
+    // stay LINEAR in n (hash-random vectors are the adversarial case:
+    // every pair has ~0.43 expected band collisions, so only the growing
+    // cell domain keeps the candidate set from going quadratic).
+    val (lshHier, tLshHier) = timed {
+      val cand = Similarity.embLshCandidates(syn).count()
+      val cells = Imi.imiCells(syn).select("scell", "sub").distinct().count()
+      (cand, cells)
+    }
+    results += "lsh_hier_blocking_160k" -> tLshHier
+    checks += "lsh_hier_cells_grow_past_cap" ->
+      (lshHier._2 > Similarity.IvfMaxCells)
+    checks += "lsh_hier_candidates_linear" -> (lshHier._1 <= 256L * nSyn)
+
     // duplicated spans at 10x: every window text recurs in all `reps`
     // copies of its doc, so EVERY full window must be cross-doc duplicated
     // — a sharp closed form for the df join at volume

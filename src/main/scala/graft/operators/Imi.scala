@@ -213,6 +213,49 @@ object Imi {
     members(asn, books).select("vec_id", "scell", "sub")
   }
 
+  /** Fine-cell id packing for consumers that need ONE growing cell key
+    * (the banded-LSH blocking past the flat cap): scell·2²⁰ + sub —
+    * collision-free while k2 < 2²⁰ (k2 = ⌈√k⌉ reaches 2²⁰ only past
+    * k = 10¹², far beyond any real corpus; the require keeps it honest). */
+  private[graft] def packCid(scell: Long, sub: Long, k2: Int): Long = {
+    require(k2 < (1 << 20), s"fine-cell packing overflow: k2=$k2")
+    (scell << 20) | sub
+  }
+
+  /** Multi-probe FINE-cell blocking table (vec_id, emb, cid): every
+    * vector exploded to its `pSuper` nearest super-cells × `pSub` nearest
+    * subs within each — the hierarchical continuation of
+    * [[CenterKernels.probeCells]] once the flat cell count would clamp.
+    * cid is the packed fine-cell id ([[packCid]]), whose domain keeps
+    * growing as ~k with the corpus. */
+  private[graft] def probeFineCells(emb: DataFrame, pSuper: Int,
+                                    pSub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (k1, k2) = imiDims(emb)
+    val superCenters = KMeans.trainCenters(emb, k1, Similarity.IvfTrainIters)
+    val asn = superAssign(emb, superCenters)
+    val books = trainSubBooks(asn, k2, ImiTrainIters)
+    val bcSup = spark.sparkContext.broadcast(CenterKernels.prep(superCenters))
+    val bcBooks = spark.sparkContext.broadcast(
+      books.map { case (sc, b) => sc -> CenterKernels.prep(b.toSeq) })
+    emb.select(col("vec_id").cast("long"), col("emb").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val sup = bcSup.value
+        val bks = bcBooks.value
+        it.flatMap { case (id, v) =>
+          CenterKernels.topCellsByCos(v, sup, pSuper).iterator.flatMap { sc =>
+            bks.get(sc).iterator.flatMap { book =>
+              CenterKernels.topCellsByCos(v, book, pSub).iterator
+                .map(sub => (id, v, packCid(sc, sub, k2)))
+            }
+          }
+        }
+      }
+      .toDF("vec_id", "emb", "cid")
+  }
+
   /** Index-structure report (scell, n_subs, n_members): per super-cell,
     * its trained sub-codebook size and member count — the occupancy view
     * an IMI deployment monitors (a fat super-cell means the √-split needs

@@ -119,9 +119,20 @@ object Similarity {
     * b·8..b·8+7 little-endian, bit-identical to the literal projection. */
   private def lshBandTable(emb: DataFrame, dim: Int): DataFrame = {
     val planes = signPlanes(LshBands * LshBandBits, dim)
-    val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
-    CenterKernels.lshBandRows(emb.select(col("vec_id"), col("emb")),
-      centers, planes, LshBands, LshBandBits, LshCellProbes)
+    if (ivfRawK(emb) <= IvfMaxCells) {
+      val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
+      CenterKernels.lshBandRows(emb.select(col("vec_id"), col("emb")),
+        centers, planes, LshBands, LshBandBits, LshCellProbes)
+    } else {
+      // past the flat cap the clamped cell count would stop the key
+      // domain growing (the r7 disease one level up) — block on the
+      // hierarchical index's FINE cells instead: 2 super × 2 sub probes
+      // keep the same 4-cell multi-probe width while the packed fine-cell
+      // domain keeps growing ~n/32 (ScaleProof `lsh_hier_*` checks)
+      CenterKernels.lshBandRowsWithCells(
+        Imi.probeFineCells(emb, pSuper = 2, pSub = 2),
+        planes, LshBands, LshBandBits)
+    }
   }
 
   /** Candidate pairs of the banded sign-LSH chain — the pre-verify stage,
