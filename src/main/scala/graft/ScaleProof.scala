@@ -170,18 +170,22 @@ object ScaleProof {
 
     // banded-LSH blocking past the cap (r8): on the same synthetic corpus
     // the chain must route its cell key through the hierarchical fine
-    // cells (packed scell·2²⁰+sub) — the blocking key domain keeps
-    // growing where the clamped flat key would freeze — and candidates
-    // stay LINEAR in n (hash-random vectors are the adversarial case:
-    // every pair has ~0.43 expected band collisions, so only the growing
-    // cell domain keeps the candidate set from going quadratic).
+    // cells (packed scell·2²⁰+sub). Both checks read the chain's OWN
+    // tables, so a silently-reverted routing branch fails them: the
+    // blocking table's distinct cid count must exceed the flat cap (the
+    // capped flat route tops out at 4096 cids BY CONSTRUCTION — only the
+    // packed fine-cell key can exceed it), and candidates stay LINEAR in
+    // n (hash-random vectors are the adversarial case: every pair has
+    // ~0.43 expected band collisions, so only the growing cell domain
+    // keeps the candidate set from going quadratic).
     val (lshHier, tLshHier) = timed {
       val cand = Similarity.embLshCandidates(syn).count()
-      val cells = Imi.imiCells(syn).select("scell", "sub").distinct().count()
-      (cand, cells)
+      val blockingCids = Similarity.lshBandTable(syn)
+        .select("cid").distinct().count()
+      (cand, blockingCids)
     }
     results += "lsh_hier_blocking_160k" -> tLshHier
-    checks += "lsh_hier_cells_grow_past_cap" ->
+    checks += "lsh_hier_blocking_cids_exceed_flat_cap" ->
       (lshHier._2 > Similarity.IvfMaxCells)
     checks += "lsh_hier_candidates_linear" -> (lshHier._1 <= 256L * nSyn)
 

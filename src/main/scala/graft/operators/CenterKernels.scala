@@ -188,39 +188,6 @@ private[graft] object CenterKernels {
       .toDF("vec_id", "emb", "cid")
   }
 
-  /** [[lshBandRows]] over a PRE-BLOCKED (vec_id, emb, cid) table — the
-    * variant the hierarchical (IMI) cell route feeds, where the cell
-    * probing already happened upstream. One band-value computation per
-    * input row (a vector appears once per probed cell). */
-  def lshBandRowsWithCells(cellRows: DataFrame, planes: Seq[Array[Double]],
-                           bands: Int, bandBits: Int): DataFrame = {
-    val spark = cellRows.sparkSession
-    val bcP = spark.sparkContext.broadcast(planes.toArray)
-    import spark.implicits._
-    cellRows.select(col("vec_id").cast("long"),
-        col("emb").cast("array<double>"), col("cid").cast("long"))
-      .as[(Long, Array[Double], Long)]
-      .mapPartitions { it =>
-        val ps = bcP.value
-        it.flatMap { case (id, v, cid) =>
-          val bvs = new Array[Long](bands)
-          var b = 0
-          while (b < bands) {
-            var bv = 0L
-            var j = 0
-            while (j < bandBits) {
-              if (dot(v, ps(b * bandBits + j)) >= 0.0) bv |= (1L << j)
-              j += 1
-            }
-            bvs(b) = bv
-            b += 1
-          }
-          (0 until bands).iterator.map(b2 => (id, cid, b2, bvs(b2)))
-        }
-      }
-      .toDF("vec_id", "cid", "band", "bv")
-  }
-
   /** The banded-LSH blocking table (vec_id, cid, band, bv): per vector,
     * its `p` nearest coarse cells × one 8-bit sign band value per band
     * (bit j of band b is [⟨v, plane(b·bits+j)⟩ ≥ 0]). Folds and cell

@@ -40,8 +40,11 @@ object Imi {
     * ([[Similarity.ivfRawK]] — the same UNCAPPED sizing the flat quantizer
     * clamps, so the two can never drift). At sf0.01 (n=500): k=16 →
     * (4, 4); at sf0.1 (n=2000): k=63 → (8, 8). */
-  private[graft] def imiDims(emb: DataFrame): (Int, Int) = {
-    val k = Similarity.ivfRawK(emb)
+  private[graft] def imiDims(emb: DataFrame): (Int, Int) =
+    dimsFor(Similarity.ivfRawK(emb))
+
+  /** The √-split itself, for callers that already paid the row-count job. */
+  private[graft] def dimsFor(k: Long): (Int, Int) = {
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     val k2 = ((k + k1 - 1) / k1).toInt
     (k1, k2)
@@ -115,6 +118,11 @@ object Imi {
   private def trained(emb: DataFrame):
       (Seq[(Long, Array[Double])], Map[Long, Array[(Long, Array[Double])]], DataFrame) = {
     val (k1, k2) = imiDims(emb)
+    trainedFor(emb, k1, k2)
+  }
+
+  private def trainedFor(emb: DataFrame, k1: Int, k2: Int):
+      (Seq[(Long, Array[Double])], Map[Long, Array[(Long, Array[Double])]], DataFrame) = {
     val superCenters = KMeans.trainCenters(emb, k1, Similarity.IvfTrainIters)
     val asn = superAssign(emb, superCenters)
     (superCenters, trainSubBooks(asn, k2, ImiTrainIters), asn)
@@ -222,38 +230,60 @@ object Imi {
     (scell << 20) | sub
   }
 
-  /** Multi-probe FINE-cell blocking table (vec_id, emb, cid): every
-    * vector exploded to its `pSuper` nearest super-cells × `pSub` nearest
-    * subs within each — the hierarchical continuation of
-    * [[CenterKernels.probeCells]] once the flat cell count would clamp.
-    * cid is the packed fine-cell id ([[packCid]]), whose domain keeps
-    * growing as ~k with the corpus. */
-  private[graft] def probeFineCells(emb: DataFrame, pSuper: Int,
-                                    pSub: Int): DataFrame = {
+  /** Hierarchical banded-LSH blocking table (vec_id, cid, band, bv) —
+    * [[CenterKernels.lshBandRows]] with the flat cell probe replaced by
+    * the fine-cell multi-probe (`pSuper` nearest super-cells × `pSub`
+    * nearest subs within each, cid = [[packCid]] so the key domain keeps
+    * growing ~k where the flat cap would freeze it). One fused kernel
+    * pass: each vector computes its band values ONCE (not per probed
+    * cell) and its probe set against the broadcast two-level index.
+    * `rawK` is the caller's already-computed [[Similarity.ivfRawK]] — no
+    * second row-count job. */
+  private[graft] def lshBandRowsHier(emb: DataFrame, rawK: Long,
+      planes: Seq[Array[Double]], bands: Int, bandBits: Int,
+      pSuper: Int, pSub: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (k1, k2) = imiDims(emb)
-    val superCenters = KMeans.trainCenters(emb, k1, Similarity.IvfTrainIters)
-    val asn = superAssign(emb, superCenters)
-    val books = trainSubBooks(asn, k2, ImiTrainIters)
+    val (k1, k2) = dimsFor(rawK)
+    val (superCenters, books, _) = trainedFor(emb, k1, k2)
     val bcSup = spark.sparkContext.broadcast(CenterKernels.prep(superCenters))
     val bcBooks = spark.sparkContext.broadcast(
       books.map { case (sc, b) => sc -> CenterKernels.prep(b.toSeq) })
+    val bcP = spark.sparkContext.broadcast(planes.toArray)
     emb.select(col("vec_id").cast("long"), col("emb").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val sup = bcSup.value
         val bks = bcBooks.value
+        val ps = bcP.value
         it.flatMap { case (id, v) =>
+          val bvs = new Array[Long](bands)
+          var b = 0
+          while (b < bands) {
+            var bv = 0L
+            var j = 0
+            while (j < bandBits) {
+              if (CenterKernels.dot(v, ps(b * bandBits + j)) >= 0.0)
+                bv |= (1L << j)
+              j += 1
+            }
+            bvs(b) = bv
+            b += 1
+          }
           CenterKernels.topCellsByCos(v, sup, pSuper).iterator.flatMap { sc =>
+            // a super-cell can train empty (no members at level 1) — it
+            // then has no book and contributes no probe cells
             bks.get(sc).iterator.flatMap { book =>
               CenterKernels.topCellsByCos(v, book, pSub).iterator
-                .map(sub => (id, v, packCid(sc, sub, k2)))
+                .flatMap { sub =>
+                  val cid = packCid(sc, sub, k2)
+                  (0 until bands).iterator.map(b2 => (id, cid, b2, bvs(b2)))
+                }
             }
           }
         }
       }
-      .toDF("vec_id", "emb", "cid")
+      .toDF("vec_id", "cid", "band", "bv")
   }
 
   /** Index-structure report (scell, n_subs, n_members): per super-cell,

@@ -117,21 +117,23 @@ object Similarity {
     * cosines per row blew the 64 KB codegen limit as plan literals — see
     * [[CenterKernels]]); band value b packs sign bits of planes
     * b·8..b·8+7 little-endian, bit-identical to the literal projection. */
-  private def lshBandTable(emb: DataFrame, dim: Int): DataFrame = {
+  private[graft] def lshBandTable(emb: DataFrame, dim: Int = 64): DataFrame = {
     val planes = signPlanes(LshBands * LshBandBits, dim)
-    if (ivfRawK(emb) <= IvfMaxCells) {
-      val centers = KMeans.trainCenters(emb, ivfK(emb), IvfTrainIters)
+    val rawK = ivfRawK(emb) // ONE row-count job feeds both branches
+    if (rawK <= IvfMaxCells) {
+      val centers = KMeans.trainCenters(emb, rawK.toInt, IvfTrainIters)
       CenterKernels.lshBandRows(emb.select(col("vec_id"), col("emb")),
         centers, planes, LshBands, LshBandBits, LshCellProbes)
     } else {
       // past the flat cap the clamped cell count would stop the key
       // domain growing (the r7 disease one level up) — block on the
-      // hierarchical index's FINE cells instead: 2 super × 2 sub probes
-      // keep the same 4-cell multi-probe width while the packed fine-cell
-      // domain keeps growing ~n/32 (ScaleProof `lsh_hier_*` checks)
-      CenterKernels.lshBandRowsWithCells(
-        Imi.probeFineCells(emb, pSuper = 2, pSub = 2),
-        planes, LshBands, LshBandBits)
+      // hierarchical index's FINE cells instead, keeping the SAME
+      // [[LshCellProbes]]-cell multi-probe width (2 super × probes/2
+      // subs) while the packed fine-cell domain keeps growing ~n/32
+      // (ScaleProof `lsh_hier_*` checks read this table directly)
+      Imi.lshBandRowsHier(emb.select(col("vec_id"), col("emb")), rawK,
+        planes, LshBands, LshBandBits,
+        pSuper = 2, pSub = math.max(1, LshCellProbes / 2))
     }
   }
 
