@@ -162,44 +162,49 @@ object ExtensionOracles {
        |        FROM cand JOIN e ea ON cand.a = ea.vec_id
        |                  JOIN e eb ON cand.b = eb.vec_id)""".stripMargin
 
-  /** Pinned two-level IMI quantizer ([[ImiPins]], regenerate with
+  /** Pinned product-space IMI quantizer ([[ImiPins]], regenerate with
     * `runMain graft.ImiCenterPin`) and its full probe chain — member
-    * table `mem` (per vector: nearest super cell, then nearest sub cell
-    * within it) and ranked probe results `ir` (per query: top-2 super
-    * cells × top-2 subs each, members ranked by exact cosine) — shared
-    * by q_ann_imi and q_imi_recall so the recall gate measures exactly
-    * the ranking the topk gate hash-verifies. Tie-breaks mirror the
-    * kernel's (−cos, cid) struct order: ROW_NUMBER ... ORDER BY c DESC,
-    * scell/sub. */
+    * table `mem` (per vector: argmin-L2 first-half cell × argmin-L2
+    * second-half cell, the [[graft.operators.KMeans.trainSubCenters]]
+    * assignment discipline) and ranked probe results `ir` (per query:
+    * the 8 JOINT-nearest fine cells by d1+d2 — the multi-sequence probe,
+    * replayed here as a full kSide² rank since the oracle only ever runs
+    * at gate scale — members ranked by exact cosine) — shared by
+    * q_ann_imi, q_imi_stats and q_imi_recall so the
+    * recall gate measures exactly the ranking the topk gate
+    * hash-verifies. Tie-breaks mirror the kernel's (d asc, cid asc)
+    * struct order: ROW_NUMBER ... ORDER BY d, cid. */
   private def imiProbeCtes: String = {
     def dlit(d: Double): String = {
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "E0"
     }
-    val supRows = ImiPins.superK4I2.map { case (sc, cv) =>
-      s"(CAST($sc AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
+    def bookRows(book: Seq[(Long, Seq[Double])]): String = book.map {
+      case (cid, cv) => s"(CAST($cid AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
     }.mkString(", ")
-    val subRows = ImiPins.subK4I2.map { case (sc, sub, cv) =>
-      s"(CAST($sc AS BIGINT), CAST($sub AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
-    }.mkString(", ")
+    def halfAsn(prefix: String, book: String, slice: String,
+                cellCol: String): String =
+      s"""${prefix}a AS (SELECT e.vec_id, e.emb, b.cid,
+         |              ${sqdistSql(slice, "b.cv")} AS d FROM e, $book b),
+         |${prefix}r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM ${prefix}a),
+         |${prefix}c AS (SELECT vec_id, emb, cid AS $cellCol FROM ${prefix}r WHERE rk = 1)""".stripMargin
     s"""$EMB,
-       |sup AS (SELECT scell, cv FROM (VALUES $supRows) t(scell, cv)),
-       |sb AS (SELECT scell, sub, cv FROM (VALUES $subRows) t(scell, sub, cv)),
-       |sa AS (SELECT e.vec_id, e.emb, s.scell, ${cosSql("e.emb", "s.cv")} AS c FROM e, sup s),
-       |sar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, scell) AS rk FROM sa),
-       |sasn AS (SELECT vec_id, emb, scell FROM sar WHERE rk = 1),
-       |mb AS (SELECT a.vec_id, a.emb, a.scell, b.sub, ${cosSql("a.emb", "b.cv")} AS c
-       |         FROM sasn a JOIN sb b ON a.scell = b.scell),
-       |mbr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, sub) AS rk FROM mb),
-       |mem AS (SELECT vec_id AS nid, emb AS nv, scell, sub FROM mbr WHERE rk = 1),
-       |qp AS (SELECT e.vec_id AS qid, e.emb AS qv, s.scell, ${cosSql("e.emb", "s.cv")} AS c
-       |         FROM e, sup s WHERE e.vec_id < 5),
-       |qpr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, scell) AS rk FROM qp),
-       |qps AS (SELECT qid, qv, scell FROM qpr WHERE rk <= 2),
-       |qq AS (SELECT q.qid, q.qv, q.scell, b.sub, ${cosSql("q.qv", "b.cv")} AS c
-       |         FROM qps q JOIN sb b ON q.scell = b.scell),
-       |qqr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, scell ORDER BY c DESC, sub) AS rk FROM qq),
-       |prb AS (SELECT qid, qv, scell, sub FROM qqr WHERE rk <= 2),
+       |b1 AS (SELECT cid, cv FROM (VALUES ${bookRows(ImiPins.b1K4I2)}) t(cid, cv)),
+       |b2 AS (SELECT cid, cv FROM (VALUES ${bookRows(ImiPins.b2K4I2)}) t(cid, cv)),
+       |${halfAsn("h1", "b1", "list_slice(e.emb, 1, 32)", "scell")},
+       |${halfAsn("h2", "b2", "list_slice(e.emb, 33, 64)", "sub")},
+       |mem AS (SELECT a.vec_id AS nid, a.emb AS nv, a.scell, b.sub
+       |          FROM h1c a JOIN h2c b ON a.vec_id = b.vec_id),
+       |p1qa AS (SELECT e.vec_id AS qid, e.emb AS qv, b.cid,
+       |              ${sqdistSql("list_slice(e.emb, 1, 32)", "b.cv")} AS d
+       |         FROM e, b1 b WHERE e.vec_id < 5),
+       |p2qa AS (SELECT e.vec_id AS qid, b.cid,
+       |              ${sqdistSql("list_slice(e.emb, 33, 64)", "b.cv")} AS d
+       |         FROM e, b2 b WHERE e.vec_id < 5),
+       |pj AS (SELECT q1.qid, q1.qv, q1.cid AS scell, q2.cid AS sub, q1.d + q2.d AS d
+       |         FROM p1qa q1 JOIN p2qa q2 ON q1.qid = q2.qid),
+       |pjr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, scell, sub) AS rk FROM pj),
+       |prb AS (SELECT qid, qv, scell, sub FROM pjr WHERE rk <= 8),
        |isc AS (SELECT p.qid, m.nid, ${cosSql("p.qv", "m.nv")} AS cos
        |          FROM prb p JOIN mem m ON p.scell = m.scell AND p.sub = m.sub
        |         WHERE m.nid <> p.qid),
@@ -1102,18 +1107,17 @@ object ExtensionOracles {
          |SELECT bq.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
          |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
          |  FROM bq LEFT JOIN h ON bq.qid = h.qid ORDER BY bq.qid""".stripMargin,
-    // two-level IMI: pinned super centers + per-cell sub-codebooks, full
-    // hierarchical assignment + probe replayed from literals
+    // product-space IMI: pinned half-space codebooks, full product
+    // assignment + probe replayed from literals
     "q_ann_imi" ->
       s"""WITH $imiProbeCtes
          |SELECT qid, nid, rank FROM ir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
     "q_imi_stats" ->
-      s"""WITH $imiProbeCtes,
-         |bs AS (SELECT scell, CAST(COUNT(*) AS BIGINT) AS n_subs FROM sb GROUP BY scell),
-         |ms AS (SELECT scell, CAST(COUNT(*) AS BIGINT) AS n_members FROM sasn GROUP BY scell)
-         |SELECT bs.scell, bs.n_subs, ms.n_members
-         |  FROM bs JOIN ms ON bs.scell = ms.scell ORDER BY bs.scell""".stripMargin,
+      s"""WITH $imiProbeCtes
+         |SELECT scell, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM mem GROUP BY scell ORDER BY scell""".stripMargin,
     "q_imi_recall" ->
       s"""WITH $imiProbeCtes,
          |$bruteTopkCtesNoEmb,

@@ -134,18 +134,19 @@ object ScaleProof {
     checks += "ivf_occupancy_bounded" ->
       (cellSizes.map(s => s * s).sum.toDouble / nVecs10 <= 8.0 * 32.0)
 
-    // two-level IMI past the flat quantizer's cap (r8): a synthetic 160k
-    // hash-random corpus puts the occupancy-derived cell count at
-    // ⌈160000/32⌉ = 5000 > IvfMaxCells — the regime where the flat
-    // quantizer would clamp and the occupancy disease return. The
-    // hierarchical index must (a) size as the √-split with per-row
-    // assignment cost k1+k2 ≪ k, (b) assign every vector, (c) realize
-    // MORE fine cells than the flat cap allows, (d) keep the
-    // occupancy-weighted mean cell size near the 32-row target (measured
-    // 33.3 on this fixture — the bound leaves 4x Lloyd slack). Timing
-    // context (recorded): full two-level train+assign of 160k vectors
-    // ~7 s, vs flat capped-4096 ASSIGNMENT alone extrapolating to ~18 s
-    // from the measured 10k sample — the 2√k-fold payoff, measured.
+    // product-space IMI past the flat quantizer's cap (r8, rebuilt r9): a
+    // synthetic 160k hash-random corpus puts the occupancy-derived cell
+    // count at ⌈160000/32⌉ = 5000 > IvfMaxCells — the regime where the
+    // flat quantizer would clamp and the occupancy disease return. The
+    // product index must (a) size as the √-split with per-row assignment
+    // cost 2·kSide ≪ k, (b) assign every vector, (c) realize MORE fine
+    // cells than the flat cap allows, (d) keep the occupancy-weighted
+    // mean cell size within Lloyd slack of the 32-row target, and — the
+    // r9 structural fix — (e) train codebook STATE that grows ~√n:
+    // the realized books hold ≤ 2·⌈√5000⌉ centers total (measured on the
+    // trained object itself, so a reverted per-super-cell layout — ~5000
+    // sub-centers, O(k·d) driver/broadcast state at 100 TB — fails the
+    // check by a factor of ~35).
     val nSyn = 160000L
     val syn = spark.range(nSyn).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)), d =>
@@ -154,6 +155,9 @@ object ScaleProof {
           - lit(1000)).cast("double") / lit(1000.0)).as("emb"))
       .localCheckpoint()
     val (k1Syn, k2Syn) = Imi.imiDims(syn)
+    val (imiBookCenters, tImiTrain) = timed(
+      Imi.productBooks(syn, k1Syn).map(_.size.toLong).sum)
+    results += "imi_train_160k" -> tImiTrain
     val (imiSizes, tImi) = timed {
       Imi.imiCells(syn).groupBy("scell", "sub").count()
         .collect().map(_.getLong(2))
@@ -162,6 +166,9 @@ object ScaleProof {
     checks += "imi_sizing_past_cap" ->
       (k1Syn.toLong * k2Syn >= 5000L && k1Syn + k2Syn <= 146 &&
         5000L > Similarity.IvfMaxCells)
+    checks += "imi_codebook_state_sqrt_n" ->
+      (imiBookCenters <= 2L * math.ceil(math.sqrt(5000.0)).toLong &&
+        imiBookCenters < 5000L / 10)
     checks += "imi_all_assigned" -> (imiSizes.sum == nSyn)
     checks += "imi_realized_cells_exceed_flat_cap" ->
       (imiSizes.length > Similarity.IvfMaxCells)
@@ -169,19 +176,22 @@ object ScaleProof {
       (imiSizes.map(s => s * s).sum.toDouble / nSyn <= 4.0 * 32.0)
 
     // banded-LSH blocking past the cap (r8): on the same synthetic corpus
-    // the chain must route its cell key through the hierarchical fine
-    // cells (packed scell·2²⁰+sub). Both checks read the chain's OWN
-    // tables, so a silently-reverted routing branch fails them: the
-    // blocking table's distinct cid count must exceed the flat cap (the
-    // capped flat route tops out at 4096 cids BY CONSTRUCTION — only the
-    // packed fine-cell key can exceed it), and candidates stay LINEAR in
-    // n (hash-random vectors are the adversarial case: every pair has
-    // ~0.43 expected band collisions, so only the growing cell domain
-    // keeps the candidate set from going quadratic).
+    // the chain must route its cell key through the product fine cells
+    // (packed c1·2²⁰+c2). Both checks read the chain's OWN tables, so a
+    // silently-reverted routing branch fails them: the blocking table's
+    // distinct cid count must exceed the flat cap (the capped flat route
+    // tops out at 4096 cids BY CONSTRUCTION — only the packed fine-cell
+    // key can exceed it), and candidates stay LINEAR in n (hash-random
+    // vectors are the adversarial case: every pair has ~0.43 expected
+    // band collisions, so only the growing cell domain keeps the
+    // candidate set from going quadratic). The band table is built ONCE
+    // and checkpointed — both the candidate count and the distinct-cid
+    // count derive from it, so the timing no longer double-counts the
+    // index training (r8 advice #1).
     val (lshHier, tLshHier) = timed {
-      val cand = Similarity.embLshCandidates(syn).count()
-      val blockingCids = Similarity.lshBandTable(syn)
-        .select("cid").distinct().count()
+      val bands = Similarity.lshBandTable(syn).localCheckpoint()
+      val cand = Similarity.embLshCandidatesFrom(bands).count()
+      val blockingCids = bands.select("cid").distinct().count()
       (cand, blockingCids)
     }
     results += "lsh_hier_blocking_160k" -> tLshHier

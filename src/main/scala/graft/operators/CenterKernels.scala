@@ -78,6 +78,7 @@ private[graft] object CenterKernels {
   /** argmin over (−cos, cid) — `array_min(centerStructs(...))` semantics.
     * Returns (cid, −cos) so callers can recover ccos by exact negation. */
   def nearestByCos(v: Array[Double], cs: Array[C]): (Long, Double) = {
+    require(cs.nonEmpty, "argmin over an empty center set (untrained codebook?)")
     val nv = math.sqrt(dot(v, v))
     var bestNc = 0.0
     var bestCid = 0L
@@ -114,9 +115,95 @@ private[graft] object CenterKernels {
     scored.take(math.min(p, scored.length)).map(_._2)
   }
 
+  private val dCidOrder = new java.util.Comparator[(Double, Long)] {
+    def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val d = cmpD(x._1, y._1)
+      if (d != 0) d else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  /** All cells scored by squared L2, in (d, cid) ascending order — the
+    * [[nearestByL2]] metric under the same total order ([[cmpD]] then
+    * cid asc), as a sorted list (the product-IMI half-space scan). */
+  def scoredByL2(v: Array[Double],
+                 cs: Array[(Long, Array[Double])]): Array[(Double, Long)] = {
+    val scored = new Array[(Double, Long)](cs.length)
+    var i = 0
+    while (i < cs.length) {
+      scored(i) = (sqDiffSum(v, cs(i)._2), cs(i)._1)
+      i += 1
+    }
+    java.util.Arrays.sort(scored, dCidOrder)
+    scored
+  }
+
+  /** The `p` nearest cells by squared L2, in (d, cid) ascending order —
+    * the [[topCellsByCos]] contract on the [[nearestByL2]] metric. */
+  def topCellsByL2(v: Array[Double], cs: Array[(Long, Array[Double])],
+                   p: Int): Array[Long] =
+    scoredByL2(v, cs).take(math.min(p, cs.length)).map(_._2)
+
+  /** The `t` joint-nearest product fine cells (c1, c2) by d1+d2 over two
+    * sorted half-space scans — the multi-sequence algorithm of the
+    * inverted multi-index (Babenko & Lempitsky '12): because
+    * d1(v,c1) + d2(v,c2) = ‖v − (c1⊕c2)‖², this ranks the kSide² virtual
+    * product centers by FULL-dimension distance while only ever touching
+    * a staircase frontier of the (i, j) grid — O(t log t) pops after the
+    * two kSide-fold scans, never kSide² work. Tie handling matches the
+    * oracle's global `ORDER BY d, c1, c2`: the walk keeps popping while
+    * the frontier minimum still EQUALS the t-th smallest sum (grid
+    * monotonicity guarantees no undiscovered cell can beat a frontier
+    * cell), then the collected plateau sorts under the full (d, c1, c2)
+    * order. Exact-double sum ties across distinct trained cells are
+    * astronomically rare on real data, but the gate contract is equality,
+    * not "almost always". */
+  def topFineCells(s1: Array[(Double, Long)], s2: Array[(Double, Long)],
+                   t: Int): Array[(Long, Long)] = {
+    if (s1.isEmpty || s2.isEmpty || t <= 0) return Array.empty
+    // min-heap over frontier cells by sum (ties by grid position — the
+    // final sort applies the contract order)
+    val ord = new Ordering[(Double, Int, Int)] {
+      def compare(x: (Double, Int, Int), y: (Double, Int, Int)): Int = {
+        val d = cmpD(x._1, y._1)
+        if (d != 0) d
+        else {
+          val c = Integer.compare(x._2, y._2)
+          if (c != 0) c else Integer.compare(x._3, y._3)
+        }
+      }
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Int, Int)](ord.reverse)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    def push(i: Int, j: Int): Unit =
+      if (i < s1.length && j < s2.length && seen.add(i.toLong * s2.length + j))
+        pq.enqueue((s1(i)._1 + s2(j)._1, i, j))
+    push(0, 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+    var cutoff = Double.NaN // the t-th smallest popped sum (NaN = cmpD-greatest)
+    while (pq.nonEmpty && (out.length < t || cmpD(pq.head._1, cutoff) == 0)) {
+      val (sum, i, j) = pq.dequeue()
+      out += ((sum, s1(i)._2, s2(j)._2))
+      if (out.length == t) cutoff = sum
+      push(i + 1, j)
+      push(i, j + 1)
+    }
+    out.sortInPlace()(new Ordering[(Double, Long, Long)] {
+      def compare(x: (Double, Long, Long), y: (Double, Long, Long)): Int = {
+        val d = cmpD(x._1, y._1)
+        if (d != 0) d
+        else {
+          val c = java.lang.Long.compare(x._2, y._2)
+          if (c != 0) c else java.lang.Long.compare(x._3, y._3)
+        }
+      }
+    })
+    out.take(t).map(c => (c._2, c._3)).toArray
+  }
+
   /** argmin over (d, cid) with d = Σ(vᵢ−cᵢ)² —
     * `array_min(struct(sqDiffSum, cid))` semantics. Returns (cid, d). */
   def nearestByL2(v: Array[Double], cs: Array[(Long, Array[Double])]): (Long, Double) = {
+    require(cs.nonEmpty, "argmin over an empty center set (untrained codebook?)")
     var bestD = 0.0
     var bestCid = 0L
     var i = 0

@@ -135,6 +135,10 @@ object KMeans {
           ((col("qsum").cast("double") / col("n").cast("double")) / lit(Q30))
             .as("c"))
         .collect()
+      // the round's book broadcast is fully consumed by the collect above —
+      // release it eagerly instead of waiting for ContextCleaner GC (a long
+      // Lloyd loop would otherwise pin every round's books on the executors)
+      bcBooks.destroy()
       books = (0 until m).map { s =>
         rows.filter(_.getInt(0) == s).groupBy(_.getLong(1)).map { case (cid, rs) =>
           val arr = new Array[Double](rs.map(_.getInt(2)).max + 1)

@@ -147,8 +147,14 @@ object Similarity {
     * at Hamming distance ≤ 1 — measured band recall at sf0.01 goes 8/14
     * (exact match) → 14/14 (hd≤1) at θ≈63°, for 9× probe-side rows (still
     * linear in n; the probe expansion is plan-side, never materialized). */
-  private[graft] def embLshCandidates(emb: DataFrame, dim: Int = 64): DataFrame = {
-    val bands = lshBandTable(emb, dim)
+  private[graft] def embLshCandidates(emb: DataFrame, dim: Int = 64): DataFrame =
+    embLshCandidatesFrom(lshBandTable(emb, dim))
+
+  /** [[embLshCandidates]] from an already-built (and possibly
+    * checkpointed) [[lshBandTable]] — lets a caller that also reads the
+    * blocking table itself (ScaleProof's `lsh_hier_*` checks) pay the
+    * index training exactly once. */
+  private[graft] def embLshCandidatesFrom(bands: DataFrame): DataFrame = {
     val probes = bands.select(col("vec_id"), col("cid"), col("band"),
       explode(array((-1 until LshBandBits).map { j =>
         if (j < 0) col("bv") else col("bv").bitwiseXOR(lit(1L << j))

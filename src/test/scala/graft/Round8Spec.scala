@@ -231,12 +231,14 @@ class Round8Spec extends AnyFunSuite with SharedSpark {
     import graft.operators.Imi
     val emb = Sources.embeddings(spark, dir)
     // sizing: √-split of the occupancy-derived total, so per-row
-    // assignment is k1+k2 ≈ 2√k folds while k1·k2 covers k cells
+    // assignment is 2·kSide ≈ 2√k folds while kSide² covers k cells —
+    // and (the product-space point) stored codebook state is 2·kSide·32
+    // doubles, O(√k·d), not the per-super-cell layout's O(k·d)
     val n = emb.count()
     val k = math.max(8L, (n + 31) / 32)
     val (k1, k2) = Imi.imiDims(emb)
     assert(k1 == math.ceil(math.sqrt(k.toDouble)).toInt)
-    assert(k2 == ((k + k1 - 1) / k1).toInt && k1.toLong * k2 >= k)
+    assert(k2 == k1 && k1.toLong * k2 >= k)
     // deterministic end to end (training is quantized-integer means from
     // k-lowest-id inits at both levels)
     val r1 = Imi.annImi(emb).collect().toSeq
@@ -249,12 +251,13 @@ class Round8Spec extends AnyFunSuite with SharedSpark {
       assert(rows.map(_.getLong(2)).sorted == (1L to rows.length))
       assert(!rows.exists(_.getLong(1) == qid))
     }
-    // recall is a real number the gauge reports; at this sf the (2,2)
-    // probe recovers a solid majority of the brute-force top-10
+    // recall is a real number the gauge reports; at this sf the default
+    // 8-cell joint probe recovers a solid majority of the brute-force
+    // top-10 (measured 0.88 at sf0.1 — see the annImi scaladoc's curve)
     val rec = Imi.imiRecall(emb).collect().map(_.getDouble(2))
     assert(rec.forall(r => r >= 0.0 && r <= 1.0))
     assert(rec.sum / rec.length >= 0.5,
-      s"IMI (2,2)-probe recall collapsed: ${rec.toSeq}")
+      s"IMI joint-probe recall collapsed: ${rec.toSeq}")
   }
 
   test("faithful-randomness MRFFT: the first round-2 center IS the seeded draw") {
