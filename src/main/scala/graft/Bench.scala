@@ -198,7 +198,7 @@ object Bench {
       "bench_per_query.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(perQueryPath), detailJson + "\n")
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench detail write failed ($perQueryPath): ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"env_suspect":$anySuspect,"suspect_queries":$suspects,"sf":"$sfDir","env":$env}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"env_suspect":$anySuspect}""")

@@ -632,9 +632,12 @@ object Dedup {
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .select(col("a"), col("b"),
-        aggregate(zip_with(col("ca.sig"), col("cb.sig"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("n_agree"))
+        // codegen'd positional-equality fold (r9): the interpreted
+        // aggregate(zip_with(...)) HOF pair ran outside whole-stage
+        // codegen on the O(h)-per-candidate verify path; an integer
+        // count has no order/rounding freedom, so the swap is exact
+        graft.functions.PosEqCount.posEqCount(col("ca.sig"), col("cb.sig"))
+          .as("n_agree"))
       .select(col("a"), col("b"), col("n_agree"),
         (col("n_agree").cast("double") / lit(h.toDouble)).as("jaccard_est"))
       .orderBy("a", "b")
@@ -782,7 +785,31 @@ object Dedup {
     * self-contained bench mode; the shared-memo path already collapsed it
     * in Verify mode). */
   private def prefixJaccardPairsFrom(docAgg: DataFrame, tNum: Int,
-                                     tDen: Int): DataFrame = {
+                                     tDen: Int): DataFrame =
+    prefixJaccardPairsImpl(docAgg, tNum, tDen, sampleMod = None)
+
+  /** Deterministic doc sample predicate for the sampled recall gauge —
+    * md5-derived ([[graft.functions.Hashes.h60]]) so the DuckDB twin
+    * replays membership exactly and the draw is independent of doc_id
+    * assignment order. */
+  private[graft] def samplePred(mod: Int): org.apache.spark.sql.Column =
+    pmod(Hashes.h60(concat(lit("lsr:"), col("doc_id").cast("string"))),
+      lit(mod.toLong)) === 0L
+
+  /** [[prefixJaccardPairsFrom]], optionally restricted to pairs touching a
+    * deterministic 1/mod doc sample: the QUERY side of the self-join is
+    * filtered to sampled docs pre-join (the other side stays full, and the
+    * orientation flips to `!=` + least/greatest canonicalization so a pair
+    * is found through whichever endpoint is sampled). The prefix filter's
+    * no-miss guarantee is symmetric in the pair — a qualifying pair shares
+    * a shingle inside BOTH prefixes under the one corpus-global (df, h)
+    * order — so the sampled output is EXACTLY the full pair set filtered
+    * to `a∈S ∨ b∈S`. The df/prefix build stays corpus-wide (it must: the
+    * prefix order is global), but that part is linear; the quadratic-ish
+    * candidate join and O(|doc|) verify shrink to the sample fraction —
+    * the shape a 100 TB tuning loop re-runs. */
+  private def prefixJaccardPairsImpl(docAgg: DataFrame, tNum: Int,
+                                     tDen: Int, sampleMod: Option[Int]): DataFrame = {
     val inc = docAgg.select(col("doc_id"), col("c"), explode(col("hs")).as("h"))
     val dfs = inc.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)

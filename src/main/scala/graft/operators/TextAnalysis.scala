@@ -847,24 +847,46 @@ object TextAnalysis {
     * integer discipline as [[unigramScore]]: each char occurrence
     * contributes floor_log2(n) - floor_log2(m) bits (m = its count in the
     * doc, n = doc length), so the per-doc sum is an exact order-free int64
-    * and only the final bits-per-char divides. One in-row char explode
-    * into a (doc_id, c) aggregation — partition-local until the per-doc
-    * rollup. Output (doc_id, n_chars, entropy_bits, bits_per_char). */
+    * and only the final bits-per-char divides.
+    *
+    * Shape: one mapPartitions histogram kernel — the per-doc codepoint
+    * counts live in an in-row LongMap and never become rows (the r8
+    * per-char `explode(transform(sequence(...)))` form materialized
+    * |chars| generate-stage rows for a per-doc scalar; the kernel is the
+    * repo's established in-row idiom, cf. [[graft.operators.Dedup]]'s
+    * docSignatures). Codepoint iteration matches Spark/DuckDB `length`
+    * semantics (code points, not UTF-16 units), the bit arithmetic is the
+    * same whole-bit integer form, and the sum order is irrelevant by
+    * construction — so the kernel is bit-identical to the column form and
+    * the hash gate carries over unchanged.
+    * Output (doc_id, n_chars, entropy_bits, bits_per_char). */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val cc = docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .filter(length(col("text")) >= 1)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text"))),
-          i => col("text").substr(i, lit(1)))).as("c"))
-      .groupBy("doc_id", "c").agg(count(lit(1)).as("m"))
-    val n = cc.groupBy("doc_id").agg(sum(col("m")).as("n_chars"))
-    cc.join(n, "doc_id")
-      .groupBy("doc_id", "n_chars")
-      .agg(sum(col("m") * ((length(bin(col("n_chars"))) - 1).cast("long") -
-        (length(bin(col("m"))) - 1).cast("long"))).as("entropy_bits"))
-      .select(col("doc_id"), col("n_chars"), col("entropy_bits"),
-        (col("entropy_bits").cast("double") / col("n_chars").cast("double"))
-          .as("bits_per_char"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          var n = 0L
+          var i = 0
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            counts(cp.toLong) = counts.getOrElse(cp.toLong, 0L) + 1L
+            n += 1
+            i += Character.charCount(cp)
+          }
+          val fln = 63L - java.lang.Long.numberOfLeadingZeros(n)
+          var bits = 0L
+          counts.foreachValue { m =>
+            bits += m * (fln - (63L - java.lang.Long.numberOfLeadingZeros(m)))
+          }
+          (id, n, bits, bits.toDouble / n.toDouble)
+        }
+      }
+      .toDF("doc_id", "n_chars", "entropy_bits", "bits_per_char")
       .orderBy("doc_id")
   }
 
