@@ -641,6 +641,28 @@ object ExtensionOracles {
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_caught,
          |       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
          |         / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
+    // sampled LSH recall: same brute-force einter ground truth restricted
+    // to pairs touching the md5-selected 1/4 doc sample (the engine's
+    // samplePred twin — membership replays exactly)
+    "q_lsh_recall_sampled" ->
+      s"""WITH $minhashCtes,
+         |$verifiedPairsCte,
+         |einter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+         |             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |            GROUP BY 1, 2),
+         |samp AS (SELECT doc_id FROM sz
+         |          WHERE ${graft.functions.Hashes.h60Sql("'lsr:' || CAST(doc_id AS VARCHAR)")} % 4 = 0),
+         |ex AS (SELECT einter.a, einter.b FROM einter
+         |         JOIN sz ca ON einter.a = ca.doc_id
+         |         JOIN sz cb ON einter.b = cb.doc_id
+         |        WHERE einter.inter * 5 >= (ca.c + cb.c - einter.inter) * 4
+         |          AND (einter.a IN (SELECT doc_id FROM samp)
+         |               OR einter.b IN (SELECT doc_id FROM samp))),
+         |hit AS (SELECT ex.a FROM ex JOIN vp ON ex.a = vp.a AND ex.b = vp.b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_caught,
+         |       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         |         / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
     // keyword search: whole-bit idf, OR semantics, (score desc, doc_id)
     // total order, top-10
     "q_search" ->
@@ -1227,6 +1249,37 @@ object ExtensionOracles {
          |       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
          |  FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // span-level dedup transform: the q_dup_spans incidence marks hot
+    // (≥2-doc) windows, their covered token positions are removed, and
+    // the survivor text fingerprints under the md5 h60 — content AND
+    // token order of every cleaned doc ride the hash
+    "q_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS
+         |            WHERE text IS NOT NULL),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+         |w AS (SELECT doc_id, i AS w, array_to_string(toks[(i*2+1):(i*2+4)], ' ') AS win
+         |        FROM (SELECT doc_id, toks,
+         |                     unnest(range(0, (n_toks - 4) // 2 + 1)) AS i
+         |                FROM n WHERE n_toks >= 4)),
+         |d AS (SELECT win FROM (SELECT win, COUNT(DISTINCT doc_id) AS nd
+         |                         FROM w GROUP BY win) WHERE nd >= 2),
+         |hw AS (SELECT DISTINCT w.doc_id, w.w FROM w JOIN d ON w.win = d.win),
+         |cov AS (SELECT DISTINCT doc_id, CAST(hw.w * 2 + v.p AS BIGINT) AS pos
+         |          FROM hw, (VALUES (1), (2), (3), (4)) v(p)),
+         |pos AS (SELECT n.doc_id, CAST(q.pos AS BIGINT) AS pos,
+         |               toks[CAST(q.pos AS INT)] AS tok
+         |          FROM n, LATERAL unnest(generate_series(1, CAST(n_toks AS INT))) q(pos)),
+         |kept AS (SELECT pos.doc_id, pos.pos, pos.tok FROM pos
+         |          WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                             WHERE cov.doc_id = pos.doc_id AND cov.pos = pos.pos)),
+         |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |              string_agg(tok, ' ' ORDER BY pos) AS ct
+         |         FROM kept GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_toks,
+         |       n.n_toks - COALESCE(cl.n_kept, 0) AS n_removed,
+         |       ${graft.functions.Hashes.h60Sql("COALESCE(cl.ct, '')")} AS clean_fp
+         |  FROM n LEFT JOIN cl ON n.doc_id = cl.doc_id
+         | ORDER BY n.doc_id""".stripMargin,
     // top duplicated windows: same incidence as q_dup_spans, top-k under
     // the (occurrences desc, window asc) total order
     "q_top_spans" ->

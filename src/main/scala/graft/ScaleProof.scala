@@ -211,6 +211,26 @@ object ScaleProof {
     checks += "dup_spans_all_duplicated" ->
       (spanAgg._1 > 0L && spanAgg._1 == spanAgg._2)
 
+    // span-dedup TRANSFORM at 10x (r9): with every full window hot (the
+    // dup_spans closed form above), the stride-2/width-4 windows cover a
+    // doc's tokens contiguously from position 1 through
+    // ((n−4) div 2)·2 + 4, so the survivors are EXACTLY the (n−4) mod 2
+    // unaligned tail tokens — plus all n for docs too short to window.
+    // Sharp per-token closed form over the whole 10x corpus: any
+    // off-by-one in coverage marking or a lost/duplicated survivor breaks
+    // the equality.
+    val (keptTotal10, tLineDedup) = timed(
+      TextAnalysis.lineDedup(docs)
+        .agg(sum(col("n_toks") - col("n_removed"))).head().getLong(0))
+    results += "line_dedup_10x" -> tLineDedup
+    val baseTailKept = Sources.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(when(col("n") >= 4, pmod(col("n") - 4, lit(2)))
+        .otherwise(col("n")))).head().getLong(0)
+    checks += "line_dedup_closed_form" ->
+      (keptTotal10 == reps.toLong * baseTailKept)
+
     // int8 quantization at 10x: a per-vector pure function — total error
     // mass must be EXACTLY reps x the base corpus's
     val (eBase, _) = timed(
@@ -263,6 +283,24 @@ object ScaleProof {
     checks += "prefix_pairs_closed_form" ->
       (prefixPairs10 ==
         reps.toLong * (reps - 1) / 2 * nShingled + reps.toLong * reps * basePrefixPairs)
+
+    // sampled recall gauge at 10x docs (r9): the tuning loop a 100 TB run
+    // re-executes after every banding change must not pay corpus-wide
+    // ground truth — lshRecallSampled restricts the exact prefix-join side
+    // to pairs touching a deterministic md5-selected 1/4 doc sample. Two
+    // checks: the sampled ground truth is a PROPER nonempty subset of the
+    // full one (the filter really restricted the quadratic-ish part — a
+    // silently-dropped sample predicate fails this), and the sampled
+    // recall brackets the full gauge within 0.1 (the estimator tracks the
+    // quantity it replaces at volume).
+    val (fullRec, tFullRec) = timed(Dedup.lshRecall(docs).collect()(0))
+    results += "lsh_recall_full_10x" -> tFullRec
+    val (sampRec, tSampRec) = timed(Dedup.lshRecallSampled(docs).collect()(0))
+    results += "lsh_recall_sampled_10x" -> tSampRec
+    checks += "lsh_recall_sample_proper_subset" ->
+      (sampRec.getLong(0) > 0L && sampRec.getLong(0) < fullRec.getLong(0))
+    checks += "lsh_recall_sampled_brackets_full" ->
+      (math.abs(sampRec.getDouble(2) - fullRec.getDouble(2)) <= 0.1)
 
     // banded sign-LSH pairs at 10x vectors. The r7-era check asserted an
     // EXACT reps² closed form — which was precisely the disease: with a

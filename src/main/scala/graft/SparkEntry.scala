@@ -348,6 +348,7 @@ object SparkEntry {
       Curation.qualityDupProfile(Sources.documents(s, dir))),
     "q_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(Sources.documents(s, dir))),
     "q_lsh_recall" -> ((s, dir) => Dedup.lshRecall(Sources.documents(s, dir))),
+    "q_lsh_recall_sampled" -> ((s, dir) => Dedup.lshRecallSampled(Sources.documents(s, dir))),
     "q_oov_rate" -> ((s, dir) => TextAnalysis.oovRate(Sources.documents(s, dir))),
     "q_key_skew" -> ((s, dir) =>
       Skew.keySkewProfile(Sources.events(s, dir), "user_id")),
@@ -407,6 +408,8 @@ object SparkEntry {
     // containment, corpus stopwords ----
     "q_dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(Sources.documents(s, dir))),
+    "q_line_dedup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(Sources.documents(s, dir))),
     "q_top_spans" -> ((s, dir) =>
       TextAnalysis.topSpans(Sources.documents(s, dir))),
     "q_source_overlap" -> ((s, dir) =>

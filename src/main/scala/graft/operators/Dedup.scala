@@ -616,6 +616,37 @@ object Dedup {
           .as("recall"))
   }
 
+  /** [[lshRecall]] on a deterministic 1/`sampleMod` doc sample — the gauge
+    * a 100 TB tuning loop actually re-runs after every banding change. The
+    * full gauge's exact side evaluates the prefix join over the WHOLE
+    * corpus, which is the right no-miss dedup algorithm but overkill for a
+    * recall estimate: every ANN recall gate in the suite samples its query
+    * set precisely so ground truth stays linear, and this is the same
+    * treatment for the MinHash banding. Ground truth = all pairs at
+    * Jaccard ≥ tNum/tDen touching the sample (md5-selected,
+    * [[samplePred]], so the DuckDB twin replays membership exactly);
+    * caught = those surfaced by the banded chain. The sampled estimator is
+    * unbiased per pair — each true pair is kept with the same inclusion
+    * rule regardless of whether the banding catches it. Output
+    * (n_exact, n_caught, recall). */
+  def lshRecallSampled(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                       tNum: Int = 4, tDen: Int = 5,
+                       sampleMod: Int = 4): DataFrame = {
+    val docAgg = sharedSignatures(docs, h)
+      .getOrElse(docSignatures(docs, h).localCheckpoint())
+    val exact = prefixJaccardPairsImpl(
+        docAgg.select(col("doc_id"), col("hs"), col("c")), tNum, tDen,
+        Some(sampleMod))
+      .select("a", "b").localCheckpoint()
+    val lsh = lshPairsFrom(docAgg, h, rows, 0.5).select(col("a"), col("b"))
+    val caught = exact.join(lsh, Seq("a", "b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+      .select(col("n_exact"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction of
     * the `h` signature positions on which two documents agree — the unbiased
     * MinHash estimator of their true Jaccard. This is the verification a
@@ -832,14 +863,28 @@ object Dedup {
     // prefix shingle on the dense sf0.1 corpus; 142k matches / 92k
     // candidates for a 256-pair answer).
     val need = tNum + tDen // α ≥ ⌈(cx+cy)·tNum/need⌉ ⟺ need·α ≥ tNum·(cx+cy)
-    val cand = pref.as("x").join(pref.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.c") * tDen >= col("x.c") * tNum &&
-          col("x.c") * tDen >= col("y.c") * tNum &&
-          (lit(1L) + least(col("x.c") - col("x.rn"), col("y.c") - col("y.rn"))) * need
-            >= (col("x.c") + col("y.c")) * tNum)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val symFilters =
+      col("y.c") * tDen >= col("x.c") * tNum &&
+        col("x.c") * tDen >= col("y.c") * tNum &&
+        ((lit(1L) + least(col("x.c") - col("x.rn"), col("y.c") - col("y.rn"))) * need
+          >= (col("x.c") + col("y.c")) * tNum)
+    val cand = sampleMod match {
+      case None =>
+        pref.as("x").join(pref.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+              symFilters)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+      case Some(mod) =>
+        // query side filtered to the sample pre-join; `!=` + canonicalize
+        // so a pair surfaces through whichever endpoint is sampled
+        pref.filter(samplePred(mod)).as("x").join(pref.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id") &&
+              symFilters)
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+          .distinct()
+    }
     cand
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))

@@ -176,6 +176,81 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Span-level dedup TRANSFORM — the C4-style cleaner that [[dupSpans]]
+    * only detects: every token covered by a corpus-frequent window (the
+    * same width/stride incidence, hot = seen in ≥ `minDocs` DISTINCT
+    * docs) is REMOVED from its document, and the cleaned text survives
+    * with original token order and spacing. This closes the
+    * detect→execute loop the way the compaction executor closed the
+    * planner's (plan → write): `q_dup_spans` says how much of each doc is
+    * boilerplate, this produces the corpus with the boilerplate stripped.
+    *
+    * Shape: the window incidence and the hot-window df aggregation are
+    * exactly [[dupSpans]]'s (one |docs|·(tokens/stride) exchange + one
+    * per-distinct-window aggregate); hot window STARTS then group back to
+    * one bounded per-doc list (≤ n_toks/stride entries — the same in-row
+    * bound as the token array itself), and a mapPartitions kernel marks
+    * the covered positions and reassembles the survivors in one narrow
+    * pass — no per-token rows, no window re-scan. The cleaned text is
+    * emitted as its md5 fingerprint ([[graft.functions.Hashes.h60Jvm]],
+    * bit-equal to the SQL twin) so the gate proves CONTENT and token
+    * ORDER of every cleaned doc while the output stays fixed-width.
+    * Output (doc_id, n_toks, n_removed, clean_fp). */
+  def lineDedup(docs: DataFrame, width: Int = 4, stride: Int = 2,
+                minDocs: Int = 2): DataFrame = {
+    require(width > 0 && stride > 0 && minDocs > 1,
+      "need positive width/stride and minDocs >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), split(col("text"), " ").as("toks"))
+    val wins = base
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= width)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(n_toks - $width) div $stride"))).as("w"))
+      .select(col("doc_id"), col("w"),
+        concat_ws(" ", slice(col("toks"),
+          (col("w") * stride + 1).cast("int"), lit(width))).as("win"))
+    val hot = wins.groupBy("win")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("win")
+    val hotStarts = wins.join(hot, "win")
+      .groupBy("doc_id").agg(collect_list(col("w")).as("ws"))
+    base.join(hotStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("ws"), array().cast("array<long>")).as("ws"))
+      .as[(Long, Seq[String], Seq[Long])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks, ws) =>
+          val n = toks.length
+          val covered = new Array[Boolean](n)
+          ws.foreach { w =>
+            var p = (w * stride).toInt
+            val end = math.min(n, p + width)
+            while (p < end) { covered(p) = true; p += 1 }
+          }
+          val sb = new java.lang.StringBuilder
+          var kept = 0L
+          var i = 0
+          while (i < n) {
+            if (!covered(i)) {
+              if (kept > 0) sb.append(' ')
+              sb.append(toks(i))
+              kept += 1
+            }
+            i += 1
+          }
+          (id, n.toLong, n - kept, Hashes.h60Jvm(md, sb.toString))
+        }
+      }
+      .toDF("doc_id", "n_toks", "n_removed", "clean_fp")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level bigram counts — the n-gram LM statistic (conditional-
     * probability tables, contamination screens, boilerplate detection all
     * start here). Adjacent-token pairs come from zipping each doc's token
