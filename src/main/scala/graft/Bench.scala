@@ -125,7 +125,16 @@ object Bench {
     // still-collapsed gauge, mark the query (and the contract line)
     // env_suspect so no hand-written caveat is needed downstream.
     val diskCollapseMbps = 300.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — isolated reruns of flagged queries
+    // (r8 verdict #2's adjudication discipline) without hand-editing the
+    // contract map. Unset = full suite (the artifact-of-record mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val tq0 = (System.nanoTime() - suiteT0) / 1e9
       val (gc0, jit0, cpu0) = (gcMillis, jitMillis, processCpuSec)
       val (sw0, sr0, in0, sp0) = (io.shufW.get, io.shufR.get, io.input.get, io.spill.get)
@@ -196,9 +205,29 @@ object Bench {
     // directly; BASELINE.md references it.
     val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_per_query.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(perQueryPath), detailJson + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
+    // r8 verdict #8: bench_per_query.json is overwritten per run, so the
+    // judge's regression hunts only had the ~40-query tail preserved in the
+    // previous round's artifact. Archive a round-stamped copy next to the
+    // driver's BENCH_r{N}.json markers: the round being measured is one past
+    // the highest round already recorded (the driver writes BENCH_r{N}.json
+    // AFTER running Bench). Skipped silently when no markers exist (local
+    // iteration runs outside the repo root).
+    val archivePath = {
+      val dir = java.nio.file.Paths.get(perQueryPath).toAbsolutePath.getParent
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val prev =
+        try java.nio.file.Files.list(dir).iterator.asScala
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).maxOption
+        catch { case scala.util.control.NonFatal(_) => None }
+      prev.map(n => dir.resolve(f"bench_per_query_r${n + 1}%02d.json"))
+    }
+    // isolated-subset runs must not clobber the full-suite artifact of record
+    if (only.isEmpty) try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(perQueryPath), detailJson + "\n")
+      archivePath.foreach(p => java.nio.file.Files.writeString(p, detailJson + "\n"))
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench detail write failed ($perQueryPath): ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"env_suspect":$anySuspect,"suspect_queries":$suspects,"sf":"$sfDir","env":$env}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"env_suspect":$anySuspect}""")

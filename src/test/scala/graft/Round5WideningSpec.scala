@@ -295,8 +295,10 @@ class Round5WideningSpec extends AnyFunSuite with SharedSpark {
       .select("doc_id", "text", "lang", "source", "n_chars")
     assert(rt.exceptAll(src).isEmpty && src.exceptAll(rt).isEmpty)
     // the reader must prune the lang partition down to one directory
+    // must match Sources.parquetRoundTrip's sink naming (the r8 md5 pathKey
+    // fix — the old hashCode name only passed against a stale tmp dir)
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sink_${Integer.toHexString(dir.hashCode)}")
+      s"graft_sink_${graft.sources.Sources.pathKey(dir)}")
     assert(out.listFiles().exists(f => f.getName.startsWith("lang=")))
     val pruned = spark.read.parquet(out.getAbsolutePath)
       .filter(col("lang") === "en")
