@@ -98,7 +98,14 @@ object Dedup {
               }
               i += 1
             }
-            Iterator.single(DocSig(id, sig, hs.result(), seen.size.toLong))
+            // sorted ascending: the verify paths count pair overlaps with
+            // [[graft.functions.SortedInterCount]]'s zero-allocation merge
+            // (one sort per DOC here amortizes over every PAIR downstream);
+            // all other consumers are order-free (explode / array_min /
+            // set-compare specs)
+            val hsArr = hs.result()
+            java.util.Arrays.sort(hsArr)
+            Iterator.single(DocSig(id, sig, hsArr, seen.size.toLong))
           }
         }
       }
@@ -261,7 +268,7 @@ object Dedup {
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .withColumn("inter",
-        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+        graft.functions.SortedInterCount.sortedInterCount(col("ca.hs"), col("cb.hs")))
       .filter((col("inter").cast("double") /
         (col("ca.c") + col("cb.c") - col("inter")).cast("double")) >= threshold)
       .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("nm"))
@@ -496,14 +503,28 @@ object Dedup {
   }
 
   /** Banded LSH candidate pairs (a < b, distinct) over a [[docSignatures]]
-    * table — the shared front half of [[lshPairs]] and [[minhashEstimates]]. */
-  private def lshCandidates(docAgg: DataFrame, h: Int, rows: Int): DataFrame = {
+    * table — the shared front half of [[lshPairs]] and [[minhashEstimates]].
+    * With `sampleMod`, the x-side is pre-filtered to the [[samplePred]] doc
+    * sample (pairs canonicalized via least/greatest — see
+    * [[prefixJaccardPairsImpl]] for the shared argument). */
+  private def lshCandidates(docAgg: DataFrame, h: Int, rows: Int,
+                            sampleMod: Option[Int] = None): DataFrame = {
     val bands = bandTable(docAgg, h, rows)
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    sampleMod match {
+      case None =>
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+      case Some(mod) =>
+        bands.filter(samplePred(mod)).as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+          .distinct()
+    }
   }
 
   private def lshPairs(docs: DataFrame, h: Int, rows: Int,
@@ -521,15 +542,22 @@ object Dedup {
 
   /** [[lshPairs]] over an already-materialized signature table — the
     * [[prefixJaccardPairsFrom]] counterpart for [[lshRecall]]'s shared
-    * checkpoint. */
+    * checkpoint. `sampleMod` (the [[samplePred]] draw) restricts the band
+    * self-join's query side to sampled docs pre-join, with `!=` +
+    * least/greatest canonicalization so a pair surfaces through whichever
+    * endpoint is sampled — band collision is symmetric in the pair, so the
+    * sampled output is EXACTLY the full verified-pair set filtered to
+    * `a∈S ∨ b∈S`, while the quadratic band join and the O(|doc|)
+    * array-intersect verify shrink to the sample fraction. */
   private def lshPairsFrom(docAgg: DataFrame, h: Int, rows: Int,
-                           threshold: Double): DataFrame = {
-    val cand = lshCandidates(docAgg, h, rows)
+                           threshold: Double,
+                           sampleMod: Option[Int] = None): DataFrame = {
+    val cand = lshCandidates(docAgg, h, rows, sampleMod)
     cand
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .withColumn("inter",
-        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+        graft.functions.SortedInterCount.sortedInterCount(col("ca.hs"), col("cb.hs")))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
@@ -573,7 +601,7 @@ object Dedup {
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .withColumn("inter",
-        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+        graft.functions.SortedInterCount.sortedInterCount(col("ca.hs"), col("cb.hs")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double"))
@@ -625,7 +653,11 @@ object Dedup {
     * treatment for the MinHash banding. Ground truth = all pairs at
     * Jaccard ≥ tNum/tDen touching the sample (md5-selected,
     * [[samplePred]], so the DuckDB twin replays membership exactly);
-    * caught = those surfaced by the banded chain. The sampled estimator is
+    * caught = those surfaced by the banded chain, whose band join and
+    * O(|doc|) verify are restricted to the SAME sample (band collision is
+    * symmetric in the pair, so the restriction is exact — both quadratic
+    * sides shrink to the sample fraction while the linear signature/df
+    * builds stay corpus-wide). The sampled estimator is
     * unbiased per pair — each true pair is kept with the same inclusion
     * rule regardless of whether the banding catches it. Output
     * (n_exact, n_caught, recall). */
@@ -638,7 +670,13 @@ object Dedup {
         docAgg.select(col("doc_id"), col("hs"), col("c")), tNum, tDen,
         Some(sampleMod))
       .select("a", "b").localCheckpoint()
-    val lsh = lshPairsFrom(docAgg, h, rows, 0.5).select(col("a"), col("b"))
+    // the banded side is sampled with the SAME predicate: every exact pair
+    // touches the sample, so restricting the LSH pair set to sample-touching
+    // pairs cannot change the caught count — and it shrinks the band join +
+    // array-intersect verify (the gauge's dominant cost) to the sample
+    // fraction, which is the whole point of the sampled twin
+    val lsh = lshPairsFrom(docAgg, h, rows, 0.5, Some(sampleMod))
+      .select(col("a"), col("b"))
     val caught = exact.join(lsh, Seq("a", "b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
@@ -844,11 +882,17 @@ object Dedup {
     val inc = docAgg.select(col("doc_id"), col("c"), explode(col("hs")).as("h"))
     val dfs = inc.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
-    val pref = inc.join(dfs, "h")
+    // df is corpus-global (the prefix order must be), but the df-join +
+    // per-doc window pipeline is per-DOC work: rn ranks a doc's own
+    // shingles, so dropping OTHER docs up front cannot change it — the
+    // sampled x-side builds its prefix table from the filtered incidence
+    // and pays 1/mod of the join/window/sort, not just of the join probe
+    def mkPref(src: DataFrame): DataFrame = src.join(dfs, "h")
       .withColumn("rn", row_number().over(w).cast("long"))
       // ⌈c·t⌉ in exact integers; prefix keeps rn ≤ c − ⌈c·t⌉ + 1
       .filter(col("rn") <= col("c") - expr(s"(c * $tNum + ${tDen - 1}) div $tDen") + 1L)
       .select(col("doc_id"), col("h"), col("c"), col("rn"))
+    val pref = mkPref(inc)
     // Candidate self-join on the prefix incidence with the length and
     // positional (PPJoin) filters fused into the join condition as pure
     // integer compares. The self-join DOES plan its two sides as full
@@ -876,9 +920,10 @@ object Dedup {
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
       case Some(mod) =>
-        // query side filtered to the sample pre-join; `!=` + canonicalize
-        // so a pair surfaces through whichever endpoint is sampled
-        pref.filter(samplePred(mod)).as("x").join(pref.as("y"),
+        // query side filtered to the sample pre-join (whole docs, so the
+        // filter sits below the window too); `!=` + canonicalize so a pair
+        // surfaces through whichever endpoint is sampled
+        mkPref(inc.filter(samplePred(mod))).as("x").join(pref.as("y"),
             col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id") &&
               symFilters)
           .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
@@ -889,7 +934,7 @@ object Dedup {
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
       .withColumn("inter",
-        size(array_intersect(col("ca.hs"), col("cb.hs"))).cast("long"))
+        graft.functions.SortedInterCount.sortedInterCount(col("ca.hs"), col("cb.hs")))
       // threshold test in exact integers too; the reported double divides
       // identically on both engines
       .filter(col("inter") * tDen >= (col("ca.c") + col("cb.c") - col("inter")) * tNum)

@@ -51,6 +51,14 @@ class Round9Spec extends AnyFunSuite with SharedSpark {
     val gauge = Dedup.lshRecallSampled(docs).collect()(0)
     assert(gauge.getLong(0) === expected.size.toLong,
       s"sampled n_exact ${gauge.getLong(0)} != |full ∩ sample-touching| ${expected.size}")
+    // the banded side is sampled too (r9): caught must still equal the
+    // intersection with the FULL verified LSH pair set — sampling the band
+    // join is a cost move, never a semantic one
+    val fullLsh = Dedup.minhashLshPairs(docs).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedCaught = expected.count(fullLsh)
+    assert(gauge.getLong(1) === expectedCaught.toLong,
+      s"sampled n_caught ${gauge.getLong(1)} != |exact ∩ full LSH| $expectedCaught")
     // the sample really restricts (a dropped predicate would equal full)
     assert(expected.size < full.size || full.isEmpty)
     // recall well-formed
