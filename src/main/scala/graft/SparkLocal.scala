@@ -42,6 +42,14 @@ object SparkLocal {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", localDir)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner frees localCheckpoint/broadcast blocks only after the
+      // owning object is GC'd; the default periodic-GC interval (30 min)
+      // outlives an entire harness run, so a big heap accumulates dead
+      // checkpoint blocks from hundreds of self-contained queries and the
+      // eventual collections land INSIDE later queries' timed reps (measured
+      // 23-29 s total GC per bench run vs 1.7 s on the roomier driver heap).
+      // One minute keeps the reaping off the measured path.
+      .config("spark.cleaner.periodicGC.interval", "1min")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
