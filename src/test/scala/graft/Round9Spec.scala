@@ -41,6 +41,44 @@ class Round9Spec extends AnyFunSuite with SharedSpark {
         r.getDouble(3) == r.getLong(2).toDouble / 16.0))
   }
 
+  test("SortedInterCount equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    // adversarial shapes: disjoint, identical, interleaved, containment,
+    // empty sides, negative/extreme longs — all sorted ascending + distinct,
+    // the docSignatures `hs` precondition
+    val rows = Seq(
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(Long.MinValue, -7L, 0L, Long.MaxValue), Array(-7L, Long.MaxValue)),
+      (Array(1L, 2L, 3L, 4L, 5L), Array(2L, 4L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(9L), Array.empty[Long])).toDF("a", "b")
+    rows.select(
+        graft.functions.SortedInterCount.sortedInterCount(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("e"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // the kernel precondition itself: every hs the corpus emits is sorted
+    // ascending (and distinct — strictly increasing)
+    val docs = Sources.documents(spark, dir)
+    val unsorted = Dedup.docSignatures(docs)
+      .select(col("doc_id"), col("hs"))
+      .as[(Long, Array[Long])].collect()
+      .filter { case (_, hs) => hs.indices.drop(1).exists(i => hs(i) <= hs(i - 1)) }
+    assert(unsorted.isEmpty, s"unsorted hs for docs ${unsorted.map(_._1).mkString(",")}")
+    // and on the real verify path: the operator's jaccard equals the
+    // array_intersect recomputation pair-for-pair
+    val got = Dedup.minhashLshPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sig = Dedup.docSignatures(docs)
+      .select(col("doc_id"), col("hs")).as[(Long, Array[Long])]
+      .collect().toMap
+    got.foreach { case ((a, b), j) =>
+      val inter = sig(a).toSet.intersect(sig(b).toSet).size.toDouble
+      val expect = inter / (sig(a).length + sig(b).length - inter)
+      assert(j == expect, s"pair ($a,$b): $j != $expect")
+    }
+  }
+
   test("sampled LSH recall: ground truth IS the full pair set filtered to the sample") {
     val docs = Sources.documents(spark, dir)
     val full = Dedup.prefixJaccardPairs(docs).select("a", "b").collect()
