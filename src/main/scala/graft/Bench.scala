@@ -79,6 +79,19 @@ object Bench {
     val shufR = new java.util.concurrent.atomic.AtomicLong
     val input = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong
+    // job/stage counts (r9 verdict #6): a query whose CPU ≈ wall over
+    // trivial data is either genuinely serial or paying scheduler latency
+    // per stage — the stage count makes the two mechanically separable
+    // (many stages for a <1 s answer = latency-bound, a fusion target).
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(): Unit
+    }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet(): Unit
+    }
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -130,14 +143,27 @@ object Bench {
     // contract map. Unset = full suite (the artifact-of-record mode).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd BENCH_ONLY list must not silently yield an empty (or
+    // partial) suite that prints a fast-looking total and exits 0
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"BENCH_ONLY names match no query: ${unknown.toSeq.sorted.mkString(",")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    val threadsN = cpus.toDouble
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val tq0 = (System.nanoTime() - suiteT0) / 1e9
       val (gc0, jit0, cpu0) = (gcMillis, jitMillis, processCpuSec)
       val (sw0, sr0, in0, sp0) = (io.shufW.get, io.shufR.get, io.input.get, io.spill.get)
+      val (jb0, st0) = (io.jobs.get, io.stages.get)
       def runRep(): (Double, Double, Boolean) = {
         val c0 = processCpuSec
         val t0 = System.nanoTime()
@@ -162,7 +188,20 @@ object Bench {
         val ws = times.map(_._1)
         ws.min > 2.0 && ws.max > 2.0 * ws.min
       }
-      while (unstable && times.length < 5) times = times :+ runRep()
+      // Starvation guard (r9 verdict, round-10 task #1a): the r9 artifact's
+      // heavies ran at ~4.5 effective cores of 32 on ALL reps — rep spread
+      // alone never fired because every rep was equally starved. A heavy
+      // query whose BEST rep ran under half the configured threads either
+      // waited (SMT steal, scheduler stalls) or is genuinely serial; extra
+      // reps hunt a clean window and can only LOWER the recorded min, so
+      // the rule is safe for the legitimately-serial iterative queries
+      // (k-core-style stage chains) — they just pay ≤2 bounded extra reps.
+      def bestStarved = {
+        val b = times.minBy(_._1)
+        b._1 > 2.0 && b._2 / b._1 < 0.5 * threadsN
+      }
+      while ((unstable || bestStarved) && times.length < 5)
+        times = times :+ runRep()
       // >0.5 s floor: sub-second queries are driver-overhead-dominated and
       // legitimately low-CPU (e.g. the streaming replay's trigger waits)
       def bestWaited = {
@@ -179,8 +218,15 @@ object Bench {
             diskProbeMbps(SparkLocal.localDir) < diskCollapseMbps
         }
       }
+      // eff_cores: the BEST rep's cpu/wall — the adjudication number the
+      // r9 verdict had to reconstruct by hand (≈threads: computed; ≈1 on a
+      // many-stage query: latency-bound; ≪threads on a heavy one: starved)
+      val best = times.minBy(_._1)
+      val effCores = if (best._1 > 0.0) best._2 / best._1 else 0.0
       details += s""""$name":{"at":${fmt(tq0)},"reps":[${times.map(t => fmt(t._1)).mkString(",")}],""" +
         s""""rep_cpu":[${times.map(t => fmt(t._2)).mkString(",")}],""" +
+        s""""eff_cores":${fmt(effCores)},""" +
+        s""""jobs":${(io.jobs.get - jb0) / times.length},"stages":${(io.stages.get - st0) / times.length},""" +
         s""""cpu":${fmt(processCpuSec - cpu0)},"gc_ms":${gcMillis - gc0},""" +
         s""""jit_ms":${jitMillis - jit0},"load":${fmt(loadAvg)},""" +
         (if (diskProbe >= 0) s""""disk_probe_mbps":${fmt(diskProbe)},"env_suspect":$envSuspect,""" else "") +
@@ -228,17 +274,29 @@ object Bench {
       val dir = java.nio.file.Paths.get(perQueryPath).toAbsolutePath.getParent
       val rx = "BENCH_r(\\d+)\\.json".r
       val prev =
-        try java.nio.file.Files.list(dir).iterator.asScala
-          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
-          .map(_.group(1).toInt).maxOption
-        catch { case scala.util.control.NonFatal(_) => None }
+        try {
+          val st = java.nio.file.Files.list(dir) // closed below — leaks a dir fd otherwise
+          try st.iterator.asScala
+            .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
+            .map(_.group(1).toInt).maxOption
+          finally st.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
       prev.map(n => dir.resolve(f"bench_per_query_r${n + 1}%02d.json"))
     }
     // isolated-subset runs must not clobber the full-suite artifact of record
     if (only.isEmpty) try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(perQueryPath), detailJson + "\n")
-      archivePath.foreach(p => java.nio.file.Files.writeString(p, detailJson + "\n"))
+      archivePath.foreach { p =>
+        // overwrite is CORRECT for the driver (its run is the artifact of
+        // record and must win over any earlier local full-suite run), but
+        // it must be LOUD: a local rerun replacing the driver's archive is
+        // exactly the clobber the r8 verdict flagged — the log line is the
+        // audit trail saying which happened.
+        if (java.nio.file.Files.exists(p))
+          System.err.println(s"bench archive $p exists: replacing (this run becomes the round's detail of record)")
+        java.nio.file.Files.writeString(p, detailJson + "\n")
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench detail write failed ($perQueryPath): ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"env_suspect":$anySuspect,"suspect_queries":$suspects,"sf":"$sfDir","env":$env}""")

@@ -1135,6 +1135,12 @@ object ExtensionOracles {
       s"""WITH $imiProbeCtes
          |SELECT qid, nid, rank FROM ir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
+    // serving the PERSISTED index must reproduce the self-contained
+    // retrain exactly — the q_ann_imi oracle IS the q_ann_served oracle
+    "q_ann_served" ->
+      s"""WITH $imiProbeCtes
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
     "q_imi_stats" ->
       s"""WITH $imiProbeCtes
          |SELECT scell, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subs,
@@ -1149,6 +1155,24 @@ object ExtensionOracles {
          |SELECT bq.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
          |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
          |  FROM bq LEFT JOIN h ON bq.qid = h.qid ORDER BY bq.qid""".stripMargin,
+    // IMI + PQ-ADC (the capped-budget serving shape): the SAME member
+    // assignment and joint-nearest probe walk as q_ann_imi (mem/prb off
+    // the pinned half-space books), but candidates score as their PQ
+    // reconstructions (the pinned q_pq_codes encode chain) — cosine
+    // against the concatenated sub-centers, the q_ivfpq metric discipline
+    "q_imi_pq" ->
+      s"""WITH $imiProbeCtes,
+         |$pqEncCtesNoEmb,
+         |$pqRecCte,
+         |pisc AS (SELECT p.qid, m.nid, ${cosSql("p.qv", "r.rv")} AS cos
+         |           FROM prb p JOIN mem m ON p.scell = m.scell AND p.sub = m.sub
+         |           JOIN rec r ON r.vec_id = m.nid
+         |          WHERE m.nid <> p.qid),
+         |pir AS (SELECT qid, nid, cos,
+         |               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |          FROM pisc)
+         |SELECT qid, nid, cos, rank FROM pir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
     // PQ codes: per-vector 8 sub-codes from the pinned trained codebooks,
     // packed little-endian into one int64 nibble word (exact integer ops —
     // scalar, so the hash gate digests it; lists aren't hashable there)

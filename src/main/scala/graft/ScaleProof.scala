@@ -175,6 +175,47 @@ object ScaleProof {
     checks += "imi_occupancy_bounded" ->
       (imiSizes.map(s => s * s).sum.toDouble / nSyn <= 4.0 * 32.0)
 
+    // fine-cell BUDGET (r10, the verdict's residual third axis): with the
+    // occupancy-pinned sizing, per-row assignment is 2·kSide = 2·⌈√(n/32)⌉
+    // folds — O(√n) per row, O(n·√n) to index the corpus. Imi.KSideCap
+    // bounds it; the default (4096/half) binds at ~5·10⁸ vectors, so the
+    // proof binds a SMALL cap (16/half = 256 fine cells) on the same 160k
+    // corpus — the exact regime a 100 TB build is in — and asserts the
+    // three capped-budget shapes ON THE BUILT INDEX:
+    //  (a) folds/row is pinned at 2·cap — the sizing no longer reads n
+    //      (closed form: dimsFor at n and at 100·n give the same kSide,
+    //      while the uncapped sizing grows 10×);
+    //  (b) every vector still assigns, and occupancy GROWS past the
+    //      32-row target instead of the cell count (mean ≥ 32·rawK/cap²
+    //      up to Lloyd slack) — the budget trades occupancy, not
+    //      coverage;
+    //  (c) the index still SERVES: the ADC-ranked within-cell path
+    //      (annImiPq — reconstruction reads, the only affordable scan
+    //      once cells grow) returns a full top-k for every probe query.
+    val capSide = 16
+    val rawKSyn = 5000L
+    checks += "imi_cap_folds_per_row_stop_growing" -> {
+      val atN = Imi.dimsFor(rawKSyn, capSide)._1
+      val at100N = Imi.dimsFor(rawKSyn * 100L, capSide)._1
+      val uncapped100N = Imi.dimsFor(rawKSyn * 100L)._1
+      atN == capSide && at100N == capSide && uncapped100N > 10 * capSide
+    }
+    val (cappedSizes, tImiCap) = timed {
+      val books = Imi.productBooks(syn, capSide)
+      Imi.memberTable(syn, books).groupBy("scell", "sub").count()
+        .collect().map(_.getLong(2))
+    }
+    results += "imi_capped_assign_160k" -> tImiCap
+    checks += "imi_cap_all_assigned_occupancy_grows" ->
+      (cappedSizes.sum == nSyn && cappedSizes.length <= capSide * capSide &&
+        cappedSizes.sum.toDouble / cappedSizes.length >= 32.0)
+    val (cappedServe, tImiCapServe) = timed(
+      Imi.annImiPq(syn, nQueries = 3, k = 10, kSideCap = capSide)
+        .groupBy("qid").count().collect().map(_.getLong(1)))
+    results += "imi_capped_adc_serve_160k" -> tImiCapServe
+    checks += "imi_cap_adc_serves_full_topk" ->
+      (cappedServe.length == 3 && cappedServe.forall(_ == 10L))
+
     // banded-LSH blocking past the cap (r8): on the same synthetic corpus
     // the chain must route its cell key through the product fine cells
     // (packed c1·2²⁰+c2). Both checks read the chain's OWN tables, so a

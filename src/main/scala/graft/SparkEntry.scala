@@ -265,6 +265,16 @@ object SparkEntry {
     "q_ann_imi" -> ((s, dir) => operators.Imi.annImi(Sources.embeddings(s, dir))),
     "q_imi_recall" -> ((s, dir) => operators.Imi.imiRecall(Sources.embeddings(s, dir))),
     "q_imi_stats" -> ((s, dir) => operators.Imi.imiStats(Sources.embeddings(s, dir))),
+    "q_imi_pq" -> ((s, dir) => operators.Imi.annImiPq(Sources.embeddings(s, dir))),
+    // train→persist→serve: the stored-artifact probe must hash-match the
+    // self-contained retrain (same oracle as q_ann_imi)
+    "q_ann_served" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_idx_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.annImiServed(emb, idx)
+    }),
     "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => KMeans.kmeans(Sources.embeddings(s, dir))),
     // ---- M7 extensions: multimodal plumbing (stub decode) ----

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst |a ∩ b| over two ASCENDING-SORTED array<bigint>
   * columns — the shingle-set intersection count on every near-dup verify
@@ -31,12 +32,35 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * equals `size(array_intersect(...))` exactly — an integer with no
   * ordering or rounding freedom — and every DuckDB twin (which computes
   * the same count from the raw string shingles) carries over unchanged.
+  * Caveat on "distinct": the kernel dedups shingle STRINGS, not their
+  * 60-bit hashes — two distinct in-doc shingles colliding under h60
+  * (probability ~|doc|²/2⁶¹, negligible but nonzero) would leave a
+  * duplicated value in `hs`, and if the same duplicated value sits on
+  * both sides the merge counts it per occurrence while
+  * `size(array_intersect)` counts it once. The guarantee is therefore
+  * conditional on no in-doc h60 collision — the same condition every
+  * hash-keyed twin (the oracle joins distinct STRINGS through their
+  * hashes too) already carries.
   * SORTED INPUT IS A PRECONDITION, not detected at runtime: an unsorted
-  * input undercounts. Both columns must come from the kernel's `hs`. */
+  * input undercounts. Both columns must come from the kernel's `hs` —
+  * and the type contract is enforced at analysis time
+  * (checkInputDataTypes: array<bigint> both sides), so a mistyped column
+  * fails the analyzer instead of reading garbage through
+  * ArrayData.getLong. */
 case class SortedInterCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override def prettyName: String = "sorted_inter_count"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -40,17 +40,40 @@ object Imi {
     * one sub-quantizer each ([[KMeans.trainSubCenters]] m=2). */
   private[graft] val HalfDim = 32
 
+  /** Fine-cell BUDGET (r9 verdict #2 — the third and last leg of the
+    * quantizer-scaling story): occupancy-pinned sizing (k = ⌈n/32⌉,
+    * kSide = ⌈√k⌉) keeps cells at 32 rows forever, but per-row assignment
+    * is 2·kSide folds — O(√n) per row, O(n·√n·d/2) to index the corpus
+    * (~10²¹ multiply-adds at the 100 TB design point: days of cluster
+    * time). Real IMI deployments fix the fine-cell budget instead and let
+    * occupancy grow past it, which is safe ONLY because within-cell
+    * candidates can be ranked by their packed PQ-ADC codes
+    * ([[annImiPq]]) — a reconstruction read costs 8 bytes of code, so a
+    * growing cell stays cheap to scan while assignment compute is pinned
+    * at 2·KSideCap folds/row forever. 4096 centers per half = 2²⁴ fine
+    * cells; the cap binds at n > 2²⁴·32 ≈ 5·10⁸ vectors (r8 fixed
+    * candidate growth, r9 fixed trained-state mass, this fixes indexing
+    * compute). It also makes [[packCid]]'s < 2²⁰ packing requirement
+    * unconditional. */
+  private[graft] val KSideCap = 4096
+
   /** (k1, k2): the √-split of the occupancy-derived total cell count
     * ([[Similarity.ivfRawK]] — the same UNCAPPED sizing the flat
     * quantizer clamps, so the two can never drift). Both halves size
-    * kSide = ⌈√k⌉, so k1·k2 = kSide² ≥ k fine cells. At sf0.01 (n=500):
-    * k=16 → (4, 4); at sf0.1 (n=2000): k=63 → (8, 8). */
+    * kSide = min(⌈√k⌉, [[KSideCap]]), so k1·k2 ≥ k fine cells until the
+    * budget binds, after which occupancy grows instead of kSide. At
+    * sf0.01 (n=500): k=16 → (4, 4); at sf0.1 (n=2000): k=63 → (8, 8) —
+    * the cap never binds at gate scale, so every pinned book and hash
+    * gate is unchanged by it. */
   private[graft] def imiDims(emb: DataFrame): (Int, Int) =
     dimsFor(Similarity.ivfRawK(emb))
 
-  /** The √-split itself, for callers that already paid the row-count job. */
-  private[graft] def dimsFor(k: Long): (Int, Int) = {
-    val s = math.ceil(math.sqrt(k.toDouble)).toInt
+  /** The capped √-split itself, for callers that already paid the
+    * row-count job. `kSideCap` is a parameter so ScaleProof can bind the
+    * budget on a corpus that fits this machine (the default binds at
+    * ~5·10⁸ vectors). */
+  private[graft] def dimsFor(k: Long, kSideCap: Int = KSideCap): (Int, Int) = {
+    val s = math.min(math.ceil(math.sqrt(k.toDouble)).toLong, kSideCap.toLong).toInt
     (s, s)
   }
 
@@ -70,7 +93,7 @@ object Imi {
     * [[KMeans.trainSubCenters]] assignment discipline exactly (same
     * slice, same strict fold, same (d asc, cid asc) tie-break), so the
     * pinned-book oracle replays it bit-identically. */
-  private def memberTable(emb: DataFrame,
+  private[graft] def memberTable(emb: DataFrame,
       books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -110,17 +133,18 @@ object Imi {
     * layout's 0.82 at 4 cells but O(k·d) = corpus-linear trained state.
     * Output (qid, nid, rank) — the [[Similarity.annIvf]] contract on the
     * product index. */
-  def annImi(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-             nprobeSuper: Int = 2, nprobeSub: Int = 4): DataFrame = {
+  /** Per-query probe table (qid, qv, scell, sub) — the nCells
+    * JOINT-nearest fine cells by d1+d2 ([[CenterKernels.topFineCells]]'
+    * multi-sequence walk over the two sorted half-space scans), one
+    * broadcast-books mapPartitions pass. Shared by [[annImi]],
+    * [[annImiPq]] and the served probe so every IMI consumer walks the
+    * identical cell list. */
+  private def probeTable(emb: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+                         nQueries: Int, nCells: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val books = productBooks(emb, imiDims(emb)._1)
-    val cand = memberTable(emb, books)
-      .select(col("vec_id").as("nid"), col("emb").as("nv"),
-        col("scell"), col("sub"))
     val bcB = spark.sparkContext.broadcast(books.map(_.toArray).toArray)
-    val nCells = nprobeSuper * nprobeSub
-    val probes = emb.filter(col("vec_id") < nQueries)
+    emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").cast("long"), col("emb").cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -136,6 +160,15 @@ object Imi {
         }
       }
       .toDF("qid", "qv", "scell", "sub")
+  }
+
+  def annImi(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+             nprobeSuper: Int = 2, nprobeSub: Int = 4): DataFrame = {
+    val books = productBooks(emb, imiDims(emb)._1)
+    val cand = memberTable(emb, books)
+      .select(col("vec_id").as("nid"), col("emb").as("nv"),
+        col("scell"), col("sub"))
+    val probes = probeTable(emb, books, nQueries, nprobeSuper * nprobeSub)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     cand.join(broadcast(probes), Seq("scell", "sub"))
       .filter(col("nid") =!= col("qid"))
@@ -144,6 +177,41 @@ object Imi {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** IMI + PQ-ADC — the serving shape a CAPPED fine-cell budget requires
+    * ([[KSideCap]]): past the cap, occupancy grows with n, so the
+    * within-cell scan must read reconstructed PQ codes (8 bytes/candidate,
+    * [[Similarity.pqEncodeReconCol]]) instead of raw vectors — the exact
+    * composition [[Similarity.annIvfPq]] ships on the flat quantizer,
+    * moved onto the product index whose assignment compute the cap
+    * bounds. Ranking is cosine against the reconstruction (so the gate
+    * isolates quantization loss, same metric discipline as q_ivfpq); the
+    * probe walk and member assignment are [[annImi]]'s own, so the hash
+    * gate pins coarse sizing + both trainings + assignment + probe + ADC
+    * end to end. `kSideCap` is the budget knob — ScaleProof binds it on a
+    * 160k corpus to prove folds/row stops growing while the index keeps
+    * serving. Output (qid, nid, cos, rank). */
+  def annImiPq(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+               nprobeSuper: Int = 2, nprobeSub: Int = 4,
+               kSideCap: Int = KSideCap): DataFrame = {
+    val (kSide, _) = dimsFor(Similarity.ivfRawK(emb), kSideCap)
+    val books = productBooks(emb, kSide)
+    val pqBooks = Similarity.pqCodebooks(emb)
+    val cand = memberTable(emb, books)
+      .select(col("vec_id").as("nid"),
+        Similarity.pqEncodeReconCol(pqBooks, col("emb")).as("nv"),
+        col("scell"), col("sub"))
+    val probes = probeTable(emb, books, nQueries, nprobeSuper * nprobeSub)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cand.join(broadcast(probes), Seq("scell", "sub"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
       .orderBy("qid", "rank")
   }
 
@@ -166,6 +234,80 @@ object Imi {
       .orderBy("qid")
   }
 
+  /** Train → PERSIST: the artifact an ANN deployment actually ships (r9
+    * verdict, "what's missing" #1 — every in-query retrain is gate-correct
+    * but not what production executes; this is the compaction family's
+    * plan→write loop closure applied to the index). Two parquet tables
+    * under `path`:
+    *   - `books`  (s, cid, cv): the two half-space codebooks — 2·kSide
+    *     rows, O(√k·d) bytes, the driver-small artifact a prober loads;
+    *   - `members` (vec_id, emb, sub | partitioned by scell): the full
+    *     assignment, laid out so a probe's cell reads prune at the
+    *     DIRECTORY level ([[graft.sources.Sources.writePartitioned]] —
+    *     at 100 TB a (2,4)-probe touches 8 fine cells ≈ 8·occupancy rows
+    *     of one scell subtree each, never a full scan).
+    * Returns the trained books so the caller can serve without re-reading
+    * them. */
+  def persistIndex(emb: DataFrame, path: String): Seq[Seq[(Long, Array[Double])]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val books = productBooks(emb, imiDims(emb)._1)
+    books.zipWithIndex
+      .flatMap { case (bk, s) => bk.map { case (cid, cv) => (s, cid, cv.toSeq) } }
+      .toDF("s", "cid", "cv")
+      .coalesce(1) // 2·kSide rows — one footer, not one file per center
+      .write.mode("overwrite").parquet(s"$path/books")
+    graft.sources.Sources.writePartitioned(
+      memberTable(emb, books), s"$path/members", Seq("scell"))
+    books
+  }
+
+  /** The stored books, reloaded: 2·kSide rows collected — the same
+    * driver-state mass training ends with, now read from the artifact. */
+  private[graft] def loadBooks(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Seq[Seq[(Long, Array[Double])]] = {
+    val rows = spark.read.parquet(s"$path/books")
+      .select(col("s").cast("int"), col("cid").cast("long"),
+        col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    (0 to rows.map(_._1).max).map(s =>
+      rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+  }
+
+  /** Serve top-k FROM THE STORED ARTIFACT — scan-free on the corpus: the
+    * probe walk runs against the reloaded `books`, candidates come from
+    * the `members` layout (scell-partitioned parquet — the probed cells'
+    * subtrees are all that's read), and the ranking is [[annImi]]'s own
+    * exact-cosine discipline, so serving the persisted index
+    * hash-matches the self-contained retrain bit for bit (the
+    * `q_ann_served` gate: same oracle as `q_ann_imi`). Output
+    * (qid, nid, rank). */
+  def annImiServed(emb: DataFrame, path: String, nQueries: Int = 5,
+                   k: Int = 10, nprobeSuper: Int = 2,
+                   nprobeSub: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val books = loadBooks(spark, path)
+    // schema-on-read (the compaction executor's discipline): the written
+    // layout is (data cols + scell partition col); inference has nothing
+    // to read on an empty corpus
+    val cand = spark.read
+      .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, scell BIGINT")
+      .parquet(s"$path/members")
+      .select(col("vec_id").as("nid"), col("emb").as("nv"),
+        col("scell"), col("sub"))
+    val probes = probeTable(emb, books, nQueries, nprobeSuper * nprobeSub)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cand.join(broadcast(probes), Seq("scell", "sub"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** (vec_id, scell, sub): the trained index's full member assignment —
     * the ScaleProof surface for occupancy/realized-cell-count checks on
     * corpora past the flat quantizer's cap. */
@@ -175,8 +317,9 @@ object Imi {
 
   /** Fine-cell id packing for consumers that need ONE growing cell key
     * (the banded-LSH blocking past the flat cap): c1·2²⁰ + c2 —
-    * collision-free while kSide < 2²⁰ (kSide = ⌈√k⌉ reaches 2²⁰ only past
-    * k = 10¹², far beyond any real corpus; the require keeps it honest). */
+    * collision-free while kSide < 2²⁰, which [[KSideCap]] = 2¹² now makes
+    * unconditional (the require stays as the honest backstop should the
+    * cap ever be raised past the packing width). */
   private[graft] def packCid(c1: Long, c2: Long, kSide: Int): Long = {
     require(kSide < (1 << 20), s"fine-cell packing overflow: kSide=$kSide")
     (c1 << 20) | c2

@@ -675,6 +675,16 @@ object Similarity {
         codes.getItem(s))
     }: _*))
 
+  /** Encode + reconstruct in ONE literal projection — the candidate-side
+    * column [[annIvfPq]] ranks against, shared with [[Imi.annImiPq]] so
+    * both composed indexes score the identical ADC reconstruction (the
+    * deployment's candidate payload is the 8-byte code; the
+    * reconstruction is what a scored read of that code costs). */
+  private[graft] def pqEncodeReconCol(books: Seq[Seq[(Long, Array[Double])]],
+                                      vecCol: Column): Column =
+    pqReconCol(books,
+      array((0 until PqSubspaces).map(s => subCode(vecCol, s, books(s))): _*))
+
   def pqAdcTopk(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val books = pqCodebooks(emb)
     val cand = pqEncodeWith(emb, books)
@@ -710,9 +720,7 @@ object Similarity {
     val books = pqCodebooks(emb)
     val cand = assignCells(emb.select(col("vec_id"), col("emb")), centers)
       .select(col("vec_id").as("nid"), col("cid"),
-        pqReconCol(books,
-          array((0 until PqSubspaces).map(s =>
-            subCode(col("emb"), s, books(s))): _*)).as("nv"))
+        pqEncodeReconCol(books, col("emb")).as("nv"))
     val probes = CenterKernels
       .probeCells(emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("emb")), centers, nprobe)

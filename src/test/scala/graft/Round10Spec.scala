@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Imi
+import graft.sources.Sources
+
+/** Round-10 hardening: the IMI fine-cell budget (KSideCap — assignment
+  * compute stops growing with n), the ADC-ranked within-cell serving
+  * shape the cap requires, the persisted train/serve loop (stored books
+  * = pinned books; served ranking = self-contained retrain), and the
+  * SortedInterCount analysis-time type contract. */
+class Round10Spec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val pinDir = "/root/testdata/sf0.01"
+
+  test("dimsFor caps the sqrt-split: folds/row stops growing past the budget") {
+    // below the cap: the uncapped sqrt-split (gate-scale sizing unchanged)
+    assert(Imi.dimsFor(16L) === ((4, 4)))
+    assert(Imi.dimsFor(63L) === ((8, 8)))
+    // at/past the cap: kSide pins at the budget while raw k keeps growing
+    // 100x — per-row assignment work (2*kSide half-dim folds) is constant
+    val cap = Imi.KSideCap
+    assert(Imi.dimsFor(cap.toLong * cap * 4) === ((cap, cap)))
+    assert(Imi.dimsFor(cap.toLong * cap * 400) === ((cap, cap)))
+    // the parameterized budget ScaleProof binds on a corpus this machine
+    // can hold behaves identically
+    assert(Imi.dimsFor(5000L, 16) === ((16, 16)))
+    assert(Imi.dimsFor(500000L, 16) === ((16, 16)))
+    // and the uncapped sizing at those k would have kept growing
+    assert(Imi.dimsFor(500000L)._1 > 10 * 16)
+    // the default budget keeps the packed (c1,c2) key collision-free
+    // unconditionally
+    assert(Imi.KSideCap < (1 << 20))
+  }
+
+  test("persisted index books equal the pinned sf0.01 books") {
+    val emb = Sources.embeddings(spark, pinDir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_r10_idx").toString
+    val trained = Imi.persistIndex(emb, idx)
+    val reloaded = Imi.loadBooks(spark, idx)
+    // the parquet round trip is lossless: reloaded == trained, exactly
+    assert(reloaded.length === trained.length)
+    trained.zip(reloaded).foreach { case (t, r) =>
+      assert(t.map(_._1) === r.map(_._1))
+      t.zip(r).foreach { case ((_, tv), (_, rv)) =>
+        assert(tv.toSeq === rv.toSeq)
+      }
+    }
+    // and the stored artifact IS the pinned oracle state: any drift in
+    // sizing/training/persistence breaks this before the hash gates do
+    val pins = Seq(ImiPins.b1K4I2, ImiPins.b2K4I2)
+    assert(reloaded.length === pins.length)
+    reloaded.zip(pins).foreach { case (r, p) =>
+      assert(r.map(_._1) === p.map(_._1))
+      r.zip(p).foreach { case ((_, rv), (_, pv)) =>
+        assert(rv.toSeq === pv)
+      }
+    }
+  }
+
+  test("serving the stored artifact matches the self-contained retrain") {
+    val emb = Sources.embeddings(spark, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_r10_serve").toString
+    Imi.persistIndex(emb, idx)
+    val served = Imi.annImiServed(emb, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val retrain = Imi.annImi(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served.toSeq === retrain.toSeq)
+    // the members layout is scell-partitioned parquet (directory-level
+    // pruning for a probe's cells)
+    val memberDirs = new java.io.File(s"$idx/members").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(memberDirs.nonEmpty && memberDirs.forall(_.startsWith("scell=")))
+  }
+
+  test("ADC-ranked IMI serves a full top-k under a binding cap") {
+    val emb = Sources.embeddings(spark, dir)
+    // cap=2: 4 fine cells for a corpus whose raw sizing wants 8+ — the
+    // capped regime (occupancy grows, assignment folds pinned at 2*2)
+    val capped = Imi.annImiPq(emb, nQueries = 3, k = 5, kSideCap = 2)
+      .collect()
+    assert(capped.length === 15)
+    val byQ = capped.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // cosine against a PQ reconstruction is a real cosine: in [-1, 1]
+      rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    }
+    // uncapped ADC variant agrees with the oracle-gated default params
+    val dflt = Imi.annImiPq(emb).collect()
+    assert(dflt.nonEmpty && dflt.forall(_.getLong(3) <= 10L))
+  }
+
+  test("SortedInterCount rejects non-array<bigint> inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((Array(1, 2, 3), Array(2, 3, 4))).toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.SortedInterCount
+        .sortedInterCount(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<bigint>"))
+  }
+}
