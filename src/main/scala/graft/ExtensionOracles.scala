@@ -622,25 +622,8 @@ object ExtensionOracles {
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vp) AS n_verified,
          |       CAST((SELECT COUNT(*) FROM vp) AS DOUBLE)
          |         / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS prec""".stripMargin,
-    // LSH recall vs the exact prefix-join ground truth at t = 4/5: the
-    // brute-force einter chain IS q_prefix_jaccard's oracle (renamed to
-    // avoid colliding with the candidate-restricted inter CTE), the caught
-    // side is the vp chain — both already gated
-    "q_lsh_recall" ->
-      s"""WITH $minhashCtes,
-         |$verifiedPairsCte,
-         |einter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
-         |             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |            GROUP BY 1, 2),
-         |ex AS (SELECT einter.a, einter.b FROM einter
-         |         JOIN sz ca ON einter.a = ca.doc_id
-         |         JOIN sz cb ON einter.b = cb.doc_id
-         |        WHERE einter.inter * 5 >= (ca.c + cb.c - einter.inter) * 4),
-         |hit AS (SELECT ex.a FROM ex JOIN vp ON ex.a = vp.a AND ex.b = vp.b)
-         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
-         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_caught,
-         |       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-         |         / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
+    // (the full-corpus q_lsh_recall oracle was retired with its contract
+    // entry — r9 verdict #3; the sampled twin below is the recall gate)
     // sampled LSH recall: same brute-force einter ground truth restricted
     // to pairs touching the md5-selected 1/4 doc sample (the engine's
     // samplePred twin — membership replays exactly)
@@ -1303,6 +1286,47 @@ object ExtensionOracles {
          |       n.n_toks - COALESCE(cl.n_kept, 0) AS n_removed,
          |       ${graft.functions.Hashes.h60Sql("COALESCE(cl.ct, '')")} AS clean_fp
          |  FROM n LEFT JOIN cl ON n.doc_id = cl.doc_id
+         | ORDER BY n.doc_id""".stripMargin,
+    // exact-substring dedup: stride-1 minLen=4 gram incidence keyed by
+    // the 60-bit gram hash; hot (≥2-doc) gram coverage is the exact set
+    // of positions inside cross-doc verbatim repeats of ≥4 tokens;
+    // max_span = longest covered island (gaps-and-islands: pos − rn);
+    // survivors fingerprint under the md5 h60 — content AND order gated
+    "q_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $DOCS
+         |            WHERE text IS NOT NULL),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+         |g AS (SELECT doc_id, i AS p,
+         |             ${graft.functions.Hashes.h60Sql("array_to_string(toks[(i+1):(i+4)], ' ')")} AS gm
+         |        FROM (SELECT doc_id, toks,
+         |                     unnest(range(0, n_toks - 4 + 1)) AS i
+         |                FROM n WHERE n_toks >= 4)),
+         |hot AS (SELECT gm FROM (SELECT gm, COUNT(DISTINCT doc_id) AS nd
+         |                          FROM g GROUP BY gm) WHERE nd >= 2),
+         |hs AS (SELECT DISTINCT g.doc_id, g.p FROM g JOIN hot ON g.gm = hot.gm),
+         |cov AS (SELECT DISTINCT doc_id, CAST(hs.p + v.o AS BIGINT) AS pos
+         |          FROM hs, (VALUES (1), (2), (3), (4)) v(o)),
+         |pos AS (SELECT n.doc_id, CAST(q.pos AS BIGINT) AS pos,
+         |               toks[CAST(q.pos AS INT)] AS tok
+         |          FROM n, LATERAL unnest(generate_series(1, CAST(n_toks AS INT))) q(pos)),
+         |kept AS (SELECT pos.doc_id, pos.pos, pos.tok FROM pos
+         |          WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                             WHERE cov.doc_id = pos.doc_id AND cov.pos = pos.pos)),
+         |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |              string_agg(tok, ' ' ORDER BY pos) AS ct
+         |         FROM kept GROUP BY doc_id),
+         |isl AS (SELECT doc_id,
+         |               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |          FROM cov),
+         |mx AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_span
+         |         FROM (SELECT doc_id, grp, COUNT(*) AS cnt
+         |                 FROM isl GROUP BY doc_id, grp) GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_toks,
+         |       n.n_toks - COALESCE(cl.n_kept, 0) AS n_removed,
+         |       COALESCE(mx.max_span, CAST(0 AS BIGINT)) AS max_span,
+         |       ${graft.functions.Hashes.h60Sql("COALESCE(cl.ct, '')")} AS clean_fp
+         |  FROM n LEFT JOIN cl ON n.doc_id = cl.doc_id
+         |  LEFT JOIN mx ON n.doc_id = mx.doc_id
          | ORDER BY n.doc_id""".stripMargin,
     // top duplicated windows: same incidence as q_dup_spans, top-k under
     // the (occurrences desc, window asc) total order

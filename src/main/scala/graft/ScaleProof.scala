@@ -272,6 +272,31 @@ object ScaleProof {
     checks += "line_dedup_closed_form" ->
       (keptTotal10 == reps.toLong * baseTailKept)
 
+    // exact-substring dedup at 10x (r10): replication makes EVERY stride-1
+    // 4-gram hot (each doc's grams recur verbatim in all `reps` replicas),
+    // so coverage is total for every doc long enough to gram — survivors
+    // are exactly the docs with < 4 tokens (kept whole), and every
+    // covered doc's longest matched span is its ENTIRE token run (the
+    // variable-length extension working at full stretch: any break in
+    // island merging, coverage marking, or hot-gram detection snaps the
+    // equality).
+    val (ssd10, tSsd) = timed {
+      val r = TextAnalysis.substringDedup(docs)
+        .agg(sum(col("n_toks") - col("n_removed")).as("kept"),
+          sum(when(col("n_toks") >= 4 && col("max_span") =!= col("n_toks"), 1L)
+            .otherwise(0L)).as("partial"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    results += "substring_dedup_10x" -> tSsd
+    val baseShortKept = Sources.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(coalesce(sum(when(col("n") < 4, col("n"))), lit(0L)))
+      .head().getLong(0)
+    checks += "substring_dedup_closed_form" ->
+      (ssd10._1 == reps.toLong * baseShortKept && ssd10._2 == 0L)
+
     // int8 quantization at 10x: a per-vector pure function — total error
     // mass must be EXACTLY reps x the base corpus's
     val (eBase, _) = timed(

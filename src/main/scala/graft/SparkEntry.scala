@@ -357,7 +357,12 @@ object SparkEntry {
     "q_quality_dups" -> ((s, dir) =>
       Curation.qualityDupProfile(Sources.documents(s, dir))),
     "q_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(Sources.documents(s, dir))),
-    "q_lsh_recall" -> ((s, dir) => Dedup.lshRecall(Sources.documents(s, dir))),
+    // the FULL-corpus recall gauge (Dedup.lshRecall) is deliberately NOT a
+    // contract query (r9 verdict #3): its exact side evaluates the prefix
+    // join over the whole corpus — the one gauge a 100 TB tuning loop never
+    // re-runs — and its information is carried by the sampled twin below
+    // plus the ScaleProof bracket check (lsh_recall_sampled_brackets_full)
+    // and Round9Spec's sampled-equals-filtered-full exactness contract.
     "q_lsh_recall_sampled" -> ((s, dir) => Dedup.lshRecallSampled(Sources.documents(s, dir))),
     "q_oov_rate" -> ((s, dir) => TextAnalysis.oovRate(Sources.documents(s, dir))),
     "q_key_skew" -> ((s, dir) =>
@@ -420,6 +425,8 @@ object SparkEntry {
       TextAnalysis.dupSpans(Sources.documents(s, dir))),
     "q_line_dedup" -> ((s, dir) =>
       TextAnalysis.lineDedup(Sources.documents(s, dir))),
+    "q_substring_dedup" -> ((s, dir) =>
+      TextAnalysis.substringDedup(Sources.documents(s, dir))),
     "q_top_spans" -> ((s, dir) =>
       TextAnalysis.topSpans(Sources.documents(s, dir))),
     "q_source_overlap" -> ((s, dir) =>

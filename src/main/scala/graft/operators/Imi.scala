@@ -199,6 +199,14 @@ object Imi {
     val (kSide, _) = dimsFor(Similarity.ivfRawK(emb), kSideCap)
     val books = productBooks(emb, kSide)
     val pqBooks = Similarity.pqCodebooks(emb)
+    // an empty corpus trains empty sub-books, which have no argmin: the
+    // honest answer is the empty top-k under the output schema
+    if (pqBooks.exists(_.isEmpty)) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long, Double, Long)]
+        .toDF("qid", "nid", "cos", "rank")
+    }
     val cand = memberTable(emb, books)
       .select(col("vec_id").as("nid"),
         Similarity.pqEncodeReconCol(pqBooks, col("emb")).as("nv"),
@@ -271,7 +279,10 @@ object Imi {
         col("cv").cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    (0 to rows.map(_._1).max).map(s =>
+    // an empty corpus persists zero centers: mirror productBooks' shape
+    // there (two empty half-space books), so the served probe joins empty
+    if (rows.isEmpty) Seq(Seq.empty, Seq.empty)
+    else (0 to rows.map(_._1).max).map(s =>
       rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
   }
 

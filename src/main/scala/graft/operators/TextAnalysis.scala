@@ -251,6 +251,92 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING dedup (Lee et al. '22, "Deduplicating Training Data
+    * Makes Language Models Better"): every token inside a VERBATIM
+    * cross-doc repeat of ≥ `minLen` tokens is removed — the
+    * variable-length guarantee [[lineDedup]]'s fixed width-4/stride-2
+    * grid approximates (a shared run can straddle two grid windows
+    * without ever equalling one; Round10Spec pins exactly that case).
+    *
+    * The published method builds a corpus suffix array and scans sorted
+    * suffixes for long shared prefixes — inherently single-machine. The
+    * distributed equivalence this operator rests on: a position is inside
+    * some cross-doc repeated substring of length ≥ minLen IFF it is
+    * covered by a STRIDE-1 minLen-token gram that occurs in ≥ 2 distinct
+    * docs (⇐ a repeat of length L ≥ minLen contributes its L−minLen+1
+    * grams, whose coverage union is exactly its L positions; ⇒ a hot
+    * gram IS such a repeat). So sorted-suffix neighborhoods reduce to one
+    * gram-key aggregation — the [[dupSpans]] shape at stride 1, with the
+    * gram keyed by its 60-bit hash ([[graft.functions.Hashes]]) so the
+    * shuffle carries int64s, not minLen-token strings (at 100 TB the
+    * gram table is corpus-token-linear and the df aggregation map-side
+    * combines; the per-doc start list is bounded by the token count —
+    * the same in-row bound as the token array itself).
+    *
+    * Output (doc_id, n_toks, n_removed, max_span, clean_fp): max_span is
+    * the longest covered run (the variable-length evidence — ≥ minLen
+    * whenever anything matched), clean_fp the md5-h60 of the survivor
+    * text, proving CONTENT and token ORDER of every cleaned doc.
+    * `minLen` defaults to 4 at gate scale; the published setting for a
+    * real crawl corpus is ~50. */
+  def substringDedup(docs: DataFrame, minLen: Int = 4): DataFrame = {
+    require(minLen > 0, "need positive minLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), split(col("text"), " ").as("toks"))
+    val grams = base
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= minLen)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_toks") - minLen)).as("p"))
+      .select(col("doc_id"), col("p"),
+        Hashes.h60(concat_ws(" ",
+          slice(col("toks"), (col("p") + 1).cast("int"), lit(minLen)))).as("g"))
+    val hot = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val hotStarts = grams.join(hot, "g")
+      .groupBy("doc_id").agg(collect_list(col("p")).as("ps"))
+    base.join(hotStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("ps"), array().cast("array<long>")).as("ps"))
+      .as[(Long, Seq[String], Seq[Long])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks, ps) =>
+          val n = toks.length
+          val covered = new Array[Boolean](n)
+          ps.foreach { p0 =>
+            var p = p0.toInt
+            val end = math.min(n, p + minLen)
+            while (p < end) { covered(p) = true; p += 1 }
+          }
+          val sb = new java.lang.StringBuilder
+          var kept = 0L
+          var maxSpan = 0L
+          var run = 0L
+          var i = 0
+          while (i < n) {
+            if (covered(i)) {
+              run += 1
+              if (run > maxSpan) maxSpan = run
+            } else {
+              run = 0L
+              if (kept > 0) sb.append(' ')
+              sb.append(toks(i))
+              kept += 1
+            }
+            i += 1
+          }
+          (id, n.toLong, n - kept, maxSpan, Hashes.h60Jvm(md, sb.toString))
+        }
+      }
+      .toDF("doc_id", "n_toks", "n_removed", "max_span", "clean_fp")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level bigram counts — the n-gram LM statistic (conditional-
     * probability tables, contamination screens, boilerplate detection all
     * start here). Adjacent-token pairs come from zipping each doc's token

@@ -57,6 +57,14 @@ class EmptyInputSpec extends AnyFunSuite with SharedSpark {
     runs("annBruteForce")(Similarity.annBruteForce(emptyEmb))
     runs("annImi")(graft.operators.Imi.annImi(emptyEmb))
     runs("imiRecall")(graft.operators.Imi.imiRecall(emptyEmb))
+    runs("annImiPq")(graft.operators.Imi.annImiPq(emptyEmb))
+    runs("substringDedup")(TextAnalysis.substringDedup(emptyDocs))
+    runs("annImiServed") {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_empty_imi_idx").toString
+      graft.operators.Imi.persistIndex(emptyEmb, idx)
+      graft.operators.Imi.annImiServed(emptyEmb, idx)
+    }
     runs("compactExecute") {
       val out = java.nio.file.Files
         .createTempDirectory("graft_empty_compact").toString

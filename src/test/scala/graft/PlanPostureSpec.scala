@@ -52,8 +52,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_split_drift", // |lengths| cum rows x the SINGLE-ROW split totals
     "q_dist_match", // |bands| rows x the SINGLE-ROW corpus split totals
     "q_lsh_tuning", // SINGLE-ROW candidate/verified x SINGLE-ROW doc count
-    "q_lsh_recall", // SINGLE-ROW exact-pair count x SINGLE-ROW caught count
-    "q_lsh_recall_sampled", // same shape on the sampled ground truth
+    "q_lsh_recall_sampled", // SINGLE-ROW sampled exact-pair count x SINGLE-ROW caught count
     "q_emb_lsh_recall", // SINGLE-ROW n_true x n_found x n_hit, as q_lsh_recall
     "q_imi_recall", // brute-force ground-truth side, as q_ann_recall
     "q_join_card", // SINGLE-ROW histogram estimate x SINGLE-ROW actual count

@@ -98,6 +98,44 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
     assert(dflt.nonEmpty && dflt.forall(_.getLong(3) <= 10L))
   }
 
+  test("substringDedup catches a shared run that straddles the fixed window grid") {
+    import spark.implicits._
+    // "a b c d" sits at start 2 in doc 0 and start 1 in doc 1: the
+    // width-4/stride-2 grid of lineDedup windows neither doc at those
+    // offsets identically (no common window), so the fixed grid removes
+    // NOTHING — while the stride-1 variable-length detector must remove
+    // exactly the 4 shared tokens from each doc, with max_span = 4.
+    val docs = Seq(
+      (0L, "x1 x2 a b c d y1 y2"),
+      (1L, "z1 a b c d w1 w2 w3")).toDF("doc_id", "text")
+    val fixed = graft.operators.TextAnalysis.lineDedup(docs)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(fixed === 0L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val got = graft.operators.TextAnalysis.substringDedup(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) === ((8L, 4L, 4L,
+      graft.functions.Hashes.h60Jvm(md, "x1 x2 y1 y2"))))
+    assert(got(1L) === ((8L, 4L, 4L,
+      graft.functions.Hashes.h60Jvm(md, "z1 w1 w2 w3"))))
+    // and overlapping repeats MERGE into one variable-length span:
+    // "a b c d e" shared => 5 covered positions from two hot grams
+    val docs2 = Seq(
+      (0L, "a b c d e t1 t2 t3"),
+      (1L, "s1 s2 s3 a b c d e")).toDF("doc_id", "text")
+    val got2 = graft.operators.TextAnalysis.substringDedup(docs2).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got2(0L) === ((5L, 5L)))
+    assert(got2(1L) === ((5L, 5L)))
+    // degenerate inputs: empty corpus and sub-minLen docs survive whole
+    val short = Seq((7L, "just three toks")).toDF("doc_id", "text")
+    val s = graft.operators.TextAnalysis.substringDedup(short).head()
+    assert(s.getLong(1) === 3L && s.getLong(2) === 0L && s.getLong(3) === 0L)
+    assert(graft.operators.TextAnalysis
+      .substringDedup(docs.filter(lit(false))).count() === 0L)
+  }
+
   test("SortedInterCount rejects non-array<bigint> inputs at analysis time") {
     import spark.implicits._
     val df = Seq((Array(1, 2, 3), Array(2, 3, 4))).toDF("a", "b")
