@@ -1156,6 +1156,22 @@ object ExtensionOracles {
          |          FROM pisc)
          |SELECT qid, nid, cos, rank FROM pir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
+    // serving the persisted compressed tier (stored packed codes +
+    // reloaded books) must reproduce the in-query ADC retrain exactly —
+    // the q_imi_pq oracle IS the q_imi_pq_served oracle
+    "q_imi_pq_served" ->
+      s"""WITH $imiProbeCtes,
+         |$pqEncCtesNoEmb,
+         |$pqRecCte,
+         |pisc AS (SELECT p.qid, m.nid, ${cosSql("p.qv", "r.rv")} AS cos
+         |           FROM prb p JOIN mem m ON p.scell = m.scell AND p.sub = m.sub
+         |           JOIN rec r ON r.vec_id = m.nid
+         |          WHERE m.nid <> p.qid),
+         |pir AS (SELECT qid, nid, cos,
+         |               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |          FROM pisc)
+         |SELECT qid, nid, cos, rank FROM pir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
     // PQ codes: per-vector 8 sub-codes from the pinned trained codebooks,
     // packed little-endian into one int64 nibble word (exact integer ops —
     // scalar, so the hash gate digests it; lists aren't hashable there)

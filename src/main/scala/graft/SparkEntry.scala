@@ -275,6 +275,15 @@ object SparkEntry {
       operators.Imi.persistIndex(emb, idx)
       operators.Imi.annImiServed(emb, idx)
     }),
+    // the stored COMPRESSED tier: candidates reconstructed from the
+    // persisted packed codes must reproduce the in-query ADC retrain
+    "q_imi_pq_served" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_idx2_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.annImiPqServed(emb, idx)
+    }),
     "q_neardup_cos" -> ((s, dir) => Similarity.neardupCosine(Sources.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => KMeans.kmeans(Sources.embeddings(s, dir))),
     // ---- M7 extensions: multimodal plumbing (stub decode) ----

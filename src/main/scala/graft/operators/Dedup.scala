@@ -1305,8 +1305,18 @@ object Dedup {
       .join(build.hint("shuffle_hash"),
         col("pk") === col("bk") && col("rb") > col("ra") &&
           col("rb") - col("ra") <= lit((w - 1).toLong))
-      .withColumn("lev", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("lev") <= maxLev)
+      .select(col("a"), col("b"), col("na"), col("nb"))
+      // spread the DP: AQE coalesces the few-MB block join to ~1 partition,
+      // which serialized the verify (jstack r10: levenshteinDistance was
+      // the top executor frame at ~1 effective core); the editDistancePairs
+      // stage-2 treatment moves it onto all cores
+      .repartition(col("a"), col("b"))
+      // threshold DP (early-exit at maxLev, −1 when exceeded): identical
+      // lev values for every kept pair, O(maxLev·len) band instead of the
+      // O(len²) matrix for the dominant rejected candidates
+      .withColumn("lev",
+        levenshtein(col("na"), col("nb"), maxLev).cast("long"))
+      .filter(col("lev") >= 0L)
       .select(col("a"), col("b"), col("lev"))
       .orderBy("a", "b")
   }
@@ -1347,18 +1357,36 @@ object Dedup {
     * Output: (a, b, lev), ordered by (a, b). */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 16,
                         maxChars: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 64-bucket char histogram computed once per DOC inside the same
+    // narrow kernel pass that lowercases (r10: the previous
+    // aggregate(split(t,''), transform(...)) column form allocated an
+    // interpreted 64-lane array copy PER CHARACTER on a near-serial scan
+    // — ~5 CPU-s and the whole query's wall at sf0.1; the JVM loop is a
+    // plain counter bump per codepoint). Bucketing codepoints mod 64
+    // only shrinks the pair-stage L1, so the lev ≥ L1/2 bound stays
+    // admissible and the final (a, b, lev) set is bit-identical — the
+    // histogram exists only to prune, the oracle never sees it.
     val d = docs
       .filter(col("text").isNotNull && length(col("text")) <= maxChars)
       .select(col("doc_id").cast("long").as("doc_id"),
         lower(col("text")).as("t"),
         length(col("text")).cast("long").as("len"))
-      .withColumn("band", expr(s"len div ${maxDist}L"))
-      // 64-bucket char histogram computed once per DOC (O(64·len), linear
-      // in corpus) so the per-PAIR prefilter is a 64-lane L1 fold
-      .withColumn("hist", expr(
-        "aggregate(split(t, ''), array_repeat(0, 64), " +
-          "(acc, c) -> transform(acc, (v, i) -> " +
-          "IF(i = pmod(ascii(c), 64), v + 1, v)))"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, t, len) =>
+          val hist = new Array[Long](64)
+          var i = 0
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            hist(cp % 64) += 1L
+            i += Character.charCount(cp)
+          }
+          (id, t, len, len / maxDist, hist)
+        }
+      }
+      .toDF("doc_id", "t", "len", "band", "hist")
       .localCheckpoint()
     val probes = d
       .select(col("doc_id").as("a"), col("t").as("ta"), col("len").as("la"),
@@ -1372,9 +1400,11 @@ object Dedup {
       .join(build.hint("shuffle_hash"),
         col("pk") === col("bk") && col("a") < col("b") &&
           abs(col("la") - col("lb")) <= lit(maxDist.toLong))
-      // stage 1: admissible histogram bound — pairs it rejects never pay DP
-      .filter(expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0, " +
-        s"(s, v) -> s + v) <= ${2 * maxDist}"))
+      // stage 1: admissible histogram bound — pairs it rejects never pay
+      // DP; the codegen'd 64-lane L1 fold replaces the interpreted
+      // zip_with HOF on the per-candidate path (graft.functions.L1Dist)
+      .filter(graft.functions.L1Dist.l1Dist(col("ha"), col("hb")) <=
+        lit((2L * maxDist)))
       .select(col("a"), col("b"), col("ta"), col("tb"))
       // stage 2: spread the DP over all cores, not |bands| join partitions
       .repartition(col("a"), col("b"))

@@ -245,46 +245,71 @@ object Imi {
   /** Train → PERSIST: the artifact an ANN deployment actually ships (r9
     * verdict, "what's missing" #1 — every in-query retrain is gate-correct
     * but not what production executes; this is the compaction family's
-    * plan→write loop closure applied to the index). Two parquet tables
+    * plan→write loop closure applied to the index). Three parquet tables
     * under `path`:
     *   - `books`  (s, cid, cv): the two half-space codebooks — 2·kSide
     *     rows, O(√k·d) bytes, the driver-small artifact a prober loads;
-    *   - `members` (vec_id, emb, sub | partitioned by scell): the full
-    *     assignment, laid out so a probe's cell reads prune at the
-    *     DIRECTORY level ([[graft.sources.Sources.writePartitioned]] —
-    *     at 100 TB a (2,4)-probe touches 8 fine cells ≈ 8·occupancy rows
-    *     of one scell subtree each, never a full scan).
-    * Returns the trained books so the caller can serve without re-reading
-    * them. */
+    *   - `pq_books` (s, cid, cv): the 8 PQ sub-codebooks (8·16 rows) the
+    *     ADC tier reconstructs against;
+    *   - `members` (vec_id, emb, code, sub | partitioned by scell): the
+    *     full assignment plus each member's PACKED PQ code (the int64
+    *     nibble word of [[Similarity.pqPackedCodes]] — the 8-byte payload
+    *     the ADC tier scans where a raw-vector tier would read 512 bytes),
+    *     laid out so a probe's cell reads prune at the DIRECTORY level
+    *     ([[graft.sources.Sources.writePartitioned]] — at 100 TB a
+    *     (2,4)-probe touches 8 fine cells ≈ 8·occupancy rows of one scell
+    *     subtree each, never a full scan; `emb` is the exact tier's
+    *     payload, `code` the compressed tier's).
+    * Returns the trained coarse books so the caller can serve without
+    * re-reading them. */
   def persistIndex(emb: DataFrame, path: String): Seq[Seq[(Long, Array[Double])]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val books = productBooks(emb, imiDims(emb)._1)
-    books.zipWithIndex
-      .flatMap { case (bk, s) => bk.map { case (cid, cv) => (s, cid, cv.toSeq) } }
-      .toDF("s", "cid", "cv")
-      .coalesce(1) // 2·kSide rows — one footer, not one file per center
-      .write.mode("overwrite").parquet(s"$path/books")
+    val pqBooks = Similarity.pqCodebooks(emb)
+    def writeBooks(bks: Seq[Seq[(Long, Array[Double])]], sub: String): Unit =
+      bks.zipWithIndex
+        .flatMap { case (bk, s) => bk.map { case (cid, cv) => (s, cid, cv.toSeq) } }
+        .toDF("s", "cid", "cv")
+        .coalesce(1) // tens of rows — one footer, not one file per center
+        .write.mode("overwrite").parquet(s"$path/$sub")
+    writeBooks(books, "books")
+    writeBooks(pqBooks, "pq_books")
+    // an empty corpus trains empty sub-books, which have no argmin column:
+    // persist a null code (the member table is empty anyway)
+    val codeCol =
+      if (pqBooks.exists(_.isEmpty)) lit(null).cast("long")
+      else Similarity.pqPackedCodeCol(pqBooks, col("emb"))
     graft.sources.Sources.writePartitioned(
-      memberTable(emb, books), s"$path/members", Seq("scell"))
+      memberTable(emb, books).withColumn("code", codeCol),
+      s"$path/members", Seq("scell"))
     books
   }
 
-  /** The stored books, reloaded: 2·kSide rows collected — the same
-    * driver-state mass training ends with, now read from the artifact. */
-  private[graft] def loadBooks(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Seq[Seq[(Long, Array[Double])]] = {
-    val rows = spark.read.parquet(s"$path/books")
+  private def loadBookTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, m: Int): Seq[Seq[(Long, Array[Double])]] = {
+    val rows = spark.read.parquet(dir)
       .select(col("s").cast("int"), col("cid").cast("long"),
         col("cv").cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    // an empty corpus persists zero centers: mirror productBooks' shape
-    // there (two empty half-space books), so the served probe joins empty
-    if (rows.isEmpty) Seq(Seq.empty, Seq.empty)
-    else (0 to rows.map(_._1).max).map(s =>
+    // an empty corpus persists zero centers: mirror the trainers' shape
+    // there (m empty books), so the served probe joins empty
+    (0 until m).map(s =>
       rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
   }
+
+  /** The stored half-space books, reloaded: 2·kSide rows collected — the
+    * same driver-state mass training ends with, now read from the
+    * artifact. */
+  private[graft] def loadBooks(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Seq[Seq[(Long, Array[Double])]] =
+    loadBookTable(spark, s"$path/books", 2)
+
+  /** The stored PQ sub-books, reloaded (8·16 rows). */
+  private[graft] def loadPqBooks(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Seq[Seq[(Long, Array[Double])]] =
+    loadBookTable(spark, s"$path/pq_books", Similarity.PqSubspaces)
 
   /** Serve top-k FROM THE STORED ARTIFACT — scan-free on the corpus: the
     * probe walk runs against the reloaded `books`, candidates come from
@@ -316,6 +341,43 @@ object Imi {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** The ADC tier served FROM THE STORED ARTIFACT: probe walk against the
+    * reloaded half-space books, candidates reconstructed from the stored
+    * PACKED codes ([[Similarity.pqReconFromPackedCol]] over the reloaded
+    * pq_books — the 8-byte-per-member read path, never the raw vectors),
+    * ranking = [[annImiPq]]'s cosine-over-reconstruction discipline — so
+    * serving the persisted compressed tier hash-matches the in-query
+    * retrain bit for bit (the `q_imi_pq_served` gate: same oracle as
+    * `q_imi_pq`). Output (qid, nid, cos, rank). */
+  def annImiPqServed(emb: DataFrame, path: String, nQueries: Int = 5,
+                     k: Int = 10, nprobeSuper: Int = 2,
+                     nprobeSub: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val books = loadBooks(spark, path)
+    val pqBooks = loadPqBooks(spark, path)
+    if (pqBooks.exists(_.isEmpty)) {
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long, Double, Long)]
+        .toDF("qid", "nid", "cos", "rank")
+    }
+    val cand = spark.read
+      .schema("vec_id LONG, code LONG, sub BIGINT, scell BIGINT")
+      .parquet(s"$path/members")
+      .select(col("vec_id").as("nid"),
+        Similarity.pqReconFromPackedCol(pqBooks, col("code")).as("nv"),
+        col("scell"), col("sub"))
+    val probes = probeTable(emb, books, nQueries, nprobeSuper * nprobeSub)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    cand.join(broadcast(probes), Seq("scell", "sub"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
       .orderBy("qid", "rank")
   }
 

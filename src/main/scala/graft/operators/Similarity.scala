@@ -645,6 +645,30 @@ object Similarity {
         col("codes").getItem(s) * lit(1L << (4 * s))).reduce(_ + _).as("code"))
       .orderBy("vec_id")
 
+  /** Encode + pack in ONE literal projection — the int64 nibble word of
+    * [[pqPackedCodes]] computed directly from the vector column (the
+    * 8-byte candidate payload [[Imi.persistIndex]] stores next to each
+    * member). */
+  private[graft] def pqPackedCodeCol(books: Seq[Seq[(Long, Array[Double])]],
+                                     vecCol: Column): Column =
+    (0 until PqSubspaces).map(s =>
+      subCode(vecCol, s, books(s)) * lit(1L << (4 * s))).reduce(_ + _)
+
+  /** Reconstruction from a PACKED code word: unpack nibble s with
+    * shift+mask, look it up in subspace s's literal codebook map, flatten
+    * in subspace order — the read path of a stored ADC tier (identical
+    * doubles to [[pqEncodeReconCol]] for the same codes, so a served
+    * ranking hash-matches the in-query retrain). */
+  private[graft] def pqReconFromPackedCol(books: Seq[Seq[(Long, Array[Double])]],
+                                          codeCol: Column): Column =
+    flatten(array((0 until PqSubspaces).map { s =>
+      element_at(
+        map(books(s).flatMap { case (cid, cv) =>
+          Seq(lit(cid), graft.functions.ArrLit.darr(cv))
+        }: _*),
+        shiftright(codeCol, 4 * s).bitwiseAND(lit(15L)))
+    }: _*))
+
   private def pqEncodeWith(emb: DataFrame,
       books: Seq[Seq[(Long, Array[Double])]]): DataFrame =
     emb.select(col("vec_id"),

@@ -60,6 +60,33 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
         assert(rv.toSeq === pv)
       }
     }
+    // the compressed tier's stored state pins the same way: reloaded PQ
+    // sub-books equal the PqPins literals the q_pq_* oracles replay
+    val pqReloaded = Imi.loadPqBooks(spark, idx)
+    val pqPins = PqPins.embeddingsM8K16I2
+    assert(pqReloaded.length === pqPins.length)
+    pqReloaded.zip(pqPins.map(_._2)).foreach { case (r, p) =>
+      assert(r.map(_._1) === p.map(_._1))
+      r.zip(p).foreach { case ((_, rv), (_, pv)) =>
+        assert(rv.toSeq === pv)
+      }
+    }
+  }
+
+  test("serving the stored packed codes matches the in-query ADC retrain") {
+    val emb = Sources.embeddings(spark, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_r10_adc_serve").toString
+    Imi.persistIndex(emb, idx)
+    val served = Imi.annImiPqServed(emb, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    val retrain = Imi.annImiPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3)))
+    // raw-bits compare: the stored-code reconstruction must be the SAME
+    // doubles the in-query encode produces, not approximately so
+    assert(served.toSeq === retrain.toSeq)
   }
 
   test("serving the stored artifact matches the self-contained retrain") {
@@ -134,6 +161,42 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
     assert(s.getLong(1) === 3L && s.getLong(2) === 0L && s.getLong(3) === 0L)
     assert(graft.operators.TextAnalysis
       .substringDedup(docs.filter(lit(false))).count() === 0L)
+  }
+
+  test("L1Dist equals the interpreted aggregate(zip_with(abs)) fold") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(0L, 5L, 0L), Array(5L, 0L, 5L)),
+      (Array(Long.MaxValue / 2, 0L), Array(0L, Long.MaxValue / 2)),
+      (Array(-3L, 4L), Array(4L, -3L)),
+      (Array.empty[Long], Array(1L))).toDF("a", "b")
+    rows.select(
+        graft.functions.L1Dist.l1Dist(col("a"), col("b")).as("k"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v).as("e"))
+      .collect()
+      // zip_with of unequal lengths pads with null -> null sum; the kernel
+      // folds the common prefix instead — compare only equal-length rows
+      .filter(!_.isNullAt(1))
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // the prefilter it implements is admissible end to end: the staged
+    // edit-distance operator's output on the fixture corpus is identical
+    // to a prefilter-free brute recomputation
+    val docs = Sources.documents(spark, dir)
+    val staged = graft.operators.Dedup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d = docs.filter(col("text").isNotNull && length(col("text")) <= 200)
+      .select(col("doc_id").cast("long").as("id"), lower(col("text")).as("t"),
+        length(col("text")).cast("long").as("len"))
+    val brute = d.as("x").join(d.as("y"),
+        col("x.id") < col("y.id") &&
+          abs(col("x.len") - col("y.len")) <= 16)
+      .select(col("x.id"), col("y.id"),
+        levenshtein(col("x.t"), col("y.t")).cast("long").as("lev"))
+      .filter(col("lev") <= 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(staged.toSet === brute.toSet)
   }
 
   test("SortedInterCount rejects non-array<bigint> inputs at analysis time") {
