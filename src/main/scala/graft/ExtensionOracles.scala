@@ -515,6 +515,13 @@ object ExtensionOracles {
     "q_dedup_groups" ->
       s"""SELECT md5(text) AS h, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_dups
          |  FROM $DOCS GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+    // streaming twin: the converged per-hash state store must equal the
+    // batch groupBy exactly (min/sum fold is order-free) — ALL groups, not
+    // just duplicates, because the state tracks every distinct document
+    "q_dedup_stream" ->
+      s"""SELECT md5(text) AS h, MIN(doc_id) AS keeper,
+         |       CAST(COUNT(*) AS BIGINT) AS n_copies
+         |  FROM $DOCS GROUP BY md5(text) ORDER BY h""".stripMargin,
     "q_dedup_summary" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,

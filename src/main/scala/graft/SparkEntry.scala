@@ -9,7 +9,7 @@ import graft.operators.{AsOfJoin, BloomJoin, Bpe, Clustering, Curation,
   KMeans, Layout, Multimodal, Relational, Similarity, Skew, Sketches,
   TextAnalysis}
 import graft.sources.Sources
-import graft.streaming.{FrequentItems, FrequentItemsStream, ReservoirAgg}
+import graft.streaming.{DedupStream, FrequentItems, FrequentItemsStream, ReservoirAgg}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
   *
@@ -157,6 +157,19 @@ object SparkEntry {
       Dedup.assortativity(Sources.documents(s, dir))),
     "q_incr_dedup" -> ((s, dir) =>
       Dedup.incrementalDedup(Sources.documents(s, dir), "src17")),
+    // dedup ON INGEST: documents replayed as a 4-file stream (1 file per
+    // micro-batch, so duplicate groups SPAN batches and the keyed state is
+    // genuinely exercised); the converged state store must equal the batch
+    // md5-groupBy bit for bit — order-free fold, so a full hash gate holds
+    "q_dedup_stream" -> ((s, dir) => {
+      val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_dedup_stream_${Sources.pathKey(dir)}").getAbsolutePath
+      Sources.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(replay)
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(replay)
+      DedupStream.runReplay(stream, s"q_dedup_stream_${Sources.pathKey(dir)}")
+    }),
     "q_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborPairs(Sources.documents(s, dir))),
     "q_editdist_pairs" -> ((s, dir) =>

@@ -27,20 +27,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * counts the overlap with a zero-allocation two-pointer merge inside
   * whole-stage codegen.
   *
-  * Bit-equality contract: the inputs are distinct-element sets (the
-  * kernel deduplicates via its per-doc HashSet), so the merge count
-  * equals `size(array_intersect(...))` exactly — an integer with no
-  * ordering or rounding freedom — and every DuckDB twin (which computes
-  * the same count from the raw string shingles) carries over unchanged.
-  * Caveat on "distinct": the kernel dedups shingle STRINGS, not their
-  * 60-bit hashes — two distinct in-doc shingles colliding under h60
-  * (probability ~|doc|²/2⁶¹, negligible but nonzero) would leave a
-  * duplicated value in `hs`, and if the same duplicated value sits on
-  * both sides the merge counts it per occurrence while
-  * `size(array_intersect)` counts it once. The guarantee is therefore
-  * conditional on no in-doc h60 collision — the same condition every
-  * hash-keyed twin (the oracle joins distinct STRINGS through their
-  * hashes too) already carries.
+  * Bit-equality contract: the inputs are distinct-element sets — the
+  * kernel deduplicates shingle strings via its per-doc HashSet AND
+  * adjacent-dedups the sorted 60-bit hashes (so even two distinct
+  * in-doc shingles colliding under h60 cannot leave a duplicated value
+  * in `hs`). The merge count therefore equals
+  * `size(array_intersect(...))` UNCONDITIONALLY — an integer with no
+  * ordering or rounding freedom — and every DuckDB twin (which counts
+  * the same distinct-hash overlap) carries over unchanged.
   * SORTED INPUT IS A PRECONDITION, not detected at runtime: an unsorted
   * input undercounts. Both columns must come from the kernel's `hs` —
   * and the type contract is enforced at analysis time

@@ -105,7 +105,22 @@ object Dedup {
             // set-compare specs)
             val hsArr = hs.result()
             java.util.Arrays.sort(hsArr)
-            Iterator.single(DocSig(id, sig, hsArr, seen.size.toLong))
+            // adjacent-dedup after the sort: two distinct in-doc shingles
+            // colliding under h60 (~|doc|²/2⁶¹) would otherwise leave a
+            // duplicated VALUE in hs, breaking the merge's distinct-set
+            // precondition and leaving c (string-distinct) ≠ |hs|. One
+            // linear pass makes both unconditional: hs is strictly
+            // increasing and c = hs.length = |distinct hashes|, exactly
+            // the set every hash-keyed oracle twin counts.
+            var w = 0
+            var r = 0
+            while (r < hsArr.length) {
+              if (w == 0 || hsArr(r) != hsArr(w - 1)) { hsArr(w) = hsArr(r); w += 1 }
+              r += 1
+            }
+            val dedup = if (w == hsArr.length) hsArr
+                        else java.util.Arrays.copyOf(hsArr, w)
+            Iterator.single(DocSig(id, sig, dedup, dedup.length.toLong))
           }
         }
       }

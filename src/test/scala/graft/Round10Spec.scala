@@ -208,4 +208,49 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
     }
     assert(err.getMessage.toLowerCase.contains("array<bigint>"))
   }
+
+  test("docSignatures emits strictly increasing hs (sorted AND distinct)") {
+    import spark.implicits._
+    val docs = graft.operators.Dedup.docSignatures(
+      Sources.documents(spark, dir), h = 16, k = 9)
+    val bad = docs.select(col("hs")).as[Array[Long]].collect()
+      .count(a => a.indices.drop(1).exists(i => a(i) <= a(i - 1)))
+    assert(bad === 0, "every hs must be strictly increasing")
+    // and c is exactly |hs| — the unconditional contract the
+    // SortedInterCount merge and every hash-keyed oracle twin count
+    val cBad = docs.filter(col("c") =!= size(col("hs"))).count()
+    assert(cBad === 0L)
+  }
+
+  test("streaming dedup state converges to the batch groupBy under cross-batch duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.DedupStream.groupStream(df).writeStream
+      .queryName("t_dedup_stream").outputMode("update").format("memory").start()
+    // duplicate group "aaa" spans all three micro-batches; keeper arrives
+    // LAST (id 1 in batch 3), so a first-arrival-wins bug would keep 7
+    ms.addData((7L, "aaa"), (3L, "bbb"))
+    q.processAllAvailable()
+    ms.addData((9L, "aaa"), (4L, "ccc"), (5L, "bbb"))
+    q.processAllAvailable()
+    ms.addData((1L, "aaa"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_dedup_stream")
+      .groupBy("h")
+      .agg(max_by(struct(col("n_copies"), col("keeper")), col("n_copies")).as("s"))
+      .select(col("h"), col("s.keeper"), col("s.n_copies"))
+      .as[(String, Long, Long)].collect().toSet
+    val batch = Seq((7L, "aaa"), (3L, "bbb"), (9L, "aaa"), (4L, "ccc"),
+        (5L, "bbb"), (1L, "aaa")).toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.exists { case (_, keeper, n) => keeper == 1L && n == 3L },
+      "the aaa group must keep id 1 with multiplicity 3")
+  }
 }
