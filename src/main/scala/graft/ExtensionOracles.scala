@@ -531,6 +531,13 @@ object ExtensionOracles {
       s"""WITH $minhashCtes,
          |$verifiedPairsCte
          |SELECT a, b, jaccard FROM vp ORDER BY a, b""".stripMargin,
+    // the streaming ingest screen converges to the batch LSH exactly
+    // (carving-invariant bucket membership + the same verify kernel), so
+    // it rides the same oracle
+    "q_neardup_stream" ->
+      s"""WITH $minhashCtes,
+         |$verifiedPairsCte
+         |SELECT a, b, jaccard FROM vp ORDER BY a, b""".stripMargin,
     // cross-source leakage matrix over the SAME verified pair set as
     // q_minhash_lsh (shared verifiedPairsCte): endpoint sources, pair
     // normalized LEAST/GREATEST, counted per source pair

@@ -170,6 +170,20 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(replay)
       DedupStream.runReplay(stream, s"q_dedup_stream_${Sources.pathKey(dir)}")
     }),
+    // NEAR-dup screen on ingest: same 4-file replay; keyed (band, bsig)
+    // bucket state emits each candidate pair when its later endpoint
+    // arrives, verified downstream against the corpus signature store —
+    // must equal the batch q_minhash_lsh bit for bit (same oracle)
+    "q_neardup_stream" -> ((s, dir) => {
+      val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_dedup_stream_${Sources.pathKey(dir)}").getAbsolutePath
+      Sources.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(replay)
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(replay)
+      DedupStream.nearDupReplay(stream, Sources.documents(s, dir),
+        s"q_neardup_stream_${Sources.pathKey(dir)}")
+    }),
     "q_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborPairs(Sources.documents(s, dir))),
     "q_editdist_pairs" -> ((s, dir) =>

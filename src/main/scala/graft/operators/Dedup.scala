@@ -566,8 +566,17 @@ object Dedup {
     * array-intersect verify shrink to the sample fraction. */
   private def lshPairsFrom(docAgg: DataFrame, h: Int, rows: Int,
                            threshold: Double,
-                           sampleMod: Option[Int] = None): DataFrame = {
-    val cand = lshCandidates(docAgg, h, rows, sampleMod)
+                           sampleMod: Option[Int] = None): DataFrame =
+    verifyCandidates(lshCandidates(docAgg, h, rows, sampleMod), docAgg, threshold)
+
+  /** Exact-Jaccard verification of a candidate (a, b) pair table against a
+    * [[docSignatures]] table — the shared back half of every banded route:
+    * [[lshPairsFrom]]'s batch self-join AND the streaming ingest screen
+    * ([[graft.streaming.DedupStream.nearDupReplay]]), which emits the same
+    * candidate set from keyed bucket state and verifies it here against
+    * the signature store. */
+  private[graft] def verifyCandidates(cand: DataFrame, docAgg: DataFrame,
+                                      threshold: Double): DataFrame =
     cand
       .join(docAgg.as("ca"), col("a") === col("ca.doc_id"))
       .join(docAgg.as("cb"), col("b") === col("cb.doc_id"))
@@ -577,7 +586,14 @@ object Dedup {
         (col("inter").cast("double") /
           (col("ca.c") + col("cb.c") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+
+  /** Per-doc LSH band rows (band, bsig, doc_id) straight off the
+    * [[docSignatures]] kernel — bit-identical keys to [[bandTable]], but
+    * WITHOUT the checkpoint (stateless transforms only), so it composes
+    * onto a STREAMING document source: this is the banding the ingest
+    * screen runs per micro-batch. */
+  private[graft] def bandRows(docs: DataFrame, h: Int, rows: Int): DataFrame =
+    bandTable(docSignatures(docs, h), h, rows)
 
   /** Verified-pair similarity histogram — the threshold-selection view: the
     * distribution of exact Jaccards over the verified near-dup pairs, in

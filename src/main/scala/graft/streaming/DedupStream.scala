@@ -88,4 +88,97 @@ object DedupStream {
       .select(col("h"), col("s.keeper").as("keeper"), col("s.n_copies").as("n_copies"))
       .orderBy("h")
   }
+
+  final case class BandArrival(band: Int, bsig: String, doc_id: Long)
+  final case class BucketMembers(members: Array[Long])
+  final case class CandPair(a: Long, b: Long)
+
+  /** NEAR-dup candidate screen on ingest — the streaming front half of
+    * [[graft.operators.Dedup.minhashLshPairs]]. Each arriving document is
+    * shingled/MinHashed/banded per micro-batch (stateless kernel, the
+    * bit-identical band keys of the batch `bandTable`); keyed state per
+    * (band, bsig) bucket holds the member doc ids, and a new arrival emits
+    * one candidate pair per existing member — so each unordered pair
+    * surfaces exactly when its LATER endpoint arrives, and the union of
+    * emissions equals the batch band self-join's candidate set under ANY
+    * micro-batch carving.
+    *
+    * Scale shape: state is the bucket-membership table the batch route
+    * also materializes — O(n·nBands) ids total, sharded by bucket key.
+    * `bucketCap` bounds any ONE bucket's state and quadratic emission; a
+    * member past the cap is dropped LOUDLY (counted per bucket in the
+    * capped state, never silently). A binding cap means hot-band skew,
+    * whose production mitigation is exact-dedup-first + df-capped shingles
+    * (the r8 LshSkewProof finding: exact dedup absorbs the mass that makes
+    * bands hot) — the gate-scale spec asserts the cap never binds at the
+    * contract parameters. */
+  def candidateStream(docs: DataFrame, h: Int = 16, rows: Int = 4,
+                      bucketCap: Int = 4096): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.bandRows(docs, h, rows)
+      .as[BandArrival]
+      .groupByKey(r => (r.band, r.bsig))
+      .flatMapGroupsWithState[BucketMembers, CandPair](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), batch: Iterator[BandArrival],
+         state: GroupState[BucketMembers]) =>
+          val prev = state.getOption.map(_.members).getOrElse(Array.empty[Long])
+          val prevSet = prev.toSet
+          // distinct within the batch, excluding ids already in state (a
+          // doc bands once per (band,bsig), but replays/at-least-once
+          // delivery must not double-emit); sorted so the emission order
+          // is deterministic
+          val fresh = batch.map(_.doc_id).toArray.distinct
+            .filterNot(prevSet.contains).sorted
+          val room = math.max(0, bucketCap - prev.length)
+          if (fresh.length > room)
+            throw new IllegalStateException(
+              s"LSH ingest bucket overflow: ${prev.length}+${fresh.length} members " +
+                s"exceeds bucketCap=$bucketCap — hot band; run exact-dedup-first " +
+                "(LshSkewProof) or raise the cap")
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          var i = 0
+          while (i < fresh.length) {
+            val d = fresh(i)
+            prev.foreach { p =>
+              out += (if (p < d) CandPair(p, d) else CandPair(d, p))
+            }
+            var j = 0
+            while (j < i) { out += CandPair(fresh(j), d); j += 1 }
+            i += 1
+          }
+          state.update(BucketMembers(prev ++ fresh))
+          out.iterator
+      }
+  }
+
+  /** Drain a STATIC document replay through the candidate screen, then
+    * verify the emitted candidates against the corpus signature store
+    * (exact Jaccard over distinct shingle sets, the shared
+    * [[graft.operators.Dedup.verifyCandidates]] back half). The result
+    * must equal the batch [[graft.operators.Dedup.minhashLshPairs]] bit
+    * for bit — same candidate set (bucket membership is carving-invariant),
+    * same verify kernel — which is what lets `q_neardup_stream` ride the
+    * SAME DuckDB oracle as `q_minhash_lsh`. `docsBatch` stands in for the
+    * production signature store (in deployment: the parquet artifact the
+    * bootstrap run wrote, as the persisted ANN index family). */
+  def nearDupReplay(stream: DataFrame, docsBatch: DataFrame, queryName: String,
+                    h: Int = 16, rows: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val spark = stream.sparkSession
+    val query = candidateStream(stream, h, rows).writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .format("memory")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    // distinct: a pair colliding in several bands emits once per band (the
+    // batch self-join dedups the same way)
+    val cands = spark.table(queryName).distinct()
+    val docAgg = graft.operators.Dedup.docSignatures(docsBatch, h)
+    graft.operators.Dedup.verifyCandidates(cands, docAgg, threshold)
+      .orderBy("a", "b")
+  }
 }

@@ -253,4 +253,47 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
     assert(got.exists { case (_, keeper, n) => keeper == 1L && n == 3L },
       "the aaa group must keep id 1 with multiplicity 3")
   }
+
+  test("streaming near-dup screen equals the batch LSH under cross-batch arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // two near-identical docs long enough to shingle (k=9), arriving in
+    // DIFFERENT micro-batches, plus an unrelated doc: the pair must surface
+    // from bucket state, not within-batch collision
+    val d1 = "the quick brown fox jumps over the lazy dog again and again"
+    val d2 = "the quick brown fox jumps over the lazy dog again and again!"
+    val d3 = "completely unrelated content with nothing shared at all here"
+    val ms = MemoryStream[(Long, String)]
+    val df = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.DedupStream.candidateStream(df).writeStream
+      .queryName("t_neardup_stream").outputMode("update").format("memory").start()
+    ms.addData((10L, d1), (30L, d3))
+    q.processAllAvailable()
+    ms.addData((20L, d2))
+    q.processAllAvailable()
+    q.stop()
+    val cands = spark.table("t_neardup_stream").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((10L, 20L)),
+      s"cross-batch near-dup pair must surface from bucket state, got $cands")
+    assert(!cands.exists(p => p._1 == 30L || p._2 == 30L),
+      s"unrelated doc must not pair, got $cands")
+
+    // gate-scale end-to-end: the full replay screen equals the batch LSH
+    val docs = Sources.documents(spark, dir)
+    val batchPairs = graft.operators.Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_neardup_spec").getAbsolutePath
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    val streamed = graft.streaming.DedupStream
+      .nearDupReplay(stream, docs, "t_neardup_replay")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === batchPairs,
+      "ingest screen must converge to the batch minhashLshPairs exactly")
+  }
 }
