@@ -40,6 +40,22 @@ object SparkEntry {
     GridOutliers.summary(Sources.points2d(spark, "/root/testdata/sf0.001"), D, M)
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** The document table as a deterministic 4-file parquet replay (1 file
+    * per micro-batch under maxFilesPerTrigger=1, so streaming state spans
+    * batches). Written ONCE per (tmpdir, sfDir) — the replay content is a
+    * pure function of the static test table, and both ingest-dedup gates
+    * (and every bench rep) read the same fixture, so re-materializing it
+    * per invocation would time the parquet writer, not the operator. */
+  private def docReplayStream(s: SparkSession, dir: String): DataFrame = {
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dedup_stream_${Sources.pathKey(dir)}")
+    if (!new java.io.File(replay, "_SUCCESS").exists())
+      Sources.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(replay.getAbsolutePath)
+    s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(replay.getAbsolutePath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources (S1-S3) ----
     "q_points" -> ((s, dir) =>
@@ -161,29 +177,17 @@ object SparkEntry {
     // micro-batch, so duplicate groups SPAN batches and the keyed state is
     // genuinely exercised); the converged state store must equal the batch
     // md5-groupBy bit for bit — order-free fold, so a full hash gate holds
-    "q_dedup_stream" -> ((s, dir) => {
-      val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_dedup_stream_${Sources.pathKey(dir)}").getAbsolutePath
-      Sources.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
-        .repartition(4).write.mode("overwrite").parquet(replay)
-      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
-        .option("maxFilesPerTrigger", 1).parquet(replay)
-      DedupStream.runReplay(stream, s"q_dedup_stream_${Sources.pathKey(dir)}")
-    }),
+    "q_dedup_stream" -> ((s, dir) =>
+      DedupStream.runReplay(docReplayStream(s, dir),
+        s"q_dedup_stream_${Sources.pathKey(dir)}")),
     // NEAR-dup screen on ingest: same 4-file replay; keyed (band, bsig)
     // bucket state emits each candidate pair when its later endpoint
     // arrives, verified downstream against the corpus signature store —
     // must equal the batch q_minhash_lsh bit for bit (same oracle)
-    "q_neardup_stream" -> ((s, dir) => {
-      val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_dedup_stream_${Sources.pathKey(dir)}").getAbsolutePath
-      Sources.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
-        .repartition(4).write.mode("overwrite").parquet(replay)
-      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
-        .option("maxFilesPerTrigger", 1).parquet(replay)
-      DedupStream.nearDupReplay(stream, Sources.documents(s, dir),
-        s"q_neardup_stream_${Sources.pathKey(dir)}")
-    }),
+    "q_neardup_stream" -> ((s, dir) =>
+      DedupStream.nearDupReplay(docReplayStream(s, dir),
+        Sources.documents(s, dir),
+        s"q_neardup_stream_${Sources.pathKey(dir)}")),
     "q_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborPairs(Sources.documents(s, dir))),
     "q_editdist_pairs" -> ((s, dir) =>
