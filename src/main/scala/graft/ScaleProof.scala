@@ -958,6 +958,37 @@ object ScaleProof {
           v1 == v * reps * reps && w1 >= w * reps && w1 <= w * reps + reps - 1
       })
 
+    // Ingest dedup (q_dedup_stream) at reps×: the replicated corpus keeps
+    // the TEXT domain of the base (doc_ids offset, texts identical), so the
+    // converged streaming state must hold exactly |base distinct texts|
+    // rows — state scales with DISTINCT documents, not stream length — and
+    // per content hash: n_copies' = reps · n_copies (every replica re-emits
+    // the group), keeper' = base keeper (replica 0 carries the smallest
+    // ids). Streamed in 8 files / 2 per trigger so groups span batches.
+    val (dsAgree, tDs) = timed {
+      val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_scaleproof_dedup_stream").getAbsolutePath
+      docs.select(col("doc_id"), col("text")).repartition(8)
+        .write.mode("overwrite").parquet(replay)
+      val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 2).parquet(replay)
+      val streamed = graft.streaming.DedupStream
+        .runReplay(stream, "scaleproof_dedup_stream").localCheckpoint()
+      val base = Sources.documents(spark, sfDir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("b_keeper"), count(lit(1)).as("b_n"))
+      val joined = streamed.join(base, Seq("h"), "full")
+      val nState = streamed.count()
+      val nBase = base.count()
+      val violations = joined.filter(
+        col("keeper").isNull || col("b_keeper").isNull ||
+          col("keeper") =!= col("b_keeper") ||
+          col("n_copies") =!= col("b_n") * reps).count()
+      (nState == nBase && violations == 0L, nState)
+    }
+    results += "dedup_stream_10x" -> tDs
+    checks += "dedup_stream_closed_form" -> dsAgree._1
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

@@ -296,4 +296,52 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
     assert(streamed === batchPairs,
       "ingest screen must converge to the batch minhashLshPairs exactly")
   }
+
+  test("ingest dedup state survives a checkpointed restart (incl. RocksDB)") {
+    import org.apache.spark.sql.streaming.Trigger
+    for (provider <- Seq(None,
+        Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))) {
+      val base = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+      val (srcDir, ckpt) = (s"$base/src", s"$base/ckpt")
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+      def runOnce(): Unit = {
+        provider.foreach(
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+        val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+          .parquet(srcDir)
+        val q = graft.streaming.DedupStream.groupStream(stream).writeStream
+          .outputMode("update")
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[graft.streaming.DedupStream.HashGroup],
+             _: Long) =>
+              ds.collect().foreach(g => emitted.add((g.h, g.keeper, g.n_copies)))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination(120000)
+          assert(!q.isActive, "AvailableNow query must drain and stop")
+        } finally
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      import spark.implicits._
+      // run 1: first copy of "aaa" (id 7) lands, then the query STOPS
+      Seq((7L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(srcDir)
+      runOnce()
+      // run 2: fresh query object, same checkpoint; the second copy (id 9)
+      // must merge into RESTORED state — keeper stays 7, count reads 2
+      Seq((9L, "aaa")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      emitted.clear() // only run-2 emissions witness the restored state
+      runOnce()
+      val h_aaa = Seq(("x", "aaa")).toDF("k", "text")
+        .select(md5(col("text"))).head().getString(0)
+      val run2 = emitted.toArray(Array.empty[(String, Long, Long)]).toSet
+      assert(run2.contains((h_aaa, 7L, 2L)),
+        s"provider=$provider: restored state must fold the post-restart copy " +
+          s"onto the pre-stop keeper/count, got $run2")
+    }
+  }
 }
