@@ -105,9 +105,10 @@ object DedupStream {
     *
     * Scale shape: state is the bucket-membership table the batch route
     * also materializes — O(n·nBands) ids total, sharded by bucket key.
-    * `bucketCap` bounds any ONE bucket's state and quadratic emission; a
-    * member past the cap is dropped LOUDLY (counted per bucket in the
-    * capped state, never silently). A binding cap means hot-band skew,
+    * `bucketCap` bounds any ONE bucket's state and quadratic emission; an
+    * arrival past the cap FAILS the query loudly (an IllegalStateException
+    * naming the bucket size and remedy — never a silent candidate drop,
+    * which would quietly cost recall). A binding cap means hot-band skew,
     * whose production mitigation is exact-dedup-first + df-capped shingles
     * (the r8 LshSkewProof finding: exact dedup absorbs the mass that makes
     * bands hot) — the gate-scale spec asserts the cap never binds at the
