@@ -1898,6 +1898,13 @@ object ExtensionOracles {
     "q_emb_lsh_pairs" ->
       s"""WITH $lshPairCtes
          |SELECT a, b, cos FROM v WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    // the streaming embedding ingest screen converges to the batch banded
+    // chain exactly (Hamming-≤1 cell state = the multi-probe self-join,
+    // carving-invariant; same trained index, same cosine verify), so it
+    // rides the same oracle
+    "q_emb_stream" ->
+      s"""WITH $lshPairCtes
+         |SELECT a, b, cos FROM v WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
     // recall gauge for the banded chain: exact all-pairs ground truth `xp`,
     // banded verified pairs from the SAME chain the pairs gate verifies
     "q_emb_lsh_recall" ->

@@ -9,7 +9,8 @@ import graft.operators.{AsOfJoin, BloomJoin, Bpe, Clustering, Curation,
   KMeans, Layout, Multimodal, Relational, Similarity, Skew, Sketches,
   TextAnalysis}
 import graft.sources.Sources
-import graft.streaming.{DedupStream, FrequentItems, FrequentItemsStream, ReservoirAgg}
+import graft.streaming.{DedupStream, EmbDedupStream, FrequentItems,
+  FrequentItemsStream, ReservoirAgg}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
   *
@@ -39,7 +40,6 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     GridOutliers.summary(Sources.points2d(spark, "/root/testdata/sf0.001"), D, M)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
   /** The document table as a deterministic 4-file parquet replay (1 file
     * per micro-batch under maxFilesPerTrigger=1, so streaming state spans
     * batches). Written ONCE per (tmpdir, sfDir) — the replay content is a
@@ -56,6 +56,19 @@ object SparkEntry {
       .option("maxFilesPerTrigger", 1).parquet(replay.getAbsolutePath)
   }
 
+  /** The embeddings table as a deterministic 4-file replay — the
+    * [[docReplayStream]] treatment for the embedding ingest screen. */
+  private def embReplayStream(s: SparkSession, dir: String): DataFrame = {
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_emb_stream_${Sources.pathKey(dir)}")
+    if (!new java.io.File(replay, "_SUCCESS").exists())
+      Sources.embeddings(s, dir).select(col("vec_id").cast("long"), col("emb"))
+        .repartition(4).write.mode("overwrite").parquet(replay.getAbsolutePath)
+    s.readStream.schema("vec_id BIGINT, emb ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(replay.getAbsolutePath)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources (S1-S3) ----
     "q_points" -> ((s, dir) =>
@@ -428,6 +441,14 @@ object SparkEntry {
       Similarity.embLshPairs(Sources.embeddings(s, dir))),
     "q_emb_lsh_recall" -> ((s, dir) =>
       Similarity.embLshRecall(Sources.embeddings(s, dir))),
+    // EMBEDDING near-dup screen on ingest (the third ingest modality):
+    // arriving vectors probe the batch-trained sign-LSH index; (band, cid)
+    // cell state pairs each arrival with Hamming-≤1 residents — equals the
+    // batch q_emb_lsh_pairs bit for bit (same oracle)
+    "q_emb_stream" -> ((s, dir) =>
+      EmbDedupStream.nearDupReplay(embReplayStream(s, dir),
+        Sources.embeddings(s, dir),
+        s"q_emb_stream_${Sources.pathKey(dir)}")),
     "q_csv_roundtrip" -> ((s, dir) => Sources.csvRoundTrip(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Relational.docsGroupingSets(s, dir)),
     "q_chunks" -> ((s, dir) =>

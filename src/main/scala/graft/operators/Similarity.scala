@@ -175,14 +175,40 @@ object Similarity {
     * replays the same bands and pinned cells, so the output is still
     * hash-exact. */
   def embLshPairs(emb: DataFrame, threshold: Double = 0.45,
-                  dim: Int = 64): DataFrame = {
+                  dim: Int = 64): DataFrame =
+    verifyCosCandidates(embLshCandidates(emb, dim), emb, threshold)
+
+  /** Exact-cosine verification of a candidate (a, b) pair table — the
+    * shared back half of the banded chain: [[embLshPairs]]'s batch
+    * self-join AND the streaming embedding ingest screen
+    * ([[graft.streaming.EmbDedupStream]]), which emits the same candidate
+    * set from keyed cell state. */
+  private[graft] def verifyCosCandidates(cand: DataFrame, emb: DataFrame,
+                                         threshold: Double): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("emb"))
-    embLshCandidates(emb, dim)
+    cand
       .join(vecs.select(col("vec_id").as("a"), col("emb").as("va")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("a", "b")
+  }
+
+  /** The FLAT sign-LSH index parameters — trained coarse centers plus the
+    * deterministic hyperplanes — exposed for the streaming ingest screen,
+    * which (like any deployment stream) PROBES a batch-trained index
+    * rather than training in-stream. Gate scale sits under [[IvfMaxCells]]
+    * by construction; past the cap the stream probes the stored
+    * hierarchical index ([[Imi.persistIndex]]'s artifact) exactly as
+    * [[lshBandTable]] swaps routes. */
+  private[graft] def lshFlatIndex(emb: DataFrame, dim: Int = 64)
+      : (Seq[(Long, Array[Double])], Seq[Array[Double]]) = {
+    val planes = signPlanes(LshBands * LshBandBits, dim)
+    val rawK = ivfRawK(emb)
+    require(rawK <= IvfMaxCells,
+      s"lshFlatIndex is the flat route (rawK=$rawK > $IvfMaxCells): " +
+        "past the cap the stream probes the stored hierarchical index")
+    (KMeans.trainCenters(emb, rawK.toInt, IvfTrainIters), planes)
   }
 
   /** Recall gauge for the banded chain — the number the LSH deployment

@@ -297,6 +297,24 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
       "ingest screen must converge to the batch minhashLshPairs exactly")
   }
 
+  test("streaming embedding screen equals the batch sign-LSH chain") {
+    val emb = Sources.embeddings(spark, dir)
+    val batch = graft.operators.Similarity.embLshPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_emb_stream_spec").getAbsolutePath
+    emb.select(col("vec_id").cast("long"), col("emb"))
+      .repartition(4).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema("vec_id BIGINT, emb ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    val streamed = graft.streaming.EmbDedupStream
+      .nearDupReplay(stream, emb, "t_emb_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === batch,
+      "embedding ingest screen must converge to the batch embLshPairs exactly")
+    assert(batch.nonEmpty, "fixture must exercise at least one pair")
+  }
+
   test("ingest dedup state survives a checkpointed restart (incl. RocksDB)") {
     import org.apache.spark.sql.streaming.Trigger
     for (provider <- Seq(None,
