@@ -40,32 +40,46 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     GridOutliers.summary(Sources.points2d(spark, "/root/testdata/sf0.001"), D, M)
 
+  /** Replay directories already (re)written by THIS JVM — the fixture
+    * cache's invalidation boundary. Per-JVM, not per-filesystem: a marker
+    * file surviving in tmpdir across JVMs could serve a STALE replay after
+    * the source table is regenerated (the only cross-JVM cached fixture in
+    * the repo would then gate old data against a fresh oracle). Within one
+    * JVM the source table is immutable, so bench reps and sibling gates
+    * still share one write. */
+  private val replayWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def replayFixture(prefix: String, dir: String,
+                            write: String => Unit): String = {
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${Sources.pathKey(dir)}").getAbsolutePath
+    if (replayWritten.add(replay)) write(replay)
+    replay
+  }
+
   /** The document table as a deterministic 4-file parquet replay (1 file
     * per micro-batch under maxFilesPerTrigger=1, so streaming state spans
-    * batches). Written ONCE per (tmpdir, sfDir) — the replay content is a
+    * batches). Written once per JVM per sfDir — the replay content is a
     * pure function of the static test table, and both ingest-dedup gates
     * (and every bench rep) read the same fixture, so re-materializing it
     * per invocation would time the parquet writer, not the operator. */
   private def docReplayStream(s: SparkSession, dir: String): DataFrame = {
-    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_dedup_stream_${Sources.pathKey(dir)}")
-    if (!new java.io.File(replay, "_SUCCESS").exists())
+    val replay = replayFixture("graft_dedup_stream", dir, path =>
       Sources.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
-        .repartition(4).write.mode("overwrite").parquet(replay.getAbsolutePath)
+        .repartition(4).write.mode("overwrite").parquet(path))
     s.readStream.schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", 1).parquet(replay.getAbsolutePath)
+      .option("maxFilesPerTrigger", 1).parquet(replay)
   }
 
   /** The embeddings table as a deterministic 4-file replay — the
     * [[docReplayStream]] treatment for the embedding ingest screen. */
   private def embReplayStream(s: SparkSession, dir: String): DataFrame = {
-    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_emb_stream_${Sources.pathKey(dir)}")
-    if (!new java.io.File(replay, "_SUCCESS").exists())
+    val replay = replayFixture("graft_emb_stream", dir, path =>
       Sources.embeddings(s, dir).select(col("vec_id").cast("long"), col("emb"))
-        .repartition(4).write.mode("overwrite").parquet(replay.getAbsolutePath)
+        .repartition(4).write.mode("overwrite").parquet(path))
     s.readStream.schema("vec_id BIGINT, emb ARRAY<DOUBLE>")
-      .option("maxFilesPerTrigger", 1).parquet(replay.getAbsolutePath)
+      .option("maxFilesPerTrigger", 1).parquet(replay)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

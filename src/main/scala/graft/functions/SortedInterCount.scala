@@ -27,14 +27,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * counts the overlap with a zero-allocation two-pointer merge inside
   * whole-stage codegen.
   *
-  * Bit-equality contract: the inputs are distinct-element sets — the
-  * kernel deduplicates shingle strings via its per-doc HashSet AND
-  * adjacent-dedups the sorted 60-bit hashes (so even two distinct
-  * in-doc shingles colliding under h60 cannot leave a duplicated value
-  * in `hs`). The merge count therefore equals
-  * `size(array_intersect(...))` UNCONDITIONALLY — an integer with no
-  * ordering or rounding freedom — and every DuckDB twin (which counts
-  * the same distinct-hash overlap) carries over unchanged.
+  * Bit-equality contract, in two layers. (1) ENGINE-internal,
+  * unconditional: the kernel adjacent-dedups the sorted 60-bit hashes,
+  * so the inputs are strictly increasing distinct-element sets and the
+  * merge count equals `size(array_intersect(...))` exactly — even two
+  * distinct in-doc shingles colliding under h60 cannot leave a
+  * duplicated value in `hs`. (2) ENGINE↔ORACLE: the DuckDB twins count
+  * distinct shingle STRINGS (string-keyed sz/inter CTEs), so oracle
+  * equality remains conditional on no in-doc h60 collision
+  * (~|doc|²/2⁶¹ per doc — under a collision the engine's hash-set
+  * cardinalities read one lower than the oracle's string counts). That
+  * condition predates this expression; every hash-keyed gate in the
+  * repo carries it.
   * SORTED INPUT IS A PRECONDITION, not detected at runtime: an unsorted
   * input undercounts. Both columns must come from the kernel's `hs` —
   * and the type contract is enforced at analysis time

@@ -59,17 +59,24 @@ object DataQuality {
     // against it cannot multiply orders rows even if customer keys dup)
     val custKeys = customer.groupBy(col("c_custkey"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed by custAgg AND the orders FK probe
     val custAgg = custKeys.agg(
       coalesce(sum(col("c")), lit(0L)).as("n"),
       badWhen(col("c") > 1).as("dup"))
 
     // orders: broadcast FK probe + pk groupBy fused in one pass; the keyed
-    // table is reused (key-distinct) as the lineitem FK probe's right side
+    // table is reused (key-distinct) as the lineitem FK probe's right side.
+    // localCheckpoint so the reuse is REAL — ordAgg and liAgg both consume
+    // it, and without the checkpoint each union branch would recompute the
+    // orders scan + broadcast join (exchange reuse across branches is not
+    // guaranteed once projections differ); |orders| keyed rows, eager,
+    // freed by the ContextCleaner when the plan is GC'd
     val ordKeys = orders.join(broadcast(custKeys.select(col("c_custkey"))),
         orders("o_custkey") === col("c_custkey"), "left")
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("fkbad"))
+      .localCheckpoint()
     val ordAgg = ordKeys.agg(
       coalesce(sum(col("c")), lit(0L)).as("n"),
       coalesce(sum(col("fkbad")), lit(0L)).as("fk_bad"),

@@ -107,11 +107,13 @@ object Dedup {
             java.util.Arrays.sort(hsArr)
             // adjacent-dedup after the sort: two distinct in-doc shingles
             // colliding under h60 (~|doc|²/2⁶¹) would otherwise leave a
-            // duplicated VALUE in hs, breaking the merge's distinct-set
-            // precondition and leaving c (string-distinct) ≠ |hs|. One
-            // linear pass makes both unconditional: hs is strictly
-            // increasing and c = hs.length = |distinct hashes|, exactly
-            // the set every hash-keyed oracle twin counts.
+            // duplicated VALUE in hs, breaking SortedInterCount's
+            // distinct-set precondition. One linear pass makes the
+            // ENGINE-side invariants unconditional: hs strictly
+            // increasing, c = hs.length = |distinct hashes|. Oracle
+            // equality stays conditional on no in-doc collision (the
+            // DuckDB twins count distinct STRINGS) — see the layered
+            // contract note on [[graft.functions.SortedInterCount]].
             var w = 0
             var r = 0
             while (r < hsArr.length) {

@@ -410,10 +410,24 @@ object Imi {
   private[graft] def lshBandRowsHier(emb: DataFrame, rawK: Long,
       planes: Seq[Array[Double]], bands: Int, bandBits: Int,
       pSuper: Int, pSub: Int): DataFrame = {
+    val (kSide, _) = dimsFor(rawK)
+    lshBandRowsHierFrom(emb, productBooks(emb, kSide), kSide, planes,
+      bands, bandBits, pSuper, pSub)
+  }
+
+  /** [[lshBandRowsHier]] over ALREADY-TRAINED half-space books — the
+    * stateless banding kernel alone, split out so a STREAMING source can
+    * probe a batch-trained (or stored, [[persistIndex]]) hierarchical
+    * index: the streaming embedding ingest screen
+    * ([[graft.streaming.EmbDedupStream]]) swaps this in past the flat
+    * cell cap exactly as the batch [[graft.operators.Similarity]]
+    * `lshBandTable` swaps routes. */
+  private[graft] def lshBandRowsHierFrom(emb: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]], kSide: Int,
+      planes: Seq[Array[Double]], bands: Int, bandBits: Int,
+      pSuper: Int, pSub: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (kSide, _) = dimsFor(rawK)
-    val books = productBooks(emb, kSide)
     val bcB = spark.sparkContext.broadcast(books.map(_.toArray).toArray)
     val bcP = spark.sparkContext.broadcast(planes.toArray)
     emb.select(col("vec_id").cast("long"), col("emb").cast("array<double>"))

@@ -194,21 +194,30 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  /** The FLAT sign-LSH index parameters — trained coarse centers plus the
-    * deterministic hyperplanes — exposed for the streaming ingest screen,
-    * which (like any deployment stream) PROBES a batch-trained index
-    * rather than training in-stream. Gate scale sits under [[IvfMaxCells]]
-    * by construction; past the cap the stream probes the stored
-    * hierarchical index ([[Imi.persistIndex]]'s artifact) exactly as
-    * [[lshBandTable]] swaps routes. */
-  private[graft] def lshFlatIndex(emb: DataFrame, dim: Int = 64)
-      : (Seq[(Long, Array[Double])], Seq[Array[Double]]) = {
+  /** Batch-trained banding for a STREAMING source — trains the sign-LSH
+    * index once from the corpus (a deployment stream never trains; in
+    * production the books come off [[Imi.persistIndex]]'s stored artifact)
+    * and returns the function that bands any (vec_id, emb) frame with
+    * bit-identical (cid, band, bv) keys to [[lshBandTable]], INCLUDING the
+    * route flip: flat trained cells under [[IvfMaxCells]], the
+    * hierarchical product index's packed fine cells past it (same
+    * multi-probe width). `rawKOverride` exists for the route-equivalence
+    * spec, which forces the hierarchical path at gate scale. */
+  private[graft] def lshStreamBander(embBatch: DataFrame, dim: Int = 64,
+      rawKOverride: Option[Long] = None): DataFrame => DataFrame = {
     val planes = signPlanes(LshBands * LshBandBits, dim)
-    val rawK = ivfRawK(emb)
-    require(rawK <= IvfMaxCells,
-      s"lshFlatIndex is the flat route (rawK=$rawK > $IvfMaxCells): " +
-        "past the cap the stream probes the stored hierarchical index")
-    (KMeans.trainCenters(emb, rawK.toInt, IvfTrainIters), planes)
+    val rawK = rawKOverride.getOrElse(ivfRawK(embBatch))
+    if (rawK <= IvfMaxCells) {
+      val centers = KMeans.trainCenters(embBatch, rawK.toInt, IvfTrainIters)
+      vecs => CenterKernels.lshBandRows(vecs, centers, planes,
+        LshBands, LshBandBits, LshCellProbes)
+    } else {
+      val (kSide, _) = Imi.dimsFor(rawK)
+      val books = Imi.productBooks(embBatch, kSide)
+      vecs => Imi.lshBandRowsHierFrom(vecs, books, kSide, planes,
+        LshBands, LshBandBits,
+        pSuper = 2, pSub = math.max(1, LshCellProbes / 2))
+    }
   }
 
   /** Recall gauge for the banded chain — the number the LSH deployment

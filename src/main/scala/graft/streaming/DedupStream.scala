@@ -178,7 +178,11 @@ object DedupStream {
     // distinct: a pair colliding in several bands emits once per band (the
     // batch self-join dedups the same way)
     val cands = spark.table(queryName).distinct()
-    val docAgg = graft.operators.Dedup.docSignatures(docsBatch, h)
+    // the signature table feeds BOTH sides of the verify join — checkpoint
+    // (or reuse the harness memo) so the per-doc MD5+MinHash kernel runs
+    // once, not twice, exactly as the batch lshPairs path does
+    val docAgg = graft.operators.Dedup.sharedSignatures(docsBatch, h)
+      .getOrElse(graft.operators.Dedup.docSignatures(docsBatch, h).localCheckpoint())
     graft.operators.Dedup.verifyCandidates(cands, docAgg, threshold)
       .orderBy("a", "b")
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.{CenterKernels, Similarity}
+import graft.operators.Similarity
 
 /** EMBEDDING-space near-dup screen on ingest — the third ingest modality,
   * completing the family: [[DedupStream.runReplay]] (exact, content hash),
@@ -13,11 +13,12 @@ import graft.operators.{CenterKernels, Similarity}
   * machinery cannot see).
   *
   * Deployment shape: a stream never trains — each arriving vector PROBES a
-  * batch-trained index (coarse centers + sign planes, the
-  * [[Similarity.lshFlatIndex]] artifact; past the flat cap, the stored
-  * hierarchical index from `Imi.persistIndex`). Banding runs per
-  * micro-batch through the same [[CenterKernels.lshBandRows]] kernel as
-  * the batch chain — bit-identical (cid, band, bv) keys.
+  * batch-trained index through [[Similarity.lshStreamBander]], which
+  * carries the batch chain's route flip: flat trained cells under the
+  * cell cap, the hierarchical product index's packed fine cells past it
+  * (bit-identical (cid, band, bv) keys either way; the hierarchical
+  * route's streamed/batch candidate equality is spec-forced at gate
+  * scale via rawKOverride).
   *
   * State: keyed by (band, cid) — one resident (vec_id, bv) per vector per
   * band per probed cell, exactly the rows the batch band table
@@ -38,16 +39,16 @@ object EmbDedupStream {
     java.lang.Long.bitCount(x ^ y) <= 1
 
   /** Attach the keyed cell state to a streaming (vec_id, emb) source.
-    * Emits one candidate pair per (new arrival × Hamming-≤1 resident) per
-    * touched (band, cid) group; a pair colliding in several bands/cells
-    * emits once per collision (the batch self-join dedups the same way —
-    * `distinct()` downstream). */
-  def candidateStream(vecs: DataFrame, centers: Seq[(Long, Array[Double])],
-                      planes: Seq[Array[Double]]): Dataset[CandPair] = {
+    * `bander` is the batch-trained index probe from
+    * [[Similarity.lshStreamBander]]. Emits one candidate pair per
+    * (new arrival × Hamming-≤1 resident) per touched (band, cid) group; a
+    * pair colliding in several bands/cells emits once per collision (the
+    * batch self-join dedups the same way — `distinct()` downstream). */
+  def candidateStream(vecs: DataFrame,
+                      bander: DataFrame => DataFrame): Dataset[CandPair] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    CenterKernels.lshBandRows(vecs, centers, planes,
-        Similarity.LshBands, Similarity.LshBandBits, Similarity.LshCellProbes)
+    bander(vecs)
       .as[BandArrival]
       .groupByKey(r => (r.band, r.cid))
       .flatMapGroupsWithState[CellResidents, CandPair](
@@ -92,15 +93,15 @@ object EmbDedupStream {
     * emitted candidates with the exact cosine (the shared
     * [[Similarity.verifyCosCandidates]] back half) against the batch
     * corpus. The index is trained batch-side from the same corpus
-    * ([[Similarity.lshFlatIndex]] — deterministic, so the stream's band
-    * keys equal the batch chain's), which makes the result equal the batch
-    * [[Similarity.embLshPairs]] bit for bit: `q_emb_stream` rides
-    * `q_emb_lsh_pairs`'s DuckDB oracle verbatim. */
+    * ([[Similarity.lshStreamBander]] — deterministic, so the stream's
+    * band keys equal the batch chain's on either route), which makes the
+    * result equal the batch [[Similarity.embLshPairs]] bit for bit:
+    * `q_emb_stream` rides `q_emb_lsh_pairs`'s DuckDB oracle verbatim. */
   def nearDupReplay(stream: DataFrame, embBatch: DataFrame, queryName: String,
                     threshold: Double = 0.45): DataFrame = {
     val spark = stream.sparkSession
-    val (centers, planes) = Similarity.lshFlatIndex(embBatch)
-    val query = candidateStream(stream, centers, planes).writeStream
+    val bander = Similarity.lshStreamBander(embBatch)
+    val query = candidateStream(stream, bander).writeStream
       .queryName(queryName)
       .outputMode("update")
       .format("memory")

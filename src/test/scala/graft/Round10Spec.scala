@@ -315,6 +315,39 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
     assert(batch.nonEmpty, "fixture must exercise at least one pair")
   }
 
+  test("streaming embedding screen matches the batch chain on the HIERARCHICAL route") {
+    import graft.operators.{Imi, Similarity}
+    // force the product-index route at gate scale: rawK past IvfMaxCells
+    val emb = Sources.embeddings(spark, pinDir)
+    val rawK = 4097L
+    val planes = Similarity.signPlanes(
+      Similarity.LshBands * Similarity.LshBandBits, 64)
+    val batchBands = Imi.lshBandRowsHier(
+      emb.select(col("vec_id"), col("emb")), rawK, planes,
+      Similarity.LshBands, Similarity.LshBandBits,
+      pSuper = 2, pSub = math.max(1, Similarity.LshCellProbes / 2))
+    val batchCands = Similarity.embLshCandidatesFrom(batchBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCands.nonEmpty,
+      "fixture must produce hierarchical-route candidates or the test is vacuous")
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_emb_hier_spec").getAbsolutePath
+    emb.select(col("vec_id").cast("long"), col("emb"))
+      .repartition(4).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema("vec_id BIGINT, emb ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    val bander = Similarity.lshStreamBander(emb, rawKOverride = Some(rawK))
+    val q = graft.streaming.EmbDedupStream.candidateStream(stream, bander)
+      .writeStream.queryName("t_emb_hier").outputMode("update")
+      .format("memory").start()
+    try q.processAllAvailable() finally q.stop()
+    import spark.implicits._
+    val streamed = spark.table("t_emb_hier").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batchCands,
+      "hierarchical-route ingest screen must emit the batch candidate set exactly")
+  }
+
   test("ingest dedup state survives a checkpointed restart (incl. RocksDB)") {
     import org.apache.spark.sql.streaming.Trigger
     for (provider <- Seq(None,
