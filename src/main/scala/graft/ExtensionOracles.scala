@@ -522,6 +522,12 @@ object ExtensionOracles {
       s"""SELECT md5(text) AS h, MIN(doc_id) AS keeper,
          |       CAST(COUNT(*) AS BIGINT) AS n_copies
          |  FROM $DOCS GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // the statestore read-back of the drained checkpoint must equal the
+    // same converged state
+    "q_state_audit" ->
+      s"""SELECT md5(text) AS h, MIN(doc_id) AS keeper,
+         |       CAST(COUNT(*) AS BIGINT) AS n_copies
+         |  FROM $DOCS GROUP BY md5(text) ORDER BY h""".stripMargin,
     "q_dedup_summary" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,

@@ -215,6 +215,12 @@ object SparkEntry {
       DedupStream.nearDupReplay(docReplayStream(s, dir),
         Sources.documents(s, dir),
         s"q_neardup_stream_${Sources.pathKey(dir)}")),
+    // offline state audit: drain the same replay into a CHECKPOINT, read
+    // the state store back as a batch DF (Spark's statestore source) —
+    // gates the serialize→commit→batch-read round trip with the same
+    // oracle as q_dedup_stream
+    "q_state_audit" -> ((s, dir) =>
+      DedupStream.stateAudit(docReplayStream(s, dir))),
     "q_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborPairs(Sources.documents(s, dir))),
     "q_editdist_pairs" -> ((s, dir) =>

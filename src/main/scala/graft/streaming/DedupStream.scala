@@ -89,6 +89,38 @@ object DedupStream {
       .orderBy("h")
   }
 
+  /** OFFLINE STATE AUDIT — the ops surface a running ingest-dedup
+    * deployment is actually interrogated through: drain the stream into a
+    * CHECKPOINT (state is the product; no row sink), then read the state
+    * store back as a batch DataFrame via Spark's `statestore` source.
+    * This is how an operator answers "what does my dedup currently know"
+    * without touching the live query — and the read-back converged state
+    * must STILL equal the batch md5-groupBy (same oracle as
+    * `q_dedup_stream`), which gates the entire checkpoint round trip
+    * (serialize → commit → batch read) rather than the in-flight
+    * emissions. */
+  def stateAudit(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_state_audit").toString
+    val query = groupStream(stream).writeStream
+      .outputMode("update")
+      // every partition must be consumed or the state commit is rejected
+      // (STATE_STORE_COMMIT_VALIDATION_FAILED) — count() is the full drain
+      .foreachBatch { (ds: Dataset[HashGroup], _: Long) => ds.count(): Unit }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val stopped = query.awaitTermination(120000)
+    if (query.isActive) query.stop()
+    require(stopped, "state-audit drain did not finish")
+    spark.read.format("statestore").load(ckpt)
+      .select(col("value.groupState.h").as("h"),
+        col("value.groupState.keeper").as("keeper"),
+        col("value.groupState.n_copies").as("n_copies"))
+      .orderBy("h")
+  }
+
   final case class BandArrival(band: Int, bsig: String, doc_id: Long)
   final case class BucketMembers(members: Array[Long])
   final case class CandPair(a: Long, b: Long)

@@ -348,6 +348,24 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
       "hierarchical-route ingest screen must emit the batch candidate set exactly")
   }
 
+  test("statestore read-back of the drained checkpoint equals the batch groupBy") {
+    import spark.implicits._
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_state_audit_spec").getAbsolutePath
+    val docs = Sources.documents(spark, dir)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    val audited = graft.streaming.DedupStream.stateAudit(stream)
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("h").as[(String, Long, Long)].collect().toSeq
+    assert(audited === batch,
+      "the checkpoint's state store must read back as the converged dedup state")
+  }
+
   test("ingest dedup state survives a checkpointed restart (incl. RocksDB)") {
     import org.apache.spark.sql.streaming.Trigger
     for (provider <- Seq(None,
