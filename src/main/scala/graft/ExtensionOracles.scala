@@ -162,6 +162,38 @@ object ExtensionOracles {
        |        FROM cand JOIN e ea ON cand.a = ea.vec_id
        |                  JOIN e eb ON cand.b = eb.vec_id)""".stripMargin
 
+  /** The [[lshPairCtes]] chain over the DETERMINISTIC DRIFTED corpus of
+    * `q_emb_stream_recall` (originals ∪ reversed-coordinate copy at
+    * vec_id + 10⁶ — [[graft.operators.Similarity.driftedCorpus]]), with
+    * the cells still assigned by the BOOTSTRAP-pinned centers
+    * ([[IvfPins]] — trained on the originals only): the frozen index the
+    * streaming screen probes, replayed over vectors it never trained on.
+    * list_reverse is a pure permutation of the DOUBLE[] cast, so the
+    * drifted literals are bit-identical to the engine's
+    * `reverse(col("emb"))`. */
+  private def driftedLshPairCtes: String =
+    s"""$EMB,
+       |de AS (SELECT vec_id, emb FROM e
+       |       UNION ALL
+       |       SELECT vec_id + 1000000 AS vec_id, list_reverse(emb) AS emb FROM e),
+       |$ivfCentCte,
+       |asn AS (SELECT de.vec_id, de.emb, c.cid, ${cosSql("de.emb", "c.cv")} AS ccos FROM de, cent c),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
+       |c2 AS (SELECT vec_id, emb, cid FROM rk WHERE crank <= 4),
+       |bnd AS (SELECT vec_id, cid, t.band AS band, $lshBandCaseSql AS bv
+       |          FROM c2, (VALUES ${(0 until 16).map(b => s"($b)").mkString(",")}) t(band)),
+       |prb AS (SELECT vec_id, cid, band,
+       |               CASE WHEN f.j < 0 THEN bv
+       |                    ELSE xor(bv, CAST(1 AS BIGINT) << f.j) END AS pv
+       |          FROM bnd, (VALUES (-1),(0),(1),(2),(3),(4),(5),(6),(7)) f(j)),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |           FROM prb x JOIN bnd y
+       |             ON x.band = y.band AND x.pv = y.bv AND x.cid = y.cid
+       |                AND x.vec_id < y.vec_id),
+       |v AS (SELECT cand.a, cand.b, ${cosSql("ea.emb", "eb.emb")} AS cos
+       |        FROM cand JOIN de ea ON cand.a = ea.vec_id
+       |                  JOIN de eb ON cand.b = eb.vec_id)""".stripMargin
+
   /** Pinned product-space IMI quantizer ([[ImiPins]], regenerate with
     * `runMain graft.ImiCenterPin`) and its full probe chain — member
     * table `mem` (per vector: argmin-L2 first-half cell × argmin-L2
@@ -174,7 +206,21 @@ object ExtensionOracles {
     * recall gate measures exactly the ranking the topk gate
     * hash-verifies. Tie-breaks mirror the kernel's (d asc, cid asc)
     * struct order: ROW_NUMBER ... ORDER BY d, cid. */
-  private def imiProbeCtes: String = {
+  private def imiProbeCtes: String =
+    imiProbeCtesFor(ImiPins.b1K4I2, ImiPins.b2K4I2)
+
+  /** [[imiProbeCtes]] over the UPSERT-bootstrap pins ([[ImiUpsertPins]] —
+    * books trained on the vec_id % 4 ≠ 3 base split, regenerate with
+    * `runMain graft.ImiUpsertCenterPin`): the q_ann_upsert oracle assigns
+    * the FULL corpus with the frozen base-trained books, which is the
+    * upsert-≡-bulk invariance itself — under frozen books, per-row
+    * assignment is a pure function, so (persisted base members + appended
+    * delta members) must equal one bulk pass over everything. */
+  private def imiUpsertProbeCtes: String =
+    imiProbeCtesFor(ImiUpsertPins.b1K4I2, ImiUpsertPins.b2K4I2)
+
+  private def imiProbeCtesFor(book1: Seq[(Long, Seq[Double])],
+                              book2: Seq[(Long, Seq[Double])]): String = {
     def dlit(d: Double): String = {
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "E0"
@@ -189,8 +235,8 @@ object ExtensionOracles {
          |${prefix}r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM ${prefix}a),
          |${prefix}c AS (SELECT vec_id, emb, cid AS $cellCol FROM ${prefix}r WHERE rk = 1)""".stripMargin
     s"""$EMB,
-       |b1 AS (SELECT cid, cv FROM (VALUES ${bookRows(ImiPins.b1K4I2)}) t(cid, cv)),
-       |b2 AS (SELECT cid, cv FROM (VALUES ${bookRows(ImiPins.b2K4I2)}) t(cid, cv)),
+       |b1 AS (SELECT cid, cv FROM (VALUES ${bookRows(book1)}) t(cid, cv)),
+       |b2 AS (SELECT cid, cv FROM (VALUES ${bookRows(book2)}) t(cid, cv)),
        |${halfAsn("h1", "b1", "list_slice(e.emb, 1, 32)", "scell")},
        |${halfAsn("h2", "b2", "list_slice(e.emb, 33, 64)", "sub")},
        |mem AS (SELECT a.vec_id AS nid, a.emb AS nv, a.scell, b.sub
@@ -1144,6 +1190,13 @@ object ExtensionOracles {
       s"""WITH $imiProbeCtes
          |SELECT qid, nid, rank FROM ir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
+    // serving (persisted base + UPSERTED delta) must equal one bulk
+    // assignment of the full corpus under the frozen base-trained books —
+    // the oracle replays exactly that bulk pass from the upsert pins
+    "q_ann_upsert" ->
+      s"""WITH $imiUpsertProbeCtes
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
     "q_imi_stats" ->
       s"""WITH $imiProbeCtes
          |SELECT scell, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subs,
@@ -1917,6 +1970,53 @@ object ExtensionOracles {
       s"""WITH $lshPairCtes,
          |xp AS (SELECT x.vec_id AS a, y.vec_id AS b
          |         FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |        WHERE ${cosSql("x.emb", "y.emb")} >= 0.45),
+         |f AS (SELECT a, b FROM v WHERE cos >= 0.45),
+         |h AS (SELECT f.a FROM f JOIN xp ON f.a = xp.a AND f.b = xp.b),
+         |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM xp) AS n_true,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_found,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hit)
+         |SELECT n_true, n_found, n_hit,
+         |       CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+         |  FROM n""".stripMargin,
+    // the COMPOSED ingest pipeline: exact → lexical → semantic, each
+    // stage's survivors gating the next — composed verbatim from the
+    // q_dedup_stream (md5 groupBy), q_minhash_lsh (vp) and
+    // q_emb_lsh_pairs (v) chains; the nested WITH scopes keep the two
+    // chains' same-named CTEs (cand) apart. Drop rule per stage: a
+    // verified pair among that stage's survivors drops its higher-id
+    // endpoint (keep-lowest — banding is per-doc and collision pairwise,
+    // so survivor-restricted pairs == full-corpus pairs ∩ survivors²)
+    "q_ingest_pipeline" ->
+      s"""WITH d AS (SELECT doc_id FROM $DOCS),
+         |x AS (SELECT MIN(doc_id) AS keeper FROM $DOCS GROUP BY md5(text)),
+         |s1 AS (SELECT keeper AS doc_id FROM x),
+         |lex AS (WITH $minhashCtes,
+         |        $verifiedPairsCte
+         |        SELECT a, b FROM vp),
+         |drop2 AS (SELECT DISTINCT l.b AS doc_id FROM lex l
+         |           JOIN s1 pa ON l.a = pa.doc_id JOIN s1 pb ON l.b = pb.doc_id),
+         |s2 AS (SELECT doc_id FROM s1 EXCEPT SELECT doc_id FROM drop2),
+         |sem AS (WITH $lshPairCtes SELECT a, b FROM v WHERE cos >= 0.45),
+         |drop3 AS (SELECT DISTINCT m.b AS doc_id FROM sem m
+         |           JOIN s2 pa ON m.a = pa.doc_id JOIN s2 pb ON m.b = pb.doc_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN s1.doc_id IS NULL THEN 'exact'
+         |            WHEN d2.doc_id IS NOT NULL THEN 'lexical'
+         |            WHEN d3.doc_id IS NOT NULL THEN 'semantic'
+         |            ELSE 'kept' END AS stage
+         |  FROM d LEFT JOIN s1 ON d.doc_id = s1.doc_id
+         |         LEFT JOIN drop2 d2 ON d.doc_id = d2.doc_id
+         |         LEFT JOIN drop3 d3 ON d.doc_id = d3.doc_id
+         | ORDER BY d.doc_id""".stripMargin,
+    // frozen-index recall DECAY: the q_emb_lsh_recall shape over the
+    // drifted corpus, cells still pinned at the BOOTSTRAP training — the
+    // gap against q_emb_lsh_recall is the reindex-trigger signal
+    "q_emb_stream_recall" ->
+      s"""WITH $driftedLshPairCtes,
+         |xp AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |         FROM de x JOIN de y ON x.vec_id < y.vec_id
          |        WHERE ${cosSql("x.emb", "y.emb")} >= 0.45),
          |f AS (SELECT a, b FROM v WHERE cos >= 0.45),
          |h AS (SELECT f.a FROM f JOIN xp ON f.a = xp.a AND f.b = xp.b),

@@ -46,16 +46,18 @@ object SparkEntry {
     * the source table is regenerated (the only cross-JVM cached fixture in
     * the repo would then gate old data against a fresh oracle). Within one
     * JVM the source table is immutable, so bench reps and sibling gates
-    * still share one write. */
+    * still share one write. `computeIfAbsent` gives both halves of the
+    * r10 ADVICE fix: a FAILED write adds no mapping (the next caller
+    * retries instead of streaming a partial directory), and a concurrent
+    * first caller blocks until the fixture is completely written. */
   private val replayWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def replayFixture(prefix: String, dir: String,
                             write: String => Unit): String = {
     val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"${prefix}_${Sources.pathKey(dir)}").getAbsolutePath
-    if (replayWritten.add(replay)) write(replay)
-    replay
+    replayWritten.computeIfAbsent(replay, { r => write(r); r })
   }
 
   /** The document table as a deterministic 4-file parquet replay (1 file
@@ -220,7 +222,18 @@ object SparkEntry {
     // gates the serialize→commit→batch-read round trip with the same
     // oracle as q_dedup_stream
     "q_state_audit" -> ((s, dir) =>
-      DedupStream.stateAudit(docReplayStream(s, dir))),
+      DedupStream.stateAudit(docReplayStream(s, dir),
+        s"q_state_audit_${Sources.pathKey(dir)}")),
+    // the COMPOSED ingest pipeline: exact → lexical → semantic screens
+    // chained (each stage's drained survivors semi-join-gate the next
+    // stage's stream); output labels every doc with the stage that
+    // dropped it — hash-gated against the equivalent batch composition
+    "q_ingest_pipeline" -> ((s, dir) =>
+      streaming.IngestPipeline.run(
+        docReplayStream(s, dir), docReplayStream(s, dir),
+        embReplayStream(s, dir),
+        Sources.documents(s, dir), Sources.embeddings(s, dir),
+        s"q_ingest_${Sources.pathKey(dir)}")),
     "q_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborPairs(Sources.documents(s, dir))),
     "q_editdist_pairs" -> ((s, dir) =>
@@ -337,6 +350,19 @@ object SparkEntry {
         s"graft_imi_idx_${Sources.pathKey(dir)}").getAbsolutePath
       val emb = Sources.embeddings(s, dir)
       operators.Imi.persistIndex(emb, idx)
+      operators.Imi.annImiServed(emb, idx)
+    }),
+    // INCREMENTAL upsert into the stored index: bootstrap on the % 4 ≠ 3
+    // base split, assign the % 4 = 3 delivery with the STORED books and
+    // append — serving the merged artifact must equal one bulk assignment
+    // of the full corpus under the frozen base books (the oracle replays
+    // that bulk pass from the base-trained ImiUpsertPins)
+    "q_ann_upsert" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_upsert_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+      operators.Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
       operators.Imi.annImiServed(emb, idx)
     }),
     // the stored COMPRESSED tier: candidates reconstructed from the
@@ -469,6 +495,12 @@ object SparkEntry {
       EmbDedupStream.nearDupReplay(embReplayStream(s, dir),
         Sources.embeddings(s, dir),
         s"q_emb_stream_${Sources.pathKey(dir)}")),
+    // recall DECAY of the frozen index the semantic screen probes: the
+    // drifted corpus routed through the bootstrap-trained cells, scored
+    // against brute-force truth — the reindex-trigger gauge (read next to
+    // q_emb_lsh_recall, the retrained-at-bootstrap figure)
+    "q_emb_stream_recall" -> ((s, dir) =>
+      Similarity.embStreamRecall(Sources.embeddings(s, dir))),
     "q_csv_roundtrip" -> ((s, dir) => Sources.csvRoundTrip(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Relational.docsGroupingSets(s, dir)),
     "q_chunks" -> ((s, dir) =>

@@ -286,6 +286,43 @@ object Imi {
     books
   }
 
+  /** INCREMENTAL UPSERT into the persisted index (r10 verdict, "what's
+    * missing" #1 — the one stored artifact still frozen at bootstrap): a
+    * NEW vector delivery is assigned with the STORED books — coarse cells
+    * via the reloaded half-space codebooks, packed PQ codes via the
+    * reloaded sub-books — and APPENDED to the scell-partitioned member
+    * table, so [[annImiServed]]/[[annImiPqServed]] read the merged
+    * artifact unchanged. This is the `q_incr_dedup` batch-proportional
+    * discipline applied to the index family: upsert work is one
+    * assignment pass over THE DELIVERY (2·kSide + 8·16 folds per DELTA
+    * row — O(|delta|), never O(corpus); a retrain per delivery is
+    * O(n·2·KSideCap·d)), and because assignment under FROZEN books is a
+    * pure per-row function, upsert-vs-bulk construction is invariant by
+    * construction: serving (stored books + base members + upserted
+    * members) equals serving an index whose members were all assigned in
+    * one pass with the same books. That invariance is what `q_ann_upsert`
+    * hash-gates (the oracle assigns the FULL corpus with the pinned
+    * base-trained books) and ScaleProof's upsert checks bind at 10×.
+    *
+    * What upsert deliberately does NOT do is retrain: the books stay the
+    * bootstrap artifact (bit-unchanged on disk — spec-asserted), so index
+    * quality decays as the corpus drifts — `q_emb_stream_recall` is the
+    * matching reindex-trigger gauge. */
+  def upsertIndex(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    val books = loadBooks(spark, path)
+    require(books.forall(_.nonEmpty),
+      s"upsert into an untrained index at $path: the stored books are " +
+        "empty — bootstrap with persistIndex before upserting")
+    val pqBooks = loadPqBooks(spark, path)
+    val codeCol =
+      if (pqBooks.exists(_.isEmpty)) lit(null).cast("long")
+      else Similarity.pqPackedCodeCol(pqBooks, col("emb"))
+    graft.sources.Sources.writePartitioned(
+      memberTable(delta, books).withColumn("code", codeCol),
+      s"$path/members", Seq("scell"), mode = "append")
+  }
+
   private def loadBookTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, m: Int): Seq[Seq[(Long, Array[Double])]] = {
     val rows = spark.read.parquet(dir)

@@ -184,14 +184,17 @@ object Similarity {
     * ([[graft.streaming.EmbDedupStream]]), which emits the same candidate
     * set from keyed cell state. */
   private[graft] def verifyCosCandidates(cand: DataFrame, emb: DataFrame,
-                                         threshold: Double): DataFrame = {
+                                         threshold: Double,
+                                         sorted: Boolean = true): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("emb"))
-    cand
+    val v = cand
       .join(vecs.select(col("vec_id").as("a"), col("emb").as("va")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy("a", "b")
+    // sorting is illegal on a STREAMING frame — the in-stream verified
+    // emission (EmbDedupStream.verifiedStream) orders at the drain read
+    if (sorted) v.orderBy("a", "b") else v
   }
 
   /** Batch-trained banding for a STREAMING source — trains the sign-LSH
@@ -240,6 +243,54 @@ object Similarity {
       .select(col("n_true"), col("n_found"), col("n_hit"),
         // zero-guard mirrors the oracle's CASE WHEN n_true = 0: a corpus
         // with no exact pairs reads recall 0.0, not NULL
+        when(col("n_true") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
+  /** The deterministic DRIFTED corpus for the frozen-index decay gauge:
+    * the original vectors plus a reversed-coordinate copy (vec_id + 10⁶).
+    * Reversal is the cheapest drift that preserves the pair structure
+    * exactly — cos(rev a, rev b) = cos(a, b), so the shifted half carries
+    * the SAME near-dup pairs as the original — while placing the new mass
+    * where the bootstrap-trained cells never saw it (a reversed embedding
+    * is uncorrelated with every center trained on the originals). */
+  private[graft] def driftedCorpus(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id").cast("long"), col("emb").cast("array<double>"))
+    v.unionAll(v.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      reverse(col("emb")).as("emb")))
+  }
+
+  /** Recall-DECAY gauge for the frozen-index ingest screen (r10 verdict,
+    * "what's missing" #2): the streaming semantic screen probes a
+    * batch-trained index and never retrains ([[graft.streaming
+    * .EmbDedupStream]]), so as the corpus drifts its realized recall
+    * decays silently — this is the reindex-trigger signal a deployment
+    * monitors next to the [[graft.streaming.EmbDedupStream.CellCap]] hard
+    * stop. The gauge drifts the corpus deterministically
+    * ([[driftedCorpus]] — a reversed-coordinate copy whose true pair set
+    * mirrors the original's), routes the WHOLE drifted corpus through the
+    * index frozen at bootstrap (trained on the ORIGINAL vectors only —
+    * [[lshStreamBander]], the very books the streaming screen probes; the
+    * candidate set equals the streamed screen's by its carving-invariance
+    * contract, spec-asserted), verifies with the exact cosine, and scores
+    * against the brute-force truth over the drifted corpus. Compare
+    * `recall` here against `q_emb_lsh_recall` (the same gauge at
+    * bootstrap, retrained-on-current-corpus): the gap IS the decay; the
+    * ScaleProof twin proves frozen < retrained at 10×. Output one row
+    * (n_true, n_found, n_hit, recall) — the [[embLshRecall]] shape. */
+  def embStreamRecall(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val drifted = driftedCorpus(emb)
+    val frozen = lshStreamBander(emb) // trained on the BOOTSTRAP corpus only
+    val found = verifyCosCandidates(
+      embLshCandidatesFrom(frozen(drifted)), drifted, threshold)
+      .select("a", "b")
+    val exact = neardupCosine(drifted, threshold).select("a", "b")
+    val hit = found.join(exact, Seq("a", "b"))
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_found"), col("n_hit"),
         when(col("n_true") === 0L, lit(0.0))
           .otherwise(col("n_hit").cast("double") / col("n_true").cast("double"))
           .as("recall"))

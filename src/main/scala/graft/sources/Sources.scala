@@ -97,8 +97,9 @@ object Sources {
     * ships curated corpora through. `partitionBy` gives directory-level
     * partition pruning to every downstream reader (a `WHERE lang='en'` scan
     * touches only that subtree's files). */
-  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partCols: _*).parquet(path)
 
   /** Collision-free temp-dir key for sink round trips: md5 of the FULL
     * sfDir path (String.hashCode is 32-bit — two sfDirs could collide onto

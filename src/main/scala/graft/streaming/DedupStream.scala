@@ -62,6 +62,26 @@ object DedupStream {
       }
   }
 
+  /** Drain `df` (built over a finite replay stream) through a named memory
+    * sink, hand the sink table to `read`, MATERIALIZE its result
+    * (localCheckpoint — the returned frame must not lazily re-read the
+    * sink), then drop the sink's temp view so distinct gate/bench
+    * invocations don't accumulate pinned driver row sets for the life of
+    * the session (r10 ADVICE). */
+  private def drainToTable(df: DataFrame, queryName: String)
+                          (read: DataFrame => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val query = df.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .format("memory")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    try read(spark.table(queryName)).localCheckpoint()
+    finally spark.catalog.dropTempView(queryName)
+  }
+
   /** Drain a STATIC replay source to completion and return the converged
     * dedup state — (h, keeper, n_copies) per distinct document, ordered by
     * hash, which must equal the batch `md5(text) groupBy` bit for bit.
@@ -69,25 +89,28 @@ object DedupStream {
     * directory (blocks until every file is consumed); the q_freq_stream
     * stop-at-n machinery is for the reference's unbounded-socket contract
     * and does not apply here. */
-  def runReplay(stream: DataFrame, queryName: String): DataFrame = {
-    val spark = stream.sparkSession
-    val query = groupStream(stream).writeStream
-      .queryName(queryName)
-      .outputMode("update")
-      .format("memory")
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-    // the memory sink APPENDS one row per (hash, touching batch); the
-    // converged row per hash is the one with max n_copies (strictly
-    // increasing — each arrival is counted exactly once, so the max is
-    // unique and this read is deterministic under any batch carving)
-    spark.table(queryName)
-      .groupBy("h")
-      .agg(max_by(struct(col("n_copies"), col("keeper")), col("n_copies")).as("s"))
-      .select(col("h"), col("s.keeper").as("keeper"), col("s.n_copies").as("n_copies"))
-      .orderBy("h")
-  }
+  def runReplay(stream: DataFrame, queryName: String): DataFrame =
+    drainToTable(groupStream(stream).toDF(), queryName) { t =>
+      // the memory sink APPENDS one row per (hash, touching batch); the
+      // converged row per hash is the one with max n_copies (strictly
+      // increasing — each arrival is counted exactly once, so the max is
+      // unique and this read is deterministic under any batch carving)
+      t.groupBy("h")
+        .agg(max_by(struct(col("n_copies"), col("keeper")), col("n_copies")).as("s"))
+        .select(col("h"), col("s.keeper").as("keeper"),
+          col("s.n_copies").as("n_copies"))
+        .orderBy("h")
+    }
+
+  /** Per-source state-audit checkpoints already drained by THIS JVM — the
+    * [[graft.SparkEntry]] replay-fixture discipline applied to the
+    * checkpoint (r10 ADVICE: a fresh drain per invocation leaked one full
+    * state checkpoint per bench rep). Within one JVM the replay content is
+    * immutable, so every rep's audit reads the same committed state;
+    * `computeIfAbsent` both blocks concurrent first callers and refuses to
+    * cache a FAILED drain (the compute throws → no mapping). */
+  private val auditCkpts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** OFFLINE STATE AUDIT — the ops surface a running ingest-dedup
     * deployment is actually interrogated through: drain the stream into a
@@ -98,22 +121,29 @@ object DedupStream {
     * must STILL equal the batch md5-groupBy (same oracle as
     * `q_dedup_stream`), which gates the entire checkpoint round trip
     * (serialize → commit → batch read) rather than the in-flight
-    * emissions. */
-  def stateAudit(stream: DataFrame): DataFrame = {
+    * emissions. `sourceKey` identifies the replay directory so the drained
+    * checkpoint is cached per source, not re-created per invocation. */
+  def stateAudit(stream: DataFrame, sourceKey: String = ""): DataFrame = {
     val spark = stream.sparkSession
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_dedup_state_audit").toString
-    val query = groupStream(stream).writeStream
-      .outputMode("update")
-      // every partition must be consumed or the state commit is rejected
-      // (STATE_STORE_COMMIT_VALIDATION_FAILED) — count() is the full drain
-      .foreachBatch { (ds: Dataset[HashGroup], _: Long) => ds.count(): Unit }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val stopped = query.awaitTermination(120000)
-    if (query.isActive) query.stop()
-    require(stopped, "state-audit drain did not finish")
+    def drain(): String = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_dedup_state_audit").toString
+      val query = groupStream(stream).writeStream
+        .outputMode("update")
+        // every partition must be consumed or the state commit is rejected
+        // (STATE_STORE_COMMIT_VALIDATION_FAILED) — count() is the full drain
+        .foreachBatch { (ds: Dataset[HashGroup], _: Long) => ds.count(): Unit }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val stopped = query.awaitTermination(120000)
+      try require(stopped, "state-audit drain did not finish")
+      finally if (query.isActive) query.stop()
+      ckpt
+    }
+    val ckpt =
+      if (sourceKey.isEmpty) drain()
+      else auditCkpts.computeIfAbsent(sourceKey, _ => drain())
     spark.read.format("statestore").load(ckpt)
       .select(col("value.groupState.h").as("h"),
         col("value.groupState.keeper").as("keeper"),
@@ -144,7 +174,10 @@ object DedupStream {
     * whose production mitigation is exact-dedup-first + df-capped shingles
     * (the r8 LshSkewProof finding: exact dedup absorbs the mass that makes
     * bands hot) — the gate-scale spec asserts the cap never binds at the
-    * contract parameters. */
+    * contract parameters. Emission is a LAZY iterator over (fresh × prior)
+    * index pairs (r10 ADVICE: a near-cap bucket would otherwise buffer up
+    * to ~cap²/2 pair objects in one state call before the loud cap even
+    * binds). */
   def candidateStream(docs: DataFrame, h: Int = 16, rows: Int = 4,
                       bucketCap: Int = 4096): Dataset[CandPair] = {
     val spark = docs.sparkSession
@@ -170,52 +203,60 @@ object DedupStream {
               s"LSH ingest bucket overflow: ${prev.length}+${fresh.length} members " +
                 s"exceeds bucketCap=$bucketCap — hot band; run exact-dedup-first " +
                 "(LshSkewProof) or raise the cap")
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          var i = 0
-          while (i < fresh.length) {
-            val d = fresh(i)
-            prev.foreach { p =>
-              out += (if (p < d) CandPair(p, d) else CandPair(d, p))
-            }
-            var j = 0
-            while (j < i) { out += CandPair(fresh(j), d); j += 1 }
-            i += 1
-          }
           state.update(BucketMembers(prev ++ fresh))
-          out.iterator
+          // lazy: each fresh member pairs with every PRIOR member (state
+          // residents first, then earlier fresh arrivals), one pair per
+          // step of the iterator — nothing is buffered
+          fresh.iterator.zipWithIndex.flatMap { case (d, i) =>
+            prev.iterator.map(p =>
+              if (p < d) CandPair(p, d) else CandPair(d, p)) ++
+              fresh.iterator.take(i).map(e => CandPair(e, d))
+          }
       }
   }
 
-  /** Drain a STATIC document replay through the candidate screen, then
-    * verify the emitted candidates against the corpus signature store
-    * (exact Jaccard over distinct shingle sets, the shared
-    * [[graft.operators.Dedup.verifyCandidates]] back half). The result
-    * must equal the batch [[graft.operators.Dedup.minhashLshPairs]] bit
-    * for bit — same candidate set (bucket membership is carving-invariant),
-    * same verify kernel — which is what lets `q_neardup_stream` ride the
-    * SAME DuckDB oracle as `q_minhash_lsh`. `docsBatch` stands in for the
+  /** VERIFIED near-dup emission on ingest (r10 verdict, "what's missing"
+    * #3): the candidate screen chained, IN-STREAM, into the exact-Jaccard
+    * verify as a stream-static join against the persisted signature store
+    * — so the streaming query emits verified (a, b, jaccard) pairs, not
+    * candidates, and the post-drain step is a plain read. The static side
+    * is the [[graft.operators.Dedup.docSignatures]] table (in deployment:
+    * the parquet signature artifact the bootstrap run wrote, exactly as
+    * the persisted ANN index family); the join + [[graft.functions
+    * .SortedInterCount]] merge are the SAME
+    * [[graft.operators.Dedup.verifyCandidates]] kernel the batch route
+    * runs — stateless per emission, so it composes onto the stateful
+    * screen without growing state. A pair colliding in several bands is
+    * verified once per collision (bounded by nBands); the drain read
+    * dedups exactly as the batch self-join does. */
+  def verifiedStream(docs: DataFrame, docAgg: DataFrame, h: Int = 16,
+                     rows: Int = 4, threshold: Double = 0.5,
+                     bucketCap: Int = 4096): DataFrame =
+    graft.operators.Dedup.verifyCandidates(
+      candidateStream(docs, h, rows, bucketCap).toDF(), docAgg, threshold)
+
+  /** Drain a STATIC document replay through the VERIFIED screen
+    * ([[verifiedStream]] — candidates verified in-stream against the
+    * corpus signature store, the stream-static join). The result must
+    * equal the batch [[graft.operators.Dedup.minhashLshPairs]] bit for bit
+    * — same candidate set (bucket membership is carving-invariant), same
+    * verify kernel — which is what lets `q_neardup_stream` ride the SAME
+    * DuckDB oracle as `q_minhash_lsh`. `docsBatch` stands in for the
     * production signature store (in deployment: the parquet artifact the
     * bootstrap run wrote, as the persisted ANN index family). */
   def nearDupReplay(stream: DataFrame, docsBatch: DataFrame, queryName: String,
                     h: Int = 16, rows: Int = 4,
                     threshold: Double = 0.5): DataFrame = {
-    val spark = stream.sparkSession
-    val query = candidateStream(stream, h, rows).writeStream
-      .queryName(queryName)
-      .outputMode("update")
-      .format("memory")
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-    // distinct: a pair colliding in several bands emits once per band (the
-    // batch self-join dedups the same way)
-    val cands = spark.table(queryName).distinct()
-    // the signature table feeds BOTH sides of the verify join — checkpoint
+    // the signature table is the verify join's static side — checkpoint
     // (or reuse the harness memo) so the per-doc MD5+MinHash kernel runs
-    // once, not twice, exactly as the batch lshPairs path does
+    // once, not once per micro-batch, exactly as the batch lshPairs path
     val docAgg = graft.operators.Dedup.sharedSignatures(docsBatch, h)
       .getOrElse(graft.operators.Dedup.docSignatures(docsBatch, h).localCheckpoint())
-    graft.operators.Dedup.verifyCandidates(cands, docAgg, threshold)
-      .orderBy("a", "b")
+    drainToTable(verifiedStream(stream, docAgg, h, rows, threshold), queryName) {
+      // distinct: a pair colliding in several bands is emitted (and
+      // verified to the identical jaccard) once per band — the batch
+      // self-join dedups the same way
+      _.distinct().orderBy("a", "b")
+    }
   }
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The COMPOSED ingest pipeline — the three ingest-dedup modalities
+  * chained so each stage's SURVIVORS are the next stage's stream (r10
+  * verdict task #7): exact (content-hash keyed state) → lexical
+  * (MinHash-banded bucket state, verified in-stream) → semantic
+  * (sign-LSH cell state over the survivors' embeddings, verified
+  * in-stream). This is the `q_corpus_build` treatment for streaming:
+  * what no single-modality gate shows is that the modalities COMPOSE —
+  * state keys live in three independent queries (content hash /
+  * (band, bsig) / (band, cid) — no collisions by construction), and the
+  * stage chaining is a stream-static semi-join against the previous
+  * stage's drained survivor set, exactly how a deployment gates stage
+  * N's stream on stage N−1's output table.
+  *
+  * Stage semantics (deterministic, DuckDB-replayable — the
+  * `q_ingest_pipeline` oracle composes the exact q_dedup_stream /
+  * q_minhash_lsh / q_emb_lsh_pairs chains):
+  *   1. exact: survivors = the min-doc_id keeper of each content group;
+  *   2. lexical: among stage-1 survivors, every verified pair
+  *      (jaccard ≥ 0.5) drops its HIGHER-id endpoint (keep-lowest —
+  *      the greedy pairwise rule; banding is per-doc and bucket
+  *      collision is pairwise, so the survivor-only pair set equals the
+  *      full-corpus pair set restricted to survivor endpoints);
+  *   3. semantic: among stage-2 survivors (vec_id = doc_id), every
+  *      verified cosine pair (≥ 0.45) under the batch-trained frozen
+  *      index drops its higher-id endpoint the same way.
+  * Output: (doc_id, stage) for EVERY document — 'exact' | 'lexical' |
+  * 'semantic' names the stage that dropped it, 'kept' survives the full
+  * pipeline. The full-corpus label table is what the clean-corpus chain
+  * downstream consumes, and it hash-gates the whole composition. */
+object IngestPipeline {
+
+  /** `docStream1`/`docStream2`/`embStream` are independent readers of the
+    * SAME replay delivery (each streaming query owns its offsets);
+    * `docsBatch`/`embBatch` stand in for the corpus signature and vector
+    * stores the verify joins read (the persisted-artifact pattern of the
+    * single-modality gates). */
+  def run(docStream1: DataFrame, docStream2: DataFrame, embStream: DataFrame,
+          docsBatch: DataFrame, embBatch: DataFrame,
+          nameBase: String): DataFrame = {
+    // stage 1 — exact screen: drained keyed state, keepers survive
+    val groups = DedupStream.runReplay(docStream1, s"${nameBase}_exact")
+    val s1 = groups.select(col("keeper").as("doc_id")).distinct()
+      .localCheckpoint()
+    // stage 2 — lexical screen on the exact survivors (the
+    // exact-dedup-first discipline: stage 1 absorbed the mass that makes
+    // bands hot); verified pairs emit in-stream against the full corpus
+    // signature store
+    val lexPairs = DedupStream.nearDupReplay(
+      docStream2.join(s1, Seq("doc_id"), "left_semi"),
+      docsBatch, s"${nameBase}_lex")
+    val drop2 = lexPairs.select(col("b").as("doc_id")).distinct()
+      .localCheckpoint()
+    val s2 = s1.join(drop2, Seq("doc_id"), "left_anti").localCheckpoint()
+    // stage 3 — semantic screen on the remaining survivors' embeddings,
+    // probing the index trained on the full batch corpus (frozen, as the
+    // single-modality gate); verified pairs emit in-stream
+    val semPairs = EmbDedupStream.nearDupReplay(
+      embStream.join(s2.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      embBatch, s"${nameBase}_sem")
+    val drop3 = semPairs.select(col("b").as("doc_id")).distinct()
+      .localCheckpoint()
+    // label every document with the stage that dropped it
+    docsBatch.select(col("doc_id"))
+      .join(s1.withColumn("in1", lit(1)), Seq("doc_id"), "left")
+      .join(drop2.withColumn("in2", lit(1)), Seq("doc_id"), "left")
+      .join(drop3.withColumn("in3", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in1").isNull, lit("exact"))
+          .when(col("in2").isNotNull, lit("lexical"))
+          .when(col("in3").isNotNull, lit("semantic"))
+          .otherwise(lit("kept")).as("stage"))
+      .orderBy("doc_id")
+  }
+}

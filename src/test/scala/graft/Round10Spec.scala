@@ -391,8 +391,12 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
         try {
           q.awaitTermination(120000)
           assert(!q.isActive, "AvailableNow query must drain and stop")
-        } finally
+        } finally {
+          // a timed-out drain must not leak an active query (and its
+          // providerClass conf interaction) into later tests (r10 ADVICE)
+          if (q.isActive) q.stop()
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
       }
       import spark.implicits._
       // run 1: first copy of "aaa" (id 7) lands, then the query STOPS
