@@ -262,12 +262,14 @@ object ExtensionOracles {
   /** Pinned per-subspace PQ codebooks ([[PqPins]], regenerate with
     * `runMain graft.PqCenterPin`) as one (s, cid, cv) VALUES relation —
     * the same E0-literal discipline as [[ivfCentCte]]. */
-  private def pqCentCte: String = {
+  private def pqCentCte: String = pqCentCteFor(PqPins.embeddingsM8K16I2)
+
+  private def pqCentCteFor(pins: Seq[(Int, Seq[(Long, Seq[Double])])]): String = {
     def dlit(d: Double): String = {
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "E0"
     }
-    val rows = PqPins.embeddingsM8K16I2.flatMap { case (s, book) =>
+    val rows = pins.flatMap { case (s, book) =>
       book.map { case (cid, cv) =>
         s"(CAST($s AS INT), CAST($cid AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
       }
@@ -289,7 +291,11 @@ object ExtensionOracles {
   /** [[pqEncCtes]] without the leading embeddings CTE, so it can compose
     * with a WITH list that already defines `e` (q_ivfpq). */
   private def pqEncCtesNoEmb: String =
-    s"""$pqCentCte,
+    pqEncCtesNoEmbFor(PqPins.embeddingsM8K16I2)
+
+  private def pqEncCtesNoEmbFor(
+      pins: Seq[(Int, Seq[(Long, Seq[Double])])]): String =
+    s"""${pqCentCteFor(pins)},
        |pa AS (SELECT e.vec_id, c.s, c.cid,
        |              ${sqdistSql("list_slice(e.emb, c.s*8 + 1, c.s*8 + 8)", "c.cv")} AS d
        |         FROM e, pqc c),
@@ -1196,6 +1202,38 @@ object ExtensionOracles {
     "q_ann_upsert" ->
       s"""WITH $imiUpsertProbeCtes
          |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
+    // compacting the upserted member layout must not change a single
+    // served row — same artifact content, fewer files: the q_ann_upsert
+    // oracle IS the q_ann_compact oracle
+    "q_ann_compact" ->
+      s"""WITH $imiUpsertProbeCtes
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
+    // the delta arriving as a STREAM (per-micro-batch foreachBatch
+    // upserts) converges to the same merged artifact — append order and
+    // carving cannot change a pure per-row assignment, so it rides the
+    // q_ann_upsert oracle verbatim
+    "q_ann_upsert_stream" ->
+      s"""WITH $imiUpsertProbeCtes
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
+    // the COMPRESSED tier of the upserted index: members assigned and
+    // PQ-encoded with the STORED base-trained books (ImiUpsertPins +
+    // PqUpsertPins), candidates ranked by their reconstructions — the
+    // q_imi_pq composition under the upsert invariance
+    "q_imi_pq_upsert" ->
+      s"""WITH $imiUpsertProbeCtes,
+         |${pqEncCtesNoEmbFor(PqUpsertPins.baseM8K16I2)},
+         |$pqRecCte,
+         |pisc AS (SELECT p.qid, m.nid, ${cosSql("p.qv", "r.rv")} AS cos
+         |           FROM prb p JOIN mem m ON p.scell = m.scell AND p.sub = m.sub
+         |           JOIN rec r ON r.vec_id = m.nid
+         |          WHERE m.nid <> p.qid),
+         |pir AS (SELECT qid, nid, cos,
+         |               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |          FROM pisc)
+         |SELECT qid, nid, cos, rank FROM pir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
     "q_imi_stats" ->
       s"""WITH $imiProbeCtes

@@ -989,6 +989,107 @@ object ScaleProof {
     results += "dedup_stream_10x" -> tDs
     checks += "dedup_stream_closed_form" -> dsAgree._1
 
+    // Incremental index upsert (q_ann_upsert) at reps×: bootstrap the
+    // persisted index on the % 4 ≠ 3 split of the replicated corpus,
+    // upsert the % 4 = 3 delivery, and prove the three closed forms a
+    // 100 TB deployment needs: (1) upsert work is batch-proportional —
+    // the member rows appended equal |delta| exactly (the upsert pass
+    // reads only the delivery; nothing rescans the corpus); (2) the
+    // bootstrap books are bit-unchanged by upsert (the artifact stays
+    // frozen); (3) upsert ≡ bulk — the merged member table equals one
+    // frozen-book assignment pass over everything, row for row, so the
+    // served index is invariant under upsert-vs-bulk construction.
+    val (upsertAgree, tUpsert) = timed {
+      // persistIndex overwrites all three tables, so a leftover artifact
+      // from a prior run cannot leak into this one
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_scaleproof_upsert").getAbsolutePath
+      val base = emb.filter(col("vec_id") % 4 =!= 3)
+      val delta = emb.filter(col("vec_id") % 4 === 3)
+      Imi.persistIndex(base, idx)
+      val books0 = Imi.loadBooks(spark, idx).map(_.map {
+        case (cid, cv) => (cid, cv.toSeq) })
+      val nBase = spark.read.parquet(s"$idx/members").count()
+      Imi.upsertIndex(delta, idx)
+      val nMerged = spark.read.parquet(s"$idx/members").count()
+      val booksAfter = Imi.loadBooks(spark, idx).map(_.map {
+        case (cid, cv) => (cid, cv.toSeq) })
+      val merged = spark.read
+        .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
+        .parquet(s"$idx/members").select("vec_id", "scell", "sub")
+      val bulk = Imi.memberTable(emb, Imi.loadBooks(spark, idx))
+        .select("vec_id", "scell", "sub")
+      val mismatches = merged.unionAll(bulk)
+        .groupBy("vec_id", "scell", "sub").count()
+        .filter(col("count") =!= 2L).count()
+      (nBase == base.count() && nMerged - nBase == delta.count(),
+        booksAfter == books0, mismatches == 0L)
+    }
+    results += "ann_upsert_10x" -> tUpsert
+    checks += "ann_upsert_batch_proportional" -> upsertAgree._1
+    checks += "ann_upsert_books_frozen" -> upsertAgree._2
+    checks += "ann_upsert_equals_bulk" -> upsertAgree._3
+
+    // Frozen-index decay at reps× (q_emb_stream_recall's discrimination
+    // proof): on the DRIFTED corpus (originals ∪ reversed copies), the
+    // index frozen at bootstrap must realize STRICTLY lower near-dup
+    // recall than an index retrained on what the corpus has become —
+    // i.e. the gauge discriminates, so it is a real reindex trigger.
+    // Truth and candidates are sample-restricted (vec_id % 10 — banding
+    // and verification are per-vector/per-pair, so sample-restricted
+    // chains equal the full chains ∩ sample², the q_lsh_recall_sampled
+    // exactness argument); found ⊆ truth by the shared threshold, so
+    // recall compares as found counts over one truth denominator.
+    val (decay, tDecay) = timed {
+      val drifted = Similarity.driftedCorpus(emb).localCheckpoint()
+      // the decayed subpopulation is the DRIFTED (reversed) half — the
+      // vectors the frozen index never trained on; identical-replica
+      // pairs (cos ≈ 1 ⇒ identical bands/cells ⇒ found by ANY index)
+      // are excluded so the gauge reads the paraphrase tier, where
+      // routing quality actually matters
+      // % 2 keeps enough TRUE pairs in the sample (pair survival is
+      // quadratic in the row-sampling rate: 37/144 base pairs at sf0.1,
+      // each contributing reps² replica combinations)
+      val sample = drifted
+        .filter(col("vec_id") % 2 === 0 &&
+          (col("vec_id") % 10000000L) >= 1000000L)
+        .localCheckpoint()
+      def nontrivial(pairs: DataFrame): Long =
+        pairs.filter(col("cos") < 0.999).count()
+      val nTrue = nontrivial(Similarity.neardupCosine(sample))
+      def found(bander: DataFrame => DataFrame): Long =
+        nontrivial(Similarity.verifyCosCandidates(
+          Similarity.embLshCandidatesFrom(bander(sample)), sample, 0.45))
+      val nFrozen = found(Similarity.lshStreamBander(emb))
+      val nRetrained = found(Similarity.lshStreamBander(drifted))
+      (nTrue, nFrozen, nRetrained)
+    }
+    results += "emb_recall_decay_10x" -> tDecay
+    results += "emb_recall_frozen" ->
+      (if (decay._1 == 0) 0.0 else decay._2.toDouble / decay._1)
+    results += "emb_recall_retrained" ->
+      (if (decay._1 == 0) 0.0 else decay._3.toDouble / decay._1)
+    checks += "emb_stream_recall_decays_without_reindex" ->
+      (decay._1 > 0 && decay._2 < decay._3)
+
+    // Cell-state growth under a FROZEN index (the disease
+    // EmbDedupStream.CellCap guards): banding is a pure function of the
+    // vector VALUE, so replicating the corpus reps× multiplies every
+    // (band, cid) occupancy by exactly reps — the screen's keyed state
+    // per cell grows linearly with the corpus while the index stands
+    // still. Sharp closed form: max occupancy at reps× == reps × base.
+    val (occ, tOcc) = timed {
+      val frozen = Similarity.lshStreamBander(
+        Sources.embeddings(spark, sfDir))
+      def maxOcc(vecs: DataFrame): Long =
+        frozen(vecs.select(col("vec_id"), col("emb")))
+          .groupBy("band", "cid").count().agg(max("count")).head().getLong(0)
+      (maxOcc(Sources.embeddings(spark, sfDir)), maxOcc(emb))
+    }
+    results += "emb_cell_occupancy_10x" -> tOcc
+    checks += "emb_cell_occupancy_scales_with_corpus_frozen" ->
+      (occ._2 == occ._1 * reps)
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

@@ -365,6 +365,44 @@ object SparkEntry {
       operators.Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
       operators.Imi.annImiServed(emb, idx)
     }),
+    // compaction after upserts: rewriting the fragmented member layout
+    // (one file set per delivery) into one clustered file set per cell
+    // must not change a single served row — same oracle as q_ann_upsert
+    "q_ann_compact" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_compact_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+      // three deliveries → three file sets per touched cell, then compact
+      operators.Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 3), idx)
+      operators.Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 7), idx)
+      operators.Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 11), idx)
+      operators.Imi.compactIndex(s, idx)
+      operators.Imi.annImiServed(emb, idx)
+    }),
+    // the delta arriving as a STREAM: per-micro-batch foreachBatch
+    // upserts with the stored books converge to the same merged artifact
+    // under any carving — same oracle as q_ann_upsert
+    "q_ann_upsert_stream" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_upstream_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+      streaming.IndexUpsertStream.run(
+        embReplayStream(s, dir).filter(col("vec_id") % 4 === 3), idx)
+      operators.Imi.annImiServed(emb, idx)
+    }),
+    // the COMPRESSED tier of the upserted index: codes encoded with the
+    // STORED base-trained PQ books, served by reconstruction — the
+    // upsert == bulk invariance on the 8-byte read path
+    "q_imi_pq_upsert" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_pqup_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+      operators.Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
+      operators.Imi.annImiPqServed(emb, idx)
+    }),
     // the stored COMPRESSED tier: candidates reconstructed from the
     // persisted packed codes must reproduce the in-query ADC retrain
     "q_imi_pq_served" -> ((s, dir) => {

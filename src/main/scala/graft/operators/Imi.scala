@@ -323,6 +323,32 @@ object Imi {
       s"$path/members", Seq("scell"), mode = "append")
   }
 
+  /** COMPACT the member layout after a run of upserts — the index
+    * family's instance of the small-files problem [[graft.operators
+    * .Layout.compactExecute]] closes for the corpus: every
+    * [[upsertIndex]] delivery appends its own parquet files into each
+    * touched scell subtree, so after D deliveries a probe's cell read
+    * opens O(D) files of ~|delta|/cells rows each — at 100 TB with
+    * hourly deliveries the per-probe open/footer cost dominates the scan
+    * within a week. Compaction rewrites the CONTENT-IDENTICAL member
+    * table clustered by scell (one shuffle task per cell hash → one file
+    * per cell per task instead of one per delivery), so
+    * [[annImiServed]]/[[annImiPqServed]] read the same rows from a
+    * minimal file set: `q_ann_compact` hash-gates that not a single
+    * served row changes. The checkpoint materializes the current table
+    * BEFORE the overwrite so the rewrite never reads the directory it is
+    * replacing. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val cur = spark.read
+      .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
+      .parquet(s"$path/members")
+      .localCheckpoint()
+    graft.sources.Sources.writePartitioned(
+      cur.repartition(col("scell")),
+      s"$path/members", Seq("scell"))
+  }
+
   private def loadBookTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, m: Int): Seq[Seq[(Long, Array[Double])]] = {
     val rows = spark.read.parquet(dir)

@@ -82,6 +82,57 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
     assert(pqA === pqB)
   }
 
+  test("compaction shrinks the upserted file set without changing a served row") {
+    val emb = Sources.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_r11_compact").toString
+    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+    Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 3), idx)
+    Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 7), idx)
+    Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 11), idx)
+    def parquetFiles(): Long = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$idx/members"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val servedBefore = Imi.annImiServed(emb, idx).collect().toSeq
+    val filesBefore = parquetFiles()
+    Imi.compactIndex(spark, idx)
+    val filesAfter = parquetFiles()
+    // four write passes collapse into one clustered file set ...
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file set ($filesBefore -> $filesAfter)")
+    // ... and the served index is row-identical (the q_ann_compact gate's
+    // invariance, asserted here on both tiers)
+    assert(Imi.annImiServed(emb, idx).collect().toSeq === servedBefore)
+  }
+
+  test("streaming per-batch upserts converge to the one-delivery upsert") {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val delta = emb.filter(col("vec_id") % 4 === 3)
+    val idxS = java.nio.file.Files.createTempDirectory("graft_r11_upstream").toString
+    val idxO = java.nio.file.Files.createTempDirectory("graft_r11_oneshot").toString
+    Imi.persistIndex(base, idxS)
+    Imi.persistIndex(base, idxO)
+    // the delta carved into 4 micro-batches (1 file per trigger)
+    val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_r11_upstream_replay").getAbsolutePath
+    delta.select(col("vec_id").cast("long"), col("emb"))
+      .repartition(4).write.mode("overwrite").parquet(replay)
+    val stream = spark.readStream.schema("vec_id BIGINT, emb ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+    graft.streaming.IndexUpsertStream.run(stream, idxS)
+    Imi.upsertIndex(delta, idxO)
+    def members(p: String) = spark.read
+      .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
+      .parquet(s"$p/members")
+      .select(col("vec_id"), col("scell"), col("sub"), col("code"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(members(idxS) === members(idxO),
+      "micro-batch carving must not change the merged member table")
+    assert(Imi.annImiServed(emb, idxS).collect().toSeq ===
+      Imi.annImiServed(emb, idxO).collect().toSeq)
+  }
+
   test("upsert into an untrained index fails loudly") {
     val emb = Sources.embeddings(spark, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft_r11_upEmpty").toString
