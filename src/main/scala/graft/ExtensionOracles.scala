@@ -220,7 +220,9 @@ object ExtensionOracles {
     imiProbeCtesFor(ImiUpsertPins.b1K4I2, ImiUpsertPins.b2K4I2)
 
   private def imiProbeCtesFor(book1: Seq[(Long, Seq[Double])],
-                              book2: Seq[(Long, Seq[Double])]): String = {
+                              book2: Seq[(Long, Seq[Double])],
+                              memFilter: String = "TRUE",
+                              embCte: String = EMB): String = {
     def dlit(d: Double): String = {
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "E0"
@@ -234,13 +236,14 @@ object ExtensionOracles {
          |              ${sqdistSql(slice, "b.cv")} AS d FROM e, $book b),
          |${prefix}r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM ${prefix}a),
          |${prefix}c AS (SELECT vec_id, emb, cid AS $cellCol FROM ${prefix}r WHERE rk = 1)""".stripMargin
-    s"""$EMB,
+    s"""$embCte,
        |b1 AS (SELECT cid, cv FROM (VALUES ${bookRows(book1)}) t(cid, cv)),
        |b2 AS (SELECT cid, cv FROM (VALUES ${bookRows(book2)}) t(cid, cv)),
        |${halfAsn("h1", "b1", "list_slice(e.emb, 1, 32)", "scell")},
        |${halfAsn("h2", "b2", "list_slice(e.emb, 33, 64)", "sub")},
        |mem AS (SELECT a.vec_id AS nid, a.emb AS nv, a.scell, b.sub
-       |          FROM h1c a JOIN h2c b ON a.vec_id = b.vec_id),
+       |          FROM h1c a JOIN h2c b ON a.vec_id = b.vec_id
+       |         WHERE $memFilter),
        |p1qa AS (SELECT e.vec_id AS qid, e.emb AS qv, b.cid,
        |              ${sqdistSql("list_slice(e.emb, 1, 32)", "b.cv")} AS d
        |         FROM e, b1 b WHERE e.vec_id < 5),
@@ -1210,6 +1213,21 @@ object ExtensionOracles {
       s"""WITH $imiUpsertProbeCtes
          |SELECT qid, nid, rank FROM ir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
+    // tombstoned deletes: the served index is the q_ann_imi chain with
+    // the deleted members filtered out of `mem` — queries still probe
+    // (the probe set is caller-provided), but a deleted vector is never
+    // retrievable. Same oracle for the logical path (serve-time
+    // anti-join) and the physical one (tombstones applied at compaction)
+    "q_ann_forget" ->
+      s"""WITH ${imiProbeCtesFor(ImiPins.b1K4I2, ImiPins.b2K4I2,
+              memFilter = "a.vec_id % 7 <> 2")}
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
+    "q_ann_forget_compact" ->
+      s"""WITH ${imiProbeCtesFor(ImiPins.b1K4I2, ImiPins.b2K4I2,
+              memFilter = "a.vec_id % 7 <> 2")}
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
     // the delta arriving as a STREAM (per-micro-batch foreachBatch
     // upserts) converges to the same merged artifact — append order and
     // carving cannot change a pure per-row assignment, so it rides the
@@ -1235,6 +1253,29 @@ object ExtensionOracles {
          |          FROM pisc)
          |SELECT qid, nid, cos, rank FROM pir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
+    // index-drift statistic: bootstrap vs arrival occupancy shares under
+    // the frozen pinned books, per coarse cell — both assignments are the
+    // pinned q_ann_imi chain, arrivals via the reversed-copy drift CTE
+    "q_index_drift" ->
+      s"""WITH boot AS (WITH ${imiProbeCtesFor(ImiPins.b1K4I2, ImiPins.b2K4I2)}
+         |  SELECT scell, sub, CAST(COUNT(*) AS BIGINT) AS n_boot FROM mem GROUP BY scell, sub),
+         |arr AS (WITH ${imiProbeCtesFor(ImiPins.b1K4I2, ImiPins.b2K4I2,
+              embCte = "e AS (SELECT vec_id + 1000000 AS vec_id, " +
+                "list_reverse(CAST(embedding AS DOUBLE[])) AS emb " +
+                "FROM '<sfDir>/embeddings.parquet')")}
+         |  SELECT scell, sub, CAST(COUNT(*) AS BIGINT) AS n_arr FROM mem GROUP BY scell, sub),
+         |j AS (SELECT COALESCE(boot.scell, arr.scell) AS scell,
+         |             COALESCE(boot.sub, arr.sub) AS sub,
+         |             COALESCE(n_boot, 0) AS n_boot, COALESCE(n_arr, 0) AS n_arr
+         |        FROM boot FULL JOIN arr
+         |          ON boot.scell = arr.scell AND boot.sub = arr.sub),
+         |t AS (SELECT SUM(n_boot) AS t_boot, SUM(n_arr) AS t_arr FROM j)
+         |SELECT j.scell, j.sub, j.n_boot, j.n_arr,
+         |       CAST(j.n_boot AS DOUBLE) / CAST(t.t_boot AS DOUBLE) AS boot_share,
+         |       CAST(j.n_arr AS DOUBLE) / CAST(t.t_arr AS DOUBLE) AS arr_share,
+         |       ABS(CAST(j.n_boot AS DOUBLE) / CAST(t.t_boot AS DOUBLE)
+         |           - CAST(j.n_arr AS DOUBLE) / CAST(t.t_arr AS DOUBLE)) / 2.0 AS contrib
+         |  FROM j, t ORDER BY j.scell, j.sub""".stripMargin,
     "q_imi_stats" ->
       s"""WITH $imiProbeCtes
          |SELECT scell, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subs,

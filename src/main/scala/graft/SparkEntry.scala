@@ -342,6 +342,11 @@ object SparkEntry {
     "q_ann_imi" -> ((s, dir) => operators.Imi.annImi(Sources.embeddings(s, dir))),
     "q_imi_recall" -> ((s, dir) => operators.Imi.imiRecall(Sources.embeddings(s, dir))),
     "q_imi_stats" -> ((s, dir) => operators.Imi.imiStats(Sources.embeddings(s, dir))),
+    // the per-delivery drift statistic (no ground truth needed): TVD
+    // contribution per coarse cell between bootstrap and arrival
+    // occupancy under the frozen index — the cheap reindex trigger the
+    // recall gauge (q_emb_stream_recall) calibrates
+    "q_index_drift" -> ((s, dir) => operators.Imi.indexDrift(Sources.embeddings(s, dir))),
     "q_imi_pq" -> ((s, dir) => operators.Imi.annImiPq(Sources.embeddings(s, dir))),
     // train→persist→serve: the stored-artifact probe must hash-match the
     // self-contained retrain (same oracle as q_ann_imi)
@@ -363,6 +368,28 @@ object SparkEntry {
       val emb = Sources.embeddings(s, dir)
       operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
       operators.Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
+      operators.Imi.annImiServed(emb, idx)
+    }),
+    // tombstoned deletes (right-to-be-forgotten against the stored
+    // index): logical delete = serve-time anti-join of the tombstone
+    // table — the deleted members must vanish from every top-k
+    "q_ann_forget" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_forget_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+      operators.Imi.annImiServed(emb, idx)
+    }),
+    // physical delete: compaction applies the tombstones to the layout
+    // and clears them — serving the rewritten artifact must be identical
+    "q_ann_forget_compact" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_forgetc_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+      operators.Imi.compactIndex(s, idx)
       operators.Imi.annImiServed(emb, idx)
     }),
     // compaction after upserts: rewriting the fragmented member layout

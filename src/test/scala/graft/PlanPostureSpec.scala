@@ -55,6 +55,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_lsh_recall_sampled", // SINGLE-ROW sampled exact-pair count x SINGLE-ROW caught count
     "q_emb_lsh_recall", // SINGLE-ROW n_true x n_found x n_hit, as q_lsh_recall
     "q_emb_stream_recall", // same SINGLE-ROW count crossJoin shape
+    "q_index_drift", // SINGLE-ROW totals broadcast onto <= kSide cells
     "q_imi_recall", // brute-force ground-truth side, as q_ann_recall
     "q_join_card", // SINGLE-ROW histogram estimate x SINGLE-ROW actual count
     "q_cooccur", // pair rows x the SINGLE-ROW pair/unigram totals (as q_bigram_lift)

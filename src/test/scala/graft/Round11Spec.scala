@@ -133,6 +133,38 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
       Imi.annImiServed(emb, idxO).collect().toSeq)
   }
 
+  test("tombstoned deletes vanish from both serving tiers; compaction applies them physically") {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_r11_forget").toString
+    Imi.persistIndex(emb, idx)
+    Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+    val deleted = emb.filter(col("vec_id") % 7 === 2)
+      .select(col("vec_id")).as[Long].collect().toSet
+    def servedNids(): Set[Long] =
+      Imi.annImiServed(emb, idx).select("nid").as[Long].collect().toSet
+    def servedPqNids(): Set[Long] =
+      Imi.annImiPqServed(emb, idx).select("nid").as[Long].collect().toSet
+    val (exactBefore, pqBefore) = (servedNids(), servedPqNids())
+    assert(exactBefore.intersect(deleted).isEmpty,
+      "logically deleted members must never be retrievable (exact tier)")
+    assert(pqBefore.intersect(deleted).isEmpty,
+      "logically deleted members must never be retrievable (ADC tier)")
+    val exactTopk = Imi.annImiServed(emb, idx).collect().toSeq
+    // compaction applies tombstones physically: the member table no
+    // longer contains them, the tombstone table is gone, and serving is
+    // row-identical to the logical view
+    Imi.compactIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/deletes").exists(),
+      "compaction must clear the applied tombstone table")
+    val physIds = spark.read
+      .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
+      .parquet(s"$idx/members").select("vec_id").as[Long].collect().toSet
+    assert(physIds.intersect(deleted).isEmpty,
+      "compaction must rewrite the layout without the deleted members")
+    assert(Imi.annImiServed(emb, idx).collect().toSeq === exactTopk)
+  }
+
   test("upsert into an untrained index fails loudly") {
     val emb = Sources.embeddings(spark, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft_r11_upEmpty").toString
