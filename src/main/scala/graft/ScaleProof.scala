@@ -1072,6 +1072,65 @@ object ScaleProof {
     checks += "emb_stream_recall_decays_without_reindex" ->
       (decay._1 > 0 && decay._2 < decay._3)
 
+    // Tombstoned deletes at reps×: the logical delete (serve-time
+    // anti-join) must make every deleted member unretrievable at volume,
+    // and the physical apply (compaction) must rewrite the layout without
+    // them, clear the tombstone table, and serve identically.
+    val (forgetAgree, tForget) = timed {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_scaleproof_forget").getAbsolutePath
+      Imi.persistIndex(emb, idx)
+      Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+      val deleted = emb.filter(col("vec_id") % 7 === 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val logicalTopk = Imi.annImiServed(emb, idx).collect().toSeq
+      val logicalClean = !logicalTopk.exists(r => deleted.contains(r.getLong(1)))
+      Imi.compactIndex(spark, idx)
+      val tombCleared = !new java.io.File(s"$idx/deletes").exists()
+      val physLeft = spark.read
+        .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
+        .parquet(s"$idx/members")
+        .filter(col("vec_id") % 7 === 2).count()
+      val servedSame = Imi.annImiServed(emb, idx).collect().toSeq == logicalTopk
+      (logicalClean, tombCleared && physLeft == 0L && servedSame)
+    }
+    results += "ann_forget_10x" -> tForget
+    checks += "ann_forget_logical_excludes_deleted" -> forgetAgree._1
+    checks += "ann_forget_compact_applies_physically" -> forgetAgree._2
+
+    // Drift statistic at reps×: an IN-DISTRIBUTION delivery (the corpus
+    // replicated — banding is a pure function of the vector value, so
+    // every replica assigns identically) must read TVD = 0 EXACTLY — the
+    // trigger never false-alarms — while the reversed-copy drift reads a
+    // clearly nonzero TVD (0.102 at gate scale on fine cells).
+    val (driftVals, tDrift) = timed {
+      val base = Sources.embeddings(spark, sfDir)
+      val books = Imi.productBooks(base, Imi.imiDims(base)._1)
+      def shares(vecs: DataFrame): Map[(Long, Long), Double] = {
+        val rows = Imi.memberTable(
+            vecs.select(col("vec_id").cast("long"),
+              col("emb").cast("array<double>")), books)
+          .groupBy("scell", "sub").count()
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        val tot = rows.map(_._2).sum.toDouble
+        rows.map { case (k, n) => k -> (n / tot) }.toMap
+      }
+      def tvd(a: Map[(Long, Long), Double], b: Map[(Long, Long), Double]) =
+        (a.keySet ++ b.keySet).toSeq
+          .map(k => math.abs(a.getOrElse(k, 0.0) - b.getOrElse(k, 0.0)) / 2.0)
+          .sum
+      val boot = shares(base)
+      val inDist = shares(emb) // reps× replicas: identical assignment
+      val rev = shares(base.select(col("vec_id"),
+        reverse(col("emb").cast("array<double>")).as("emb")))
+      (tvd(boot, inDist), tvd(boot, rev))
+    }
+    results += "index_drift_10x" -> tDrift
+    results += "drift_tvd_in_distribution" -> driftVals._1
+    results += "drift_tvd_reversed" -> driftVals._2
+    checks += "index_drift_zero_in_distribution" -> (driftVals._1 == 0.0)
+    checks += "index_drift_detects_reversal" -> (driftVals._2 > 0.02)
+
     // Cell-state growth under a FROZEN index (the disease
     // EmbDedupStream.CellCap guards): banding is a pure function of the
     // vector VALUE, so replicating the corpus reps× multiplies every
