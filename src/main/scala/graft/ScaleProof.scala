@@ -1149,6 +1149,46 @@ object ScaleProof {
     checks += "emb_cell_occupancy_scales_with_corpus_frozen" ->
       (occ._2 == occ._1 * reps)
 
+    // Composed ingest pipeline at reps×: replicas are exact duplicates, so
+    // stage 1 must absorb ALL of them (keeper = the replica-0 copy, whose
+    // ids equal the base ids), and the lexical/semantic stages then see
+    // exactly the base run's survivor stream — labels restricted to
+    // replica-0 ids equal the base pipeline's labels row for row, and
+    // every replica-k>0 doc reads 'exact'. The embedding store is the
+    // BASE table on both sides (stage-2 survivors carry base ids), so the
+    // semantic stage's trained index is held fixed across the comparison.
+    val (pipeAgree, tPipe) = timed {
+      val baseDocs = Sources.documents(spark, sfDir)
+      val baseEmb = Sources.embeddings(spark, sfDir)
+      def replayOf(df: DataFrame, tag: String, cols: String): () => DataFrame = {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_scaleproof_pipe_$tag").getAbsolutePath
+        df.repartition(4).write.mode("overwrite").parquet(dir)
+        () => spark.readStream.schema(cols)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+      }
+      val docsR = replayOf(docs.select(col("doc_id").cast("long"), col("text")),
+        "docs10", "doc_id BIGINT, text STRING")
+      val docsB = replayOf(baseDocs.select(col("doc_id").cast("long"), col("text")),
+        "docsbase", "doc_id BIGINT, text STRING")
+      val embB = replayOf(baseEmb.select(col("vec_id").cast("long"), col("emb")),
+        "embbase", "vec_id BIGINT, emb ARRAY<DOUBLE>")
+      val labels10 = graft.streaming.IngestPipeline.run(
+          docsR(), docsR(), embB(), docs, baseEmb, "scaleproof_pipe10")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val labelsBase = graft.streaming.IngestPipeline.run(
+          docsB(), docsB(), embB(), baseDocs, baseEmb, "scaleproof_pipebase")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val replica0 = labels10.filter { case (id, _) => id < 10000000L }
+      val replicasExact = labels10.forall {
+        case (id, st) => id < 10000000L || st == "exact"
+      }
+      (replica0 == labelsBase, replicasExact, labels10.size)
+    }
+    results += "ingest_pipeline_10x" -> tPipe
+    checks += "ingest_pipeline_replica0_equals_base" -> pipeAgree._1
+    checks += "ingest_pipeline_replicas_all_exact" -> pipeAgree._2
+
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val rj = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
