@@ -288,6 +288,23 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
       "the gauge must describe exactly the candidates the ingest screen screens")
   }
 
+  test("drift statistic contracts: shares are distributions, TVD bounded, zero without drift") {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, pinDir)
+    val rows = Imi.indexDrift(emb)
+      .select("boot_share", "arr_share", "contrib")
+      .as[(Double, Double, Double)].collect()
+    // both share columns are probability distributions over the cells
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    // contributions are nonnegative and the TVD they sum to is in [0, 1]
+    assert(rows.forall(_._3 >= 0.0))
+    val tvd = rows.map(_._3).sum
+    assert(tvd >= 0.0 && tvd <= 1.0)
+    // the gate's deterministic drift must actually register
+    assert(tvd > 0.0, "the reversed-copy drift must move the occupancy")
+  }
+
   test("decay gauge contracts: found ⊆ truth; drift preserves the pair structure") {
     val emb = Sources.embeddings(spark, pinDir)
     val row = Similarity.embStreamRecall(emb).head()
