@@ -1276,6 +1276,44 @@ object ExtensionOracles {
          |       ABS(CAST(j.n_boot AS DOUBLE) / CAST(t.t_boot AS DOUBLE)
          |           - CAST(j.n_arr AS DOUBLE) / CAST(t.t_arr AS DOUBLE)) / 2.0 AS contrib
          |  FROM j, t ORDER BY j.scell, j.sub""".stripMargin,
+    // the drift statistic SERVED from the stored artifact (bootstrap
+    // occupancy read off the persisted member table, arrivals assigned
+    // with the reloaded stored books): stored books == pinned training
+    // when the artifact was persisted from the gate corpus, so the
+    // self-contained oracle gates the artifact read path too
+    "q_index_drift_served" ->
+      s"""WITH boot AS (WITH ${imiProbeCtesFor(ImiPins.b1K4I2, ImiPins.b2K4I2)}
+         |  SELECT scell, sub, CAST(COUNT(*) AS BIGINT) AS n_boot FROM mem GROUP BY scell, sub),
+         |arr AS (WITH ${imiProbeCtesFor(ImiPins.b1K4I2, ImiPins.b2K4I2,
+              embCte = "e AS (SELECT vec_id + 1000000 AS vec_id, " +
+                "list_reverse(CAST(embedding AS DOUBLE[])) AS emb " +
+                "FROM '<sfDir>/embeddings.parquet')")}
+         |  SELECT scell, sub, CAST(COUNT(*) AS BIGINT) AS n_arr FROM mem GROUP BY scell, sub),
+         |j AS (SELECT COALESCE(boot.scell, arr.scell) AS scell,
+         |             COALESCE(boot.sub, arr.sub) AS sub,
+         |             COALESCE(n_boot, 0) AS n_boot, COALESCE(n_arr, 0) AS n_arr
+         |        FROM boot FULL JOIN arr
+         |          ON boot.scell = arr.scell AND boot.sub = arr.sub),
+         |t AS (SELECT SUM(n_boot) AS t_boot, SUM(n_arr) AS t_arr FROM j)
+         |SELECT j.scell, j.sub, j.n_boot, j.n_arr,
+         |       CAST(j.n_boot AS DOUBLE) / CAST(t.t_boot AS DOUBLE) AS boot_share,
+         |       CAST(j.n_arr AS DOUBLE) / CAST(t.t_arr AS DOUBLE) AS arr_share,
+         |       ABS(CAST(j.n_boot AS DOUBLE) / CAST(t.t_boot AS DOUBLE)
+         |           - CAST(j.n_arr AS DOUBLE) / CAST(t.t_arr AS DOUBLE)) / 2.0 AS contrib
+         |  FROM j, t ORDER BY j.scell, j.sub""".stripMargin,
+    // the REINDEX remedy: when the drift trigger fires, retrain on what
+    // the corpus has become (originals ∪ drifted arrivals) and serve the
+    // rebuilt artifact — the oracle replays sizing-over-the-grown-corpus,
+    // training (pinned drifted-trained books), assignment and probe
+    "q_reindex" ->
+      s"""WITH ${imiProbeCtesFor(ImiReindexPins.b1K6I2, ImiReindexPins.b2K6I2,
+              embCte = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+                "FROM '<sfDir>/embeddings.parquet' UNION ALL " +
+                "SELECT vec_id + 1000000 AS vec_id, " +
+                "list_reverse(CAST(embedding AS DOUBLE[])) AS emb " +
+                "FROM '<sfDir>/embeddings.parquet')")}
+         |SELECT qid, nid, rank FROM ir WHERE rank <= 10
+         | ORDER BY qid, rank""".stripMargin,
     "q_imi_stats" ->
       s"""WITH $imiProbeCtes
          |SELECT scell, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subs,

@@ -347,6 +347,26 @@ object SparkEntry {
     // occupancy under the frozen index — the cheap reindex trigger the
     // recall gauge (q_emb_stream_recall) calibrates
     "q_index_drift" -> ((s, dir) => operators.Imi.indexDrift(Sources.embeddings(s, dir))),
+    // the same statistic SERVED from the stored artifact: bootstrap
+    // occupancy off the persisted members, arrivals assigned with the
+    // reloaded books — the per-delivery shape a deployment runs
+    "q_index_drift_served" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_drift_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.indexDriftServed(emb, idx)
+    }),
+    // the reindex REMEDY: retrain on what the corpus has become and
+    // serve the rebuilt artifact (drift trigger → this is the response;
+    // ScaleProof proves the recall it buys back)
+    "q_reindex" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_reindex_${Sources.pathKey(dir)}").getAbsolutePath
+      val drifted = Similarity.driftedCorpus(Sources.embeddings(s, dir))
+      operators.Imi.persistIndex(drifted, idx)
+      operators.Imi.annImiServed(drifted, idx)
+    }),
     "q_imi_pq" -> ((s, dir) => operators.Imi.annImiPq(Sources.embeddings(s, dir))),
     // train→persist→serve: the stored-artifact probe must hash-match the
     // self-contained retrain (same oracle as q_ann_imi)

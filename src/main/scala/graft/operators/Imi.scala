@@ -602,8 +602,20 @@ object Imi {
     // fine 0.102 for the same drift, and the gap widens with cell count)
     val boot = memberTable(v, books)
       .groupBy("scell", "sub").agg(count(lit(1)).as("n_boot"))
-    val arrivals = v.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+    driftReport(boot, driftedArrivals(v), books)
+  }
+
+  /** The gauge's deterministic arrival batch: the reversed-coordinate
+    * copy ([[Similarity.driftedCorpus]]'s drifted half). */
+  private def driftedArrivals(v: DataFrame): DataFrame =
+    v.select((col("vec_id") + lit(1000000L)).as("vec_id"),
       reverse(col("emb")).as("emb"))
+
+  /** Shared back half of the drift gauges: assign the arrival batch with
+    * the (frozen) `books`, full-join occupancies, emit shares and TVD
+    * contributions. */
+  private def driftReport(boot: DataFrame, arrivals: DataFrame,
+                          books: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
     val arr = memberTable(arrivals, books)
       .groupBy("scell", "sub").agg(count(lit(1)).as("n_arr"))
     val j = boot.join(arr, Seq("scell", "sub"), "full")
@@ -622,6 +634,26 @@ object Imi {
       .withColumn("contrib",
         abs(col("boot_share") - col("arr_share")) / lit(2.0))
       .orderBy("scell", "sub")
+  }
+
+  /** [[indexDrift]] SERVED from the stored artifact — the shape a
+    * deployment actually runs per delivery: bootstrap occupancy is an
+    * aggregation over the persisted (live) member table, the arrival
+    * batch is assigned with the RELOADED stored books, and nothing
+    * retrains. When the artifact was persisted from the gate corpus the
+    * stored books equal the pinned training, so this rides the
+    * `q_index_drift` oracle verbatim — which is exactly the check that
+    * the stored-artifact read path computes the same statistic the
+    * self-contained gauge does. */
+  def indexDriftServed(emb: DataFrame, path: String): DataFrame = {
+    val spark = emb.sparkSession
+    val books = loadBooks(spark, path)
+    val boot = liveMembers(spark, path,
+      "vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
+      .groupBy("scell", "sub").agg(count(lit(1)).as("n_boot"))
+    val v = emb.select(col("vec_id").cast("long"),
+      col("emb").cast("array<double>"))
+    driftReport(boot, driftedArrivals(v), books)
   }
 
   /** Index-structure report (scell, n_subs, n_members): per realized
