@@ -71,4 +71,28 @@ class EmptyInputSpec extends AnyFunSuite with SharedSpark {
       graft.operators.Layout.compactExecute(emptyDocs, out)
     }
   }
+
+  test("round-11 index lifecycle operators accept zero-row inputs") {
+    runs("indexDrift")(graft.operators.Imi.indexDrift(emptyEmb))
+    runs("embStreamRecall")(Similarity.embStreamRecall(emptyEmb))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_empty_imi_life").toString
+    graft.operators.Imi.persistIndex(emptyEmb, idx)
+    runs("indexDriftServed")(
+      graft.operators.Imi.indexDriftServed(emptyEmb, idx))
+    runs("annImiServed after deleteFromIndex") {
+      graft.operators.Imi.deleteFromIndex(emptyEmb, idx)
+      graft.operators.Imi.annImiServed(emptyEmb, idx)
+    }
+    runs("annImiServed after compactIndex") {
+      graft.operators.Imi.compactIndex(spark, idx)
+      graft.operators.Imi.annImiServed(emptyEmb, idx)
+    }
+    // upsert into an EMPTY bootstrap must fail LOUDLY, not silently
+    // assign against zero-center books (covered semantically in
+    // Round11Spec; asserted here as part of the empty-input sweep)
+    intercept[IllegalArgumentException] {
+      graft.operators.Imi.upsertIndex(emptyEmb, idx)
+    }
+  }
 }
