@@ -1000,8 +1000,8 @@ object ScaleProof {
     // frozen-book assignment pass over everything, row for row, so the
     // served index is invariant under upsert-vs-bulk construction.
     val (upsertAgree, tUpsert) = timed {
-      // persistIndex overwrites all three tables, so a leftover artifact
-      // from a prior run cannot leak into this one
+      // persistIndex publishes a fresh version subtree, so a leftover
+      // artifact from a prior run cannot leak into this one
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_scaleproof_upsert").getAbsolutePath
       val base = emb.filter(col("vec_id") % 4 =!= 3)
@@ -1009,14 +1009,14 @@ object ScaleProof {
       Imi.persistIndex(base, idx)
       val books0 = Imi.loadBooks(spark, idx).map(_.map {
         case (cid, cv) => (cid, cv.toSeq) })
-      val nBase = spark.read.parquet(s"$idx/members").count()
+      val nBase = spark.read.parquet(Imi.memberDir(spark, idx)).count()
       Imi.upsertIndex(delta, idx)
-      val nMerged = spark.read.parquet(s"$idx/members").count()
+      val nMerged = spark.read.parquet(Imi.memberDir(spark, idx)).count()
       val booksAfter = Imi.loadBooks(spark, idx).map(_.map {
         case (cid, cv) => (cid, cv.toSeq) })
       val merged = spark.read
         .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
-        .parquet(s"$idx/members").select("vec_id", "scell", "sub")
+        .parquet(Imi.memberDir(spark, idx)).select("vec_id", "scell", "sub")
       val bulk = Imi.memberTable(emb, Imi.loadBooks(spark, idx))
         .select("vec_id", "scell", "sub")
       val mismatches = merged.unionAll(bulk)
@@ -1086,10 +1086,10 @@ object ScaleProof {
       val logicalTopk = Imi.annImiServed(emb, idx).collect().toSeq
       val logicalClean = !logicalTopk.exists(r => deleted.contains(r.getLong(1)))
       Imi.compactIndex(spark, idx)
-      val tombCleared = !new java.io.File(s"$idx/deletes").exists()
+      val tombCleared = Imi.pendingTombstoneFileCount(spark, idx) == 0
       val physLeft = spark.read
         .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
-        .parquet(s"$idx/members")
+        .parquet(Imi.memberDir(spark, idx))
         .filter(col("vec_id") % 7 === 2).count()
       val servedSame = Imi.annImiServed(emb, idx).collect().toSeq == logicalTopk
       (logicalClean, tombCleared && physLeft == 0L && servedSame)

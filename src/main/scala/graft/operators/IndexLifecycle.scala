@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The CLOSED index-lifecycle loop (r11 verdict, "what's missing" #1):
+  * the trigger (`q_index_drift` — per-delivery occupancy TVD under the
+  * frozen stored books), the remedy (`q_reindex` — retrain on what the
+  * corpus has become, republish the artifact), and the re-measurement
+  * (drift back to ~0, the decay gauge's recall recovered to the
+  * retrained bound) each gate in isolation since round 11 — this
+  * composes them into the ONE automated loop a deployment actually runs,
+  * the `q_ingest_pipeline` composition discipline applied to the stored
+  * index:
+  *
+  *   1. bootstrap the persisted artifact on the original corpus
+  *      ([[Imi.persistIndex]]);
+  *   2. a drifted delivery arrives ([[Similarity.driftedCorpus]]'s
+  *      reversed-coordinate half — deterministic, so the whole loop
+  *      hash-gates); measure its drift against the stored artifact
+  *      ([[Imi.indexDriftServed]] → [[Imi.driftTvd]], exact integer
+  *      arithmetic — `tvd_frozen`) and the frozen screen's realized
+  *      recall ([[Similarity.embStreamRecall]] — `recall_frozen`);
+  *   3. TRIGGER: if the TVD exceeds `threshold`, run the remedy — retrain
+  *      on the grown corpus and republish (`reindex_triggered`). The one
+  *      driver-side scalar read here IS the loop's control flow (the
+  *      deployment's scheduler makes the same one-row decision);
+  *   4. RE-MEASURE against the rebuilt artifact: a delivery drawn from
+  *      the post-drift distribution now lands in-distribution —
+  *      `tvd_reindexed` returns to 0.0 exactly ([[Imi
+  *      .indexDriftServedFrom]] with the grown corpus as the arrival
+  *      batch) — and the banded screen retrained on the grown corpus
+  *      recovers `recall_retrained` > `recall_frozen`
+  *      ([[Similarity.embLshRecall]] over the grown corpus, the bound
+  *      ScaleProof prices at 10×).
+  *
+  * Output: ONE row (tvd_frozen, reindex_triggered, tvd_reindexed,
+  * recall_frozen, recall_retrained). Every leg is deterministic, so the
+  * DuckDB oracle replays the full loop from the pinned bootstrap books
+  * ([[graft.ImiPins]]), the pinned reindexed books
+  * ([[graft.ImiReindexPins]]) and the pinned retrained banding cells
+  * ([[graft.IvfDriftPins]]).
+  *
+  * Scale shape: the trigger leg costs one stored-book assignment pass
+  * over THE DELIVERY plus a ≤ kSide²-row aggregation per delivery; the
+  * remedy is the one retrain the trigger just justified; the recall
+  * gauges are the calibration jobs a deployment runs sampled (the truth
+  * side is quadratic only in the SAMPLE — `q_lsh_recall_sampled`'s
+  * argument). Nothing in the loop scans the corpus more than the
+  * retrain itself does. */
+object IndexLifecycle {
+
+  /** Trigger threshold, calibrated by the r11 discrimination proofs:
+    * in-distribution deliveries read TVD = 0.0 exactly
+    * (`index_drift_zero_in_distribution`), the reversed-coordinate drift
+    * reads ≈ 0.1 fine-cell TVD at 10× (`index_drift_detects_reversal`) —
+    * 0.05 splits the two with margin on both sides. */
+  val TvdThreshold = 0.05
+
+  def run(emb: DataFrame, path: String,
+          threshold: Double = TvdThreshold): DataFrame = {
+    // 1. bootstrap
+    Imi.persistIndex(emb, path)
+    // 2. the drifted delivery's drift statistic against the stored
+    //    artifact, and the frozen screen's realized recall
+    val before = Imi.driftTvd(Imi.indexDriftServed(emb, path))
+      .select(col("tvd").as("tvd_frozen")).localCheckpoint()
+    val recallFrozen = Similarity.embStreamRecall(emb)
+      .select(col("recall").as("recall_frozen"))
+    // 3. the trigger decision — one scalar off the one-row statistic
+    val triggered = before.head().getDouble(0) > threshold
+    val grown = Similarity.driftedCorpus(emb)
+    if (triggered) Imi.persistIndex(grown, path): Unit // REINDEX remedy
+    // 4. re-measure: post-drift deliveries against the (re)published
+    //    artifact, and the retrained screen's recovered recall
+    val after = Imi.driftTvd(Imi.indexDriftServedFrom(grown, path))
+      .select(col("tvd").as("tvd_reindexed"))
+    val recallRetrained = Similarity.embLshRecall(grown)
+      .select(col("recall").as("recall_retrained"))
+    before
+      .withColumn("reindex_triggered", lit(if (triggered) 1L else 0L))
+      .crossJoin(after)
+      .crossJoin(recallFrozen)
+      .crossJoin(recallRetrained)
+      .select("tvd_frozen", "reindex_triggered", "tvd_reindexed",
+        "recall_frozen", "recall_retrained")
+  }
+}

@@ -17,23 +17,36 @@ import graft.operators.Imi
   * the `q_ann_upsert` DuckDB oracle verbatim.
   *
   * Scale shape: per-trigger work is O(|micro-batch|) assignment folds
-  * (2·kSide + 8·16 per row) plus one partitioned append; the books are
-  * reloaded per trigger (driver-small, O(√k·d)) — a long-running
-  * deployment would cache them across triggers, but per-trigger reload
-  * is the restart-safe shape and costs one ~tens-of-rows parquet read.
-  * The file fragmentation this loop accrues is exactly what
-  * [[Imi.compactIndex]] (`q_ann_compact`) periodically repairs. */
+  * (2·kSide + 8·16 per row) plus one partitioned append. The stored
+  * books come through [[Imi]]'s per-version book cache (r11 next-round
+  * #6 — the old per-trigger parquet reload was the last documented
+  * waste in the hot path; the cache key is the immutable version
+  * subtree, so a reindex publishing a new version invalidates it by
+  * construction). Delivery is AT-LEAST-ONCE (foreachBatch retries a
+  * failed micro-batch), so the append is the COMMITTED form
+  * ([[Imi.upsertIndexCommitted]] — batchId-keyed markers; a retried
+  * batch is skipped, preserving the upsert-equals-bulk invariant the
+  * gate proves). The file fragmentation this loop accrues is exactly
+  * what [[Imi.compactIndex]] (`q_ann_compact`) periodically repairs. */
 object IndexUpsertStream {
 
   /** Drain `deltaStream` (vec_id, emb — a finite replay delivery) into
-    * the index at `path` via per-micro-batch stored-book upserts. */
-  def run(deltaStream: DataFrame, path: String): Unit = {
-    val query = deltaStream.writeStream
+    * the index at `path` via per-micro-batch stored-book committed
+    * upserts. `checkpointLocation` is the deployment knob (restart
+    * resumes at the committed offset); the gates pass None — an
+    * ephemeral checkpoint, so every invocation replays the fixture in
+    * full against the version `persistIndex` just published (whose fresh
+    * `_batch_commits` table accepts the replayed batchIds). */
+  def run(deltaStream: DataFrame, path: String,
+          checkpointLocation: Option[String] = None): Unit = {
+    val writer = deltaStream.writeStream
       .outputMode("append")
-      .foreachBatch { (ds: Dataset[Row], _: Long) =>
-        Imi.upsertIndex(ds.toDF(), path): Unit
+      .foreachBatch { (ds: Dataset[Row], batchId: Long) =>
+        Imi.upsertIndexCommitted(ds.toDF(), path, batchId): Unit
       }
       .trigger(Trigger.AvailableNow())
+    val query = checkpointLocation
+      .fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     val stopped = query.awaitTermination(120000)
     try require(stopped, "index-upsert drain did not finish")

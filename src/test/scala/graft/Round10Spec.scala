@@ -101,7 +101,7 @@ class Round10Spec extends AnyFunSuite with SharedSpark {
     assert(served.toSeq === retrain.toSeq)
     // the members layout is scell-partitioned parquet (directory-level
     // pruning for a probe's cells)
-    val memberDirs = new java.io.File(s"$idx/members").listFiles()
+    val memberDirs = new java.io.File(Imi.memberDir(spark, idx)).listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(memberDirs.nonEmpty && memberDirs.forall(_.startsWith("scell=")))
   }

@@ -33,10 +33,10 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
       case (cid, cv) => (cid, cv.toSeq)
     })
     val (books0, pq0) = (bookState(), pqState())
-    val before = spark.read.parquet(s"$idx/members").count()
+    val before = spark.read.parquet(Imi.memberDir(spark, idx)).count()
     Imi.upsertIndex(delta, idx)
     // upsert work is the delta's assignment pass: rows appended == |delta|
-    val after = spark.read.parquet(s"$idx/members").count()
+    val after = spark.read.parquet(Imi.memberDir(spark, idx)).count()
     assert(before === base.count())
     assert(after - before === delta.count())
     // the bootstrap artifact stays frozen: books and PQ sub-books unchanged
@@ -59,7 +59,7 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
     Imi.upsertIndex(delta.filter(col("vec_id") % 8 === 7), idxB)
     def members(p: String) = spark.read
       .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
-      .parquet(s"$p/members")
+      .parquet(Imi.memberDir(spark, p))
       .select(col("vec_id"), col("scell"), col("sub"), col("code"))
       .as[(Long, Long, Long, Option[Long])].collect().toSet
     val (mA, mB) = (members(idxA), members(idxB))
@@ -90,7 +90,7 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
     Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 7), idx)
     Imi.upsertIndex(emb.filter(col("vec_id") % 12 === 11), idx)
     def parquetFiles(): Long = java.nio.file.Files
-      .walk(java.nio.file.Paths.get(s"$idx/members"))
+      .walk(java.nio.file.Paths.get(Imi.memberDir(spark, idx)))
       .filter(p => p.toString.endsWith(".parquet")).count()
     val servedBefore = Imi.annImiServed(emb, idx).collect().toSeq
     val filesBefore = parquetFiles()
@@ -124,7 +124,7 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
     Imi.upsertIndex(delta, idxO)
     def members(p: String) = spark.read
       .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
-      .parquet(s"$p/members")
+      .parquet(Imi.memberDir(spark, p))
       .select(col("vec_id"), col("scell"), col("sub"), col("code"))
       .as[(Long, Long, Long, Option[Long])].collect().toSet
     assert(members(idxS) === members(idxO),
@@ -155,11 +155,11 @@ class Round11Spec extends AnyFunSuite with SharedSpark {
     // longer contains them, the tombstone table is gone, and serving is
     // row-identical to the logical view
     Imi.compactIndex(spark, idx)
-    assert(!new java.io.File(s"$idx/deletes").exists(),
+    assert(Imi.pendingTombstoneFileCount(spark, idx) === 0,
       "compaction must clear the applied tombstone table")
     val physIds = spark.read
       .schema("vec_id LONG, emb ARRAY<DOUBLE>, sub BIGINT, code LONG, scell BIGINT")
-      .parquet(s"$idx/members").select("vec_id").as[Long].collect().toSet
+      .parquet(Imi.memberDir(spark, idx)).select("vec_id").as[Long].collect().toSet
     assert(physIds.intersect(deleted).isEmpty,
       "compaction must rewrite the layout without the deleted members")
     assert(Imi.annImiServed(emb, idx).collect().toSeq === exactTopk)
