@@ -61,16 +61,24 @@ object ExtensionOracles {
     * never hit this because FFT centers are data points, float32-aligned
     * with zero low mantissa bits; k-means centroids are full-mantissa
     * means.) */
-  private def ivfCentCte: String = {
+  private def centCteFrom(pins: Seq[(Long, Seq[Double])]): String = {
     def dlit(d: Double): String = {
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "E0"
     }
-    val rows = IvfPins.embeddingsK16I2.map { case (cid, cv) =>
+    val rows = pins.map { case (cid, cv) =>
       s"(CAST($cid AS BIGINT), [${cv.map(dlit).mkString(", ")}])"
     }.mkString(", ")
     s"cent AS (SELECT cid, cv FROM (VALUES $rows) t(cid, cv))"
   }
+
+  private def ivfCentCte: String = centCteFrom(IvfPins.embeddingsK16I2)
+
+  /** The RETRAINED banding cells of the lifecycle loop's recovery leg —
+    * [[IvfDriftPins]], trained on the drifted corpus (regenerate with
+    * `runMain graft.IvfDriftCenterPin`). */
+  private def ivfDriftCentCte: String =
+    centCteFrom(IvfDriftPins.embeddingsDriftK32I2)
 
   /** IVF assignment + probe chain ending in `cells` / `probes` — shared
     * by the cosine-IVF gates and q_ivfpq so every consumer probes the
@@ -172,11 +180,21 @@ object ExtensionOracles {
     * drifted literals are bit-identical to the engine's
     * `reverse(col("emb"))`. */
   private def driftedLshPairCtes: String =
+    driftedLshPairCtesWith(ivfCentCte)
+
+  /** The drifted-corpus banded chain with a PLUGGABLE cell codebook:
+    * [[ivfCentCte]] (bootstrap-trained — the frozen screen the decay
+    * gauge reads) or [[ivfDriftCentCte]] (retrained on the grown corpus —
+    * the lifecycle loop's recovered screen). Everything else — drifted
+    * corpus `de`, banding planes, Hamming-≤1 multi-probe, exact-cosine
+    * verify `v` — is shared, so the two recall legs differ ONLY by what
+    * the index was trained on. */
+  private def driftedLshPairCtesWith(centCte: String): String =
     s"""$EMB,
        |de AS (SELECT vec_id, emb FROM e
        |       UNION ALL
        |       SELECT vec_id + 1000000 AS vec_id, list_reverse(emb) AS emb FROM e),
-       |$ivfCentCte,
+       |$centCte,
        |asn AS (SELECT de.vec_id, de.emb, c.cid, ${cosSql("de.emb", "c.cv")} AS ccos FROM de, cent c),
        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM asn),
        |c2 AS (SELECT vec_id, emb, cid FROM rk WHERE crank <= 4),
@@ -218,6 +236,47 @@ object ExtensionOracles {
     * delta members) must equal one bulk pass over everything. */
   private def imiUpsertProbeCtes: String =
     imiProbeCtesFor(ImiUpsertPins.b1K4I2, ImiUpsertPins.b2K4I2)
+
+  /** One named CTE computing the EXACT-arithmetic occupancy TVD between
+    * a bootstrap corpus and an arrival batch, both assigned under the
+    * same pinned books — the q_index_drift statistic reduced to its
+    * scalar (Σ|n_boot·t_arr − n_arr·t_boot| / (2·t_boot·t_arr): integer
+    * sums, ONE final division — bit-deterministic under any aggregation
+    * order, mirroring [[graft.operators.Imi.driftTvd]]). */
+  private def driftTvdCte(name: String,
+                          book1: Seq[(Long, Seq[Double])],
+                          book2: Seq[(Long, Seq[Double])],
+                          bootEmbCte: String, arrEmbCte: String): String =
+    s"""$name AS (
+       |WITH boot AS (WITH ${imiProbeCtesFor(book1, book2, embCte = bootEmbCte)}
+       |  SELECT scell, sub, CAST(COUNT(*) AS BIGINT) AS n_boot FROM mem GROUP BY scell, sub),
+       |arr AS (WITH ${imiProbeCtesFor(book1, book2, embCte = arrEmbCte)}
+       |  SELECT scell, sub, CAST(COUNT(*) AS BIGINT) AS n_arr FROM mem GROUP BY scell, sub),
+       |j AS (SELECT COALESCE(boot.scell, arr.scell) AS scell,
+       |             COALESCE(boot.sub, arr.sub) AS sub,
+       |             COALESCE(n_boot, 0) AS n_boot, COALESCE(n_arr, 0) AS n_arr
+       |        FROM boot FULL JOIN arr
+       |          ON boot.scell = arr.scell AND boot.sub = arr.sub),
+       |t AS (SELECT SUM(n_boot) AS t_boot, SUM(n_arr) AS t_arr FROM j)
+       |SELECT CASE WHEN t.t_boot * t.t_arr = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(SUM(ABS(j.n_boot * t.t_arr - j.n_arr * t.t_boot)) AS DOUBLE)
+       |                 / (2.0 * CAST(t.t_boot AS DOUBLE) * CAST(t.t_arr AS DOUBLE)) END AS tvd
+       |  FROM j, t GROUP BY t.t_boot, t.t_arr)""".stripMargin
+
+  /** The recall tail of the drifted banded chain (truth over `de`, found
+    * from `v`) reduced to the scalar — shared by the lifecycle gate's two
+    * recall legs. */
+  private def driftedRecallTail: String =
+    s"""xp AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |         FROM de x JOIN de y ON x.vec_id < y.vec_id
+       |        WHERE ${cosSql("x.emb", "y.emb")} >= 0.45),
+       |f AS (SELECT a, b FROM v WHERE cos >= 0.45),
+       |h AS (SELECT f.a FROM f JOIN xp ON f.a = xp.a AND f.b = xp.b),
+       |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM xp) AS n_true,
+       |             (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hit)
+       |SELECT CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+       |  FROM n""".stripMargin
 
   private def imiProbeCtesFor(book1: Seq[(Long, Seq[Double])],
                               book2: Seq[(Long, Seq[Double])],
@@ -1314,6 +1373,39 @@ object ExtensionOracles {
                 "FROM '<sfDir>/embeddings.parquet')")}
          |SELECT qid, nid, rank FROM ir WHERE rank <= 10
          | ORDER BY qid, rank""".stripMargin,
+    // the CLOSED lifecycle loop, trigger → remedy → re-measure, in one
+    // gate: tf = drift of the drifted delivery under the BOOTSTRAP pins
+    // (exceeds the threshold → reindex_triggered), tr = drift of a
+    // post-drift delivery against the REINDEXED pins over the grown
+    // corpus (back to 0.0 exactly), rf/rr = the decay gauge's recall
+    // under the frozen vs retrained banding cells (recovery). Four
+    // independently-scoped nested WITH chains, composed exactly like
+    // q_ingest_pipeline's stages.
+    "q_index_lifecycle" -> {
+      val driftedArrCte = "e AS (SELECT vec_id + 1000000 AS vec_id, " +
+        "list_reverse(CAST(embedding AS DOUBLE[])) AS emb " +
+        "FROM '<sfDir>/embeddings.parquet')"
+      val grownCte = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM '<sfDir>/embeddings.parquet' UNION ALL " +
+        "SELECT vec_id + 1000000 AS vec_id, " +
+        "list_reverse(CAST(embedding AS DOUBLE[])) AS emb " +
+        "FROM '<sfDir>/embeddings.parquet')"
+      s"""WITH ${driftTvdCte("tf", ImiPins.b1K4I2, ImiPins.b2K4I2,
+             EMB, driftedArrCte)},
+         |${driftTvdCte("tr", ImiReindexPins.b1K6I2, ImiReindexPins.b2K6I2,
+             grownCte, grownCte)},
+         |rf AS (WITH ${driftedLshPairCtesWith(ivfCentCte)},
+         |$driftedRecallTail),
+         |rr AS (WITH ${driftedLshPairCtesWith(ivfDriftCentCte)},
+         |$driftedRecallTail)
+         |SELECT tf.tvd AS tvd_frozen,
+         |       CAST(CASE WHEN tf.tvd > ${graft.operators.IndexLifecycle.TvdThreshold}
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS reindex_triggered,
+         |       tr.tvd AS tvd_reindexed,
+         |       rf.recall AS recall_frozen,
+         |       rr.recall AS recall_retrained
+         |  FROM tf, tr, rf, rr""".stripMargin
+    },
     "q_imi_stats" ->
       s"""WITH $imiProbeCtes
          |SELECT scell, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subs,

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomJoin, Curation, DataQuality, Dedup,
-  ExactOutliers, Imi, KMeans, Relational, Similarity, Sketches, TextAnalysis}
+  ExactOutliers, Imi, IndexLifecycle, KMeans, Relational, Similarity,
+  Sketches, TextAnalysis}
 import graft.sources.Sources
 
 /** Scale-proof run of the heavy query family at sf1-equivalent volume
@@ -1130,6 +1131,35 @@ object ScaleProof {
     results += "drift_tvd_reversed" -> driftVals._2
     checks += "index_drift_zero_in_distribution" -> (driftVals._1 == 0.0)
     checks += "index_drift_detects_reversal" -> (driftVals._2 > 0.02)
+
+    // CLOSED lifecycle loop at reps× (r12 — trigger → remedy →
+    // re-measure, the q_index_lifecycle composition on the stored
+    // artifact): bootstrap at reps×, the reversed-drift delivery's TVD
+    // SERVED off the artifact must exceed the trigger threshold (the
+    // loop fires at scale, not just at gate scale); after the remedy
+    // (retrain on the grown corpus, atomic republish) a delivery drawn
+    // from the post-drift distribution must read TVD = 0.0 EXACTLY
+    // (assignment under the retrained stored books is a pure function of
+    // the vector value). Recall recovery at reps× is the sampled decay
+    // check above (emb_stream_recall_decays_without_reindex).
+    val (lcVals, tLc) = timed {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_scaleproof_lifecycle").getAbsolutePath
+      Imi.persistIndex(emb, idx)
+      val tvdFrozen = Imi.driftTvd(Imi.indexDriftServed(emb, idx))
+        .head().getAs[Double]("tvd")
+      val grown = Similarity.driftedCorpus(emb)
+      Imi.persistIndex(grown, idx) // retrain + atomic republish
+      val tvdAfter = Imi.driftTvd(Imi.indexDriftServedFrom(grown, idx))
+        .head().getAs[Double]("tvd")
+      (tvdFrozen, tvdAfter)
+    }
+    results += "index_lifecycle_10x" -> tLc
+    results += "lifecycle_tvd_frozen" -> lcVals._1
+    results += "lifecycle_tvd_reindexed" -> lcVals._2
+    checks += "index_lifecycle_trigger_fires" ->
+      (lcVals._1 > IndexLifecycle.TvdThreshold)
+    checks += "index_lifecycle_drift_after_reindex_zero" -> (lcVals._2 == 0.0)
 
     // Cell-state growth under a FROZEN index (the disease
     // EmbDedupStream.CellCap guards): banding is a pure function of the

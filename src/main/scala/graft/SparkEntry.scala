@@ -222,8 +222,9 @@ object SparkEntry {
     // gates the serialize→commit→batch-read round trip with the same
     // oracle as q_dedup_stream
     "q_state_audit" -> ((s, dir) =>
-      DedupStream.stateAudit(docReplayStream(s, dir),
-        s"q_state_audit_${Sources.pathKey(dir)}")),
+      // cache identity (replay dir + content fingerprint) is derived from
+      // the stream itself inside stateAudit — nothing caller-asserted
+      DedupStream.stateAudit(docReplayStream(s, dir))),
     // the COMPOSED ingest pipeline: exact → lexical → semantic screens
     // chained (each stage's drained survivors semi-join-gate the next
     // stage's stream); output labels every doc with the stage that
@@ -366,6 +367,16 @@ object SparkEntry {
       val drifted = Similarity.driftedCorpus(Sources.embeddings(s, dir))
       operators.Imi.persistIndex(drifted, idx)
       operators.Imi.annImiServed(drifted, idx)
+    }),
+    // the CLOSED lifecycle loop in one gate (r11 "what's missing" #1):
+    // bootstrap → drifted delivery → drift trigger fires → reindex
+    // remedy → drift re-measured at 0.0 and the decay gauge's recall
+    // recovered to the retrained bound — the q_ingest_pipeline
+    // composition discipline applied to the stored index
+    "q_index_lifecycle" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_lifecycle_${Sources.pathKey(dir)}").getAbsolutePath
+      operators.IndexLifecycle.run(Sources.embeddings(s, dir), idx)
     }),
     "q_imi_pq" -> ((s, dir) => operators.Imi.annImiPq(Sources.embeddings(s, dir))),
     // train→persist→serve: the stored-artifact probe must hash-match the

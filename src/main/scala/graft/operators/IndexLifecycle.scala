@@ -41,6 +41,19 @@ import org.apache.spark.sql.functions._
   * ([[graft.ImiReindexPins]]) and the pinned retrained banding cells
   * ([[graft.IvfDriftPins]]).
   *
+  * Honest reading of the recall legs: at GATE scale the full-corpus
+  * recall can read HIGHER for the frozen index (sf0.01: 0.918 frozen vs
+  * 0.852 retrained) because the drifted corpus's true-pair set is
+  * dominated by the replica structure both indexes find trivially, and
+  * the retrained sizing halves cell occupancy (k 16 → 32) — the
+  * frozen-index DAMAGE only dominates once cells hold many
+  * never-trained-on vectors. The hash gate verifies the LOOP (trigger
+  * fires, remedy runs, drift returns to 0.0 exactly); the recall
+  * RECOVERY is a scale phenomenon, proved at 10× on the nontrivial
+  * drifted subpopulation by ScaleProof's
+  * `emb_stream_recall_decays_without_reindex` (frozen 0.41 < retrained
+  * 0.51) and the lifecycle closed forms `index_lifecycle_*`.
+  *
   * Scale shape: the trigger leg costs one stored-book assignment pass
   * over THE DELIVERY plus a ≤ kSide²-row aggregation per delivery; the
   * remedy is the one retrain the trigger just justified; the recall

@@ -105,12 +105,57 @@ object DedupStream {
   /** Per-source state-audit checkpoints already drained by THIS JVM — the
     * [[graft.SparkEntry]] replay-fixture discipline applied to the
     * checkpoint (r10 ADVICE: a fresh drain per invocation leaked one full
-    * state checkpoint per bench rep). Within one JVM the replay content is
-    * immutable, so every rep's audit reads the same committed state;
-    * `computeIfAbsent` both blocks concurrent first callers and refuses to
-    * cache a FAILED drain (the compute throws → no mapping). */
+    * state checkpoint per bench rep). The key is DERIVED from the
+    * stream's own source directory plus a content fingerprint (r11
+    * ADVICE: a caller-supplied key could silently alias two different
+    * streams onto one drained state, and never invalidated if the replay
+    * was rewritten); `computeIfAbsent` both blocks concurrent first
+    * callers and refuses to cache a FAILED drain (the compute throws →
+    * no mapping). */
   private val auditCkpts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The temp checkpoint dirs this JVM drained, removed on shutdown (r11
+    * ADVICE: they otherwise accumulate for the JVM lifetime — within a
+    * session they must persist, the cache reads them per rep). */
+  private val auditCkptDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val auditCleanupHook: Unit = {
+    sys.addShutdownHook {
+      auditCkptDirs.forEach { d =>
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec))
+          f.delete(): Unit
+        }
+        rec(new java.io.File(d))
+      }
+    }: Unit
+  }
+
+  /** The file-replay directory behind a streaming frame, if it is a
+    * file-source stream — the trustworthy cache identity the audit keys
+    * on. A non-file source returns None (the audit then drains fresh —
+    * correct, never aliased). */
+  private def replaySourcePath(df: DataFrame): Option[String] =
+    df.queryExecution.logical.collectFirst {
+      case org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+          ds, _, _) => ds.options.get("path")
+    }.flatten
+
+  /** (name, length, mtime) digest of the replay directory's files: the
+    * content half of the cache key, so a REWRITTEN replay at the same
+    * path misses and re-drains instead of serving stale state. */
+  private def contentFingerprint(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val parts = fs.listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
 
   /** OFFLINE STATE AUDIT — the ops surface a running ingest-dedup
     * deployment is actually interrogated through: drain the stream into a
@@ -121,13 +166,16 @@ object DedupStream {
     * must STILL equal the batch md5-groupBy (same oracle as
     * `q_dedup_stream`), which gates the entire checkpoint round trip
     * (serialize → commit → batch read) rather than the in-flight
-    * emissions. `sourceKey` identifies the replay directory so the drained
-    * checkpoint is cached per source, not re-created per invocation. */
-  def stateAudit(stream: DataFrame, sourceKey: String = ""): DataFrame = {
+    * emissions. The drained checkpoint is cached per (source directory,
+    * content fingerprint) — derived from the stream itself, never
+    * caller-asserted. */
+  def stateAudit(stream: DataFrame): DataFrame = {
     val spark = stream.sparkSession
     def drain(): String = {
+      auditCleanupHook
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_dedup_state_audit").toString
+      auditCkptDirs.add(ckpt): Unit
       val query = groupStream(stream).writeStream
         .outputMode("update")
         // every partition must be consumed or the state commit is rejected
@@ -141,9 +189,12 @@ object DedupStream {
       finally if (query.isActive) query.stop()
       ckpt
     }
-    val ckpt =
-      if (sourceKey.isEmpty) drain()
-      else auditCkpts.computeIfAbsent(sourceKey, _ => drain())
+    val ckpt = replaySourcePath(stream) match {
+      case Some(src) =>
+        auditCkpts.computeIfAbsent(
+          s"$src#${contentFingerprint(spark, src)}", _ => drain())
+      case None => drain()
+    }
     spark.read.format("statestore").load(ckpt)
       .select(col("value.groupState.h").as("h"),
         col("value.groupState.keeper").as("keeper"),
