@@ -456,8 +456,7 @@ object Imi {
   def upsertIndex(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     val (_, dir) = currentVersionOrThrow(spark, path)
-    val assigned = assignedDelta(delta, spark, path)
-    val present = presentCount(spark, dir, assigned)
+    val (assigned, _, present) = assignedDelta(delta, spark, path, dir)
     if (present > 0L) throw new IllegalArgumentException(
       s"upsert violates the insert-only contract: $present delta vec_ids " +
         s"already exist in their assigned cells at $path — a re-upsert " +
@@ -468,25 +467,41 @@ object Imi {
   }
 
   /** The delta assigned under the STORED books (coarse cells + packed PQ
-    * codes), materialized once (localCheckpoint) because the guard and
-    * the append both read it. Loudly refuses an untrained index and a
-    * delta that is not insert-only against the PENDING TOMBSTONES (r11
-    * ADVICE: an upsert of a tombstoned vec_id would be silently invisible
-    * at serve and permanently dropped at the next compaction — the honest
-    * protocol is forget → compact (physical removal) → re-insert). */
+    * codes), materialized once (localCheckpoint), plus the guard scalars
+    * — (assigned, totalRows, rowsAlreadyPresent). Guard cost is TWO jobs
+    * on top of the checkpoint pass: one fused aggregation over the delta
+    * (count + distinct count + touched-cell set — the intra-delta
+    * duplicate check), and one scell-PRUNED member read (only the
+    * delta's touched subtrees open — O(|delta| · occupancy) rows at any
+    * corpus size, never a member scan). The pruned check catches the
+    * replay/retry shape exactly: a re-delivered (vec_id, emb) assigns to
+    * the same cell under frozen books; a changed-vector re-upsert of an
+    * existing id lands in a different cell and is NOT caught — that
+    * needs an id-indexed layout, and the documented contract is
+    * insert-only with fresh ids. Loudly refuses an untrained index and
+    * a delta clashing with PENDING TOMBSTONES (r11 ADVICE: such rows
+    * would be invisible at serve and silently dropped at the next
+    * compaction — the honest protocol is forget → compact → re-insert;
+    * the tombstone read costs nothing when no deletes are pending). */
   private def assignedDelta(delta: DataFrame, spark: SparkSession,
-                            path: String): DataFrame = {
-    val (_, dir) = currentVersionOrThrow(spark, path)
-    val books = loadBooks(spark, path)
+                            path: String, dir: Path): (DataFrame, Long, Long) = {
+    val books = booksAt(spark, dir)
     require(books.forall(_.nonEmpty),
       s"upsert into an untrained index at $path: the stored books are " +
         "empty — bootstrap with persistIndex before upserting")
-    val pqBooks = loadPqBooks(spark, path)
+    val pqBooks = pqBooksAt(spark, dir)
     val codeCol =
       if (pqBooks.exists(_.isEmpty)) lit(null).cast("long")
       else Similarity.pqPackedCodeCol(pqBooks, col("emb"))
     val assigned = memberTable(delta, books).withColumn("code", codeCol)
       .localCheckpoint()
+    val stats = assigned.agg(count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("d"),
+      collect_set(col("scell")).as("cells")).head()
+    val (total, distinctIds) = (stats.getLong(0), stats.getLong(1))
+    if (distinctIds < total) throw new IllegalArgumentException(
+      s"upsert delta contains ${total - distinctIds} duplicated vec_id " +
+        "rows — the upsert-equals-bulk invariant assumes one row per id")
     tombstones(spark, dir).foreach { del =>
       val clash = assigned.select("vec_id").join(broadcast(del), "vec_id").count()
       if (clash > 0L) throw new IllegalArgumentException(
@@ -495,30 +510,15 @@ object Imi {
           "silently dropped at the next compaction — run compactIndex " +
           "(physical forget) before re-inserting a forgotten id")
     }
-    val dups = assigned.groupBy("vec_id").count().filter(col("count") > 1).count()
-    if (dups > 0L) throw new IllegalArgumentException(
-      s"upsert delta contains $dups duplicated vec_ids — the " +
-        "upsert-equals-bulk invariant assumes one row per id")
-    assigned
-  }
-
-  /** How many of the delta's vec_ids ALREADY sit in their assigned cells.
-    * The read is scell-pruned (only the delta's touched subtrees open —
-    * O(|delta| · occupancy) rows at any corpus size, never a member
-    * scan), which catches the replay/retry shape exactly: a re-delivered
-    * (vec_id, emb) assigns to the same cell under frozen books. A
-    * changed-vector re-upsert of an existing id lands in a different cell
-    * and is NOT caught — that needs an id-indexed layout; the documented
-    * contract is insert-only with fresh ids. */
-  private def presentCount(spark: SparkSession, versionDir: Path,
-                           assigned: DataFrame): Long = {
-    val cells = assigned.select("scell").distinct()
-      .collect().map(_.getLong(0))
-    if (cells.isEmpty) return 0L
-    membersOf(spark, versionDir, "vec_id LONG, scell BIGINT")
-      .filter(col("scell").isin(cells: _*))
-      .join(broadcast(assigned.select("vec_id", "scell")), Seq("vec_id", "scell"))
-      .count()
+    val cells = stats.getSeq[Long](2)
+    val present =
+      if (cells.isEmpty) 0L
+      else membersOf(spark, dir, "vec_id LONG, scell BIGINT")
+        .filter(col("scell").isin(cells: _*))
+        .join(broadcast(assigned.select("vec_id", "scell")),
+          Seq("vec_id", "scell"))
+        .count()
+    (assigned, total, present)
   }
 
   private def appendDelta(spark: SparkSession, versionDir: Path,
@@ -545,9 +545,7 @@ object Imi {
     val fs = hfs(spark, path)
     val marker = new Path(new Path(dir, "_batch_commits"), s"batch_$batchId")
     if (fs.exists(marker)) return false
-    val assigned = assignedDelta(delta, spark, path)
-    val total = assigned.count()
-    val present = presentCount(spark, dir, assigned)
+    val (assigned, total, present) = assignedDelta(delta, spark, path, dir)
     val appended =
       if (present == 0L) { appendDelta(spark, dir, assigned); true }
       else if (present == total) false // prior attempt committed; just mark
