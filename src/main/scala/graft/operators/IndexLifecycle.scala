@@ -74,21 +74,30 @@ object IndexLifecycle {
           threshold: Double = TvdThreshold): DataFrame = {
     // 1. bootstrap
     Imi.persistIndex(emb, path)
+    // the grown corpus and the (corpus-quadratic at gate scale) truth
+    // pair set each feed TWO legs — materialize both exactly once
+    val grown = Similarity.driftedCorpus(emb).localCheckpoint()
+    val truth = Similarity.neardupCosine(grown).select("a", "b")
+      .localCheckpoint()
     // 2. the drifted delivery's drift statistic against the stored
-    //    artifact, and the frozen screen's realized recall
+    //    artifact, and the frozen screen's realized recall (the
+    //    embStreamRecall chain, over the shared truth)
     val before = Imi.driftTvd(Imi.indexDriftServed(emb, path))
       .select(col("tvd").as("tvd_frozen")).localCheckpoint()
-    val recallFrozen = Similarity.embStreamRecall(emb)
+    val recallFrozen = Similarity.recallRow(truth,
+        Similarity.verifyCosCandidates(Similarity.embLshCandidatesFrom(
+          Similarity.lshStreamBander(emb)(grown)), grown, threshold = 0.45)
+          .select("a", "b"))
       .select(col("recall").as("recall_frozen"))
     // 3. the trigger decision — one scalar off the one-row statistic
     val triggered = before.head().getDouble(0) > threshold
-    val grown = Similarity.driftedCorpus(emb)
     if (triggered) Imi.persistIndex(grown, path): Unit // REINDEX remedy
     // 4. re-measure: post-drift deliveries against the (re)published
     //    artifact, and the retrained screen's recovered recall
     val after = Imi.driftTvd(Imi.indexDriftServedFrom(grown, path))
       .select(col("tvd").as("tvd_reindexed"))
-    val recallRetrained = Similarity.embLshRecall(grown)
+    val recallRetrained = Similarity.recallRow(truth,
+        Similarity.embLshPairs(grown).select("a", "b"))
       .select(col("recall").as("recall_retrained"))
     before
       .withColumn("reindex_triggered", lit(if (triggered) 1L else 0L))

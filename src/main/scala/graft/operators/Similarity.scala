@@ -233,9 +233,15 @@ object Similarity {
     * the same threshold), so recall = n_found/n_true; the join-counted
     * n_hit is reported too, making any subset violation visible in the
     * gate itself. Output one row (n_true, n_found, n_hit, recall). */
-  def embLshRecall(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val exact = neardupCosine(emb, threshold).select("a", "b")
-    val found = embLshPairs(emb, threshold).select("a", "b")
+  def embLshRecall(emb: DataFrame, threshold: Double = 0.45): DataFrame =
+    recallRow(neardupCosine(emb, threshold).select("a", "b"),
+      embLshPairs(emb, threshold).select("a", "b"))
+
+  /** The recall-gauge single row (n_true, n_found, n_hit, recall) from an
+    * exact truth pair set and a found pair set — shared by both gauges
+    * and the lifecycle composition, which computes the (expensive,
+    * corpus-quadratic at gate scale) truth ONCE for its two legs. */
+  private[graft] def recallRow(exact: DataFrame, found: DataFrame): DataFrame = {
     val hit = found.join(exact, Seq("a", "b"))
     exact.agg(count(lit(1)).as("n_true"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -285,15 +291,7 @@ object Similarity {
     val found = verifyCosCandidates(
       embLshCandidatesFrom(frozen(drifted)), drifted, threshold)
       .select("a", "b")
-    val exact = neardupCosine(drifted, threshold).select("a", "b")
-    val hit = found.join(exact, Seq("a", "b"))
-    exact.agg(count(lit(1)).as("n_true"))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(col("n_true"), col("n_found"), col("n_hit"),
-        when(col("n_true") === 0L, lit(0.0))
-          .otherwise(col("n_hit").cast("double") / col("n_true").cast("double"))
-          .as("recall"))
+    recallRow(neardupCosine(drifted, threshold).select("a", "b"), found)
   }
 
   /** Semantic cross-split leakage screen — the DECONTAMINATION gap n-gram
