@@ -721,18 +721,27 @@ object Imi {
   private val bookCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Seq[(Long, Array[Double])]]]()
 
-  private def booksAt(spark: SparkSession,
-                      versionDir: Path): Seq[Seq[(Long, Array[Double])]] = {
-    val dir = new Path(versionDir, "books").toString
-    bookCache.computeIfAbsent(dir, d => loadBookTable(spark, d, 2))
+  /** Entry bound: a deployment serves one version at a time and a gate
+    * JVM churns a couple per invocation, but a long bench session creates
+    * hundreds of versions — past the bound the cache just resets (books
+    * reload in one tiny parquet read; correctness never depends on a
+    * hit). */
+  private val BookCacheMaxEntries = 64
+
+  private def cachedBooks(spark: SparkSession, dir: String,
+                          m: Int): Seq[Seq[(Long, Array[Double])]] = {
+    if (bookCache.size() > BookCacheMaxEntries) bookCache.clear()
+    bookCache.computeIfAbsent(dir, d => loadBookTable(spark, d, m))
   }
 
+  private def booksAt(spark: SparkSession,
+                      versionDir: Path): Seq[Seq[(Long, Array[Double])]] =
+    cachedBooks(spark, new Path(versionDir, "books").toString, 2)
+
   private def pqBooksAt(spark: SparkSession,
-                        versionDir: Path): Seq[Seq[(Long, Array[Double])]] = {
-    val dir = new Path(versionDir, "pq_books").toString
-    bookCache.computeIfAbsent(dir,
-      d => loadBookTable(spark, d, Similarity.PqSubspaces))
-  }
+                        versionDir: Path): Seq[Seq[(Long, Array[Double])]] =
+    cachedBooks(spark, new Path(versionDir, "pq_books").toString,
+      Similarity.PqSubspaces)
 
   /** The stored half-space books of the CURRENT version: 2·kSide rows —
     * the same driver-state mass training ends with, now read from the
