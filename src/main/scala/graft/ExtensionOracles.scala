@@ -1406,6 +1406,22 @@ object ExtensionOracles {
          |       rr.recall AS recall_retrained
          |  FROM tf, tr, rf, rr""".stripMargin
     },
+    // the artifact health row: totals from the corpus, live = members
+    // minus the %7 tombstone delivery, cells/occupancy from the pinned
+    // member-assignment chain (verifying the stored layout's content,
+    // not just its row counts)
+    "q_index_manifest" ->
+      s"""WITH $imiProbeCtes,
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM mem),
+         |pend AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pending
+         |           FROM e WHERE vec_id % 7 = 2),
+         |cells AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells
+         |            FROM (SELECT DISTINCT scell, sub FROM mem)),
+         |mx AS (SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_cell
+         |         FROM (SELECT COUNT(*) AS c FROM mem GROUP BY scell, sub))
+         |SELECT tot.n_members, tot.n_members - pend.n_pending AS n_live,
+         |       pend.n_pending, cells.n_cells, mx.max_cell
+         |  FROM tot, pend, cells, mx""".stripMargin,
     "q_imi_stats" ->
       s"""WITH $imiProbeCtes
          |SELECT scell, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subs,

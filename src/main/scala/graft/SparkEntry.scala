@@ -378,6 +378,17 @@ object SparkEntry {
         s"graft_imi_lifecycle_${Sources.pathKey(dir)}").getAbsolutePath
       operators.IndexLifecycle.run(Sources.embeddings(s, dir), idx)
     }),
+    // the artifact HEALTH row an ops dashboard polls: physical/live/
+    // pending-forget counts plus the realized-cell and max-occupancy
+    // signals that trigger compaction — read off the persisted tables
+    "q_index_manifest" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_imi_manifest_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
+      operators.Imi.indexManifest(s, idx)
+    }),
     "q_imi_pq" -> ((s, dir) => operators.Imi.annImiPq(Sources.embeddings(s, dir))),
     // train→persist→serve: the stored-artifact probe must hash-match the
     // self-contained retrain (same oracle as q_ann_imi)

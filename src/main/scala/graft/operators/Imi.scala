@@ -1027,6 +1027,41 @@ object Imi {
               * col("t_arr").cast("double"))).as("tvd"))
   }
 
+  /** INDEX MANIFEST — the one-row health surface an ops dashboard polls
+    * against the stored artifact (the versioned layout's counterpart of
+    * [[imiStats]], read off the PERSISTED tables, never a retrain):
+    *   - n_members: rows in the member table (physical, pre-tombstone);
+    *   - n_live: rows a serve can return (tombstones anti-joined) — the
+    *     n_members − n_live gap is the reclamation the next
+    *     [[compactIndex]] buys;
+    *   - n_pending: distinct tombstoned ids awaiting physical apply —
+    *     the right-to-be-forgotten BACKLOG (a compliance SLO reads this);
+    *   - n_cells: realized fine cells; max_cell: the largest cell's
+    *     occupancy — the fragmentation/occupancy signals that trigger
+    *     compaction and corroborate the drift gauge.
+    * Cost: one pass over the member table's (vec_id, scell, sub) columns
+    * + the request-sized tombstone read — no vectors, no codes. */
+  def indexManifest(spark: SparkSession, path: String): DataFrame = {
+    val (_, dir) = currentVersionOrThrow(spark, path)
+    val members = membersOf(spark, dir,
+      "vec_id LONG, scell BIGINT, sub BIGINT")
+    val del = tombstones(spark, dir)
+    val live = del match {
+      case Some(d) => members.join(broadcast(d), Seq("vec_id"), "left_anti")
+      case None => members
+    }
+    val pending = del.map(_.agg(count(lit(1)).as("n_pending")))
+      .getOrElse(members.sparkSession.range(1)
+        .select(lit(0L).as("n_pending")))
+    members.agg(count(lit(1)).as("n_members"),
+        countDistinct(col("scell"), col("sub")).as("n_cells"))
+      .crossJoin(live.agg(count(lit(1)).as("n_live")))
+      .crossJoin(pending)
+      .crossJoin(members.groupBy("scell", "sub").count()
+        .agg(coalesce(max(col("count")), lit(0L)).as("max_cell")))
+      .select("n_members", "n_live", "n_pending", "n_cells", "max_cell")
+  }
+
   /** Index-structure report (scell, n_subs, n_members): per realized
     * first-half cell, the number of DISTINCT second-half cells its
     * members land in and the member count — the occupancy view an IMI

@@ -95,4 +95,16 @@ class EmptyInputSpec extends AnyFunSuite with SharedSpark {
       graft.operators.Imi.upsertIndex(emptyEmb, idx)
     }
   }
+
+  test("round-12 lifecycle composition and manifest accept zero-row inputs") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_empty_imi_r12").toString
+    runs("indexLifecycle") {
+      graft.operators.IndexLifecycle.run(emptyEmb, idx)
+    }
+    runs("indexManifest") {
+      graft.operators.Imi.persistIndex(emptyEmb, idx)
+      graft.operators.Imi.indexManifest(spark, idx)
+    }
+  }
 }

@@ -58,6 +58,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     "q_index_drift", // SINGLE-ROW totals broadcast onto <= kSide cells
     "q_index_drift_served", // same SINGLE-ROW totals shape off the artifact
     "q_index_lifecycle", // SINGLE-ROW tvd/recall scalars crossJoined into one row
+    "q_index_manifest", // SINGLE-ROW artifact health counters crossJoined
     "q_imi_recall", // brute-force ground-truth side, as q_ann_recall
     "q_join_card", // SINGLE-ROW histogram estimate x SINGLE-ROW actual count
     "q_cooccur", // pair rows x the SINGLE-ROW pair/unigram totals (as q_bigram_lift)
