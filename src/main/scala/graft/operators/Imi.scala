@@ -1027,6 +1027,42 @@ object Imi {
               * col("t_arr").cast("double"))).as("tvd"))
   }
 
+  /** AUTO-MAINTENANCE policy — the scheduler decision that closes the
+    * fragmentation/backlog loop the way [[graft.operators
+    * .IndexLifecycle]] closes the drift loop: read two O(1) artifact
+    * signals and compact when either crosses its bound.
+    *
+    *   - `deliveries`: committed micro-batch markers in the current
+    *     version ([[upsertIndexCommitted]]'s `_batch_commits` — ONE
+    *     listStatus, no data read). Every committed delivery appended
+    *     its own file set into each touched scell subtree, so this IS
+    *     the per-cell file fragmentation a probe pays
+    *     ([[compactIndex]]'s small-files story);
+    *   - `pending`: tombstone files awaiting physical apply — the
+    *     right-to-be-forgotten backlog ([[deleteFromIndex]]).
+    *
+    * Compacting resets both by construction (the new version starts
+    * with fresh `_batch_commits` and only carried-forward tombstones).
+    * A retried micro-batch whose marker died with the old version is
+    * absorbed by the insert-only guard ([[upsertIndexCommitted]]'s
+    * present==total branch re-marks without re-appending). Returns the
+    * action taken — "compact" or "none" — so the maintenance loop's
+    * decisions are loggable/spec-assertable. */
+  def maintainIndex(spark: SparkSession, path: String,
+                    maxDeliveries: Int = 8,
+                    maxPendingTombstones: Int = 0): String = {
+    val (_, dir) = currentVersionOrThrow(spark, path)
+    val fs = hfs(spark, path)
+    val commits = new Path(dir, "_batch_commits")
+    val deliveries =
+      if (fs.exists(commits)) fs.listStatus(commits).count(_.isFile) else 0
+    val pending = tombstoneFiles(fs, dir).size
+    if (deliveries > maxDeliveries || pending > maxPendingTombstones) {
+      compactIndex(spark, path)
+      "compact"
+    } else "none"
+  }
+
   /** INDEX MANIFEST — the one-row health surface an ops dashboard polls
     * against the stored artifact (the versioned layout's counterpart of
     * [[imiStats]], read off the PERSISTED tables, never a retrain):

@@ -185,6 +185,32 @@ class Round12Spec extends AnyFunSuite with SharedSpark {
     assert(memberCount() === n)
   }
 
+  // ---- auto-maintenance policy: fragmentation/backlog triggers ----
+
+  test("auto-maintenance compacts on the delivery-count and forget-backlog triggers") {
+    import spark.implicits._
+    val idx = tmp("graft_r12_maintain")
+    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+    Imi.upsertIndexCommitted(emb.filter(col("vec_id") % 12 === 3), idx, 0L)
+    Imi.upsertIndexCommitted(emb.filter(col("vec_id") % 12 === 7), idx, 1L)
+    // at the bound: no action
+    assert(Imi.maintainIndex(spark, idx, maxDeliveries = 2) === "none")
+    Imi.upsertIndexCommitted(emb.filter(col("vec_id") % 12 === 11), idx, 2L)
+    val served = Imi.annImiServed(emb, idx).collect().toSeq
+    // past the bound: compacts, serves identically, resets the count
+    assert(Imi.maintainIndex(spark, idx, maxDeliveries = 2) === "compact")
+    assert(Imi.annImiServed(emb, idx).collect().toSeq === served)
+    assert(Imi.maintainIndex(spark, idx, maxDeliveries = 2) === "none")
+    // the forget backlog triggers regardless of delivery count, and the
+    // compact applies it physically (backlog back to zero)
+    val del = emb.filter(col("vec_id") % 7 === 2)
+    val delIds = del.select("vec_id").as[Long].collect().toSet
+    Imi.deleteFromIndex(del, idx)
+    assert(Imi.maintainIndex(spark, idx, maxDeliveries = 2) === "compact")
+    assert(Imi.pendingTombstoneFileCount(spark, idx) === 0)
+    assert(servedNids(idx).intersect(delIds).isEmpty)
+  }
+
   // ---- stored-book cache: immutable-version keying ----
 
   test("the book cache serves a version without reloading and a reindex invalidates it") {
