@@ -1161,6 +1161,32 @@ object ScaleProof {
       (lcVals._1 > IndexLifecycle.TvdThreshold)
     checks += "index_lifecycle_drift_after_reindex_zero" -> (lcVals._2 == 0.0)
 
+    // Manifest at reps× (r12): the health row must read the replicated
+    // artifact EXACTLY — n_members = reps × base, the forget backlog
+    // (filtered on the base id, so every replica's copy is requested)
+    // = reps × base backlog, live = members − backlog. And because
+    // replicas are identical VECTORS with distinct ids, every realized
+    // cell's occupancy is a multiple of reps (same vector ⇒ same cell
+    // under any frozen books) — a sharp structural form for max_cell.
+    val (mfVals, tMf) = timed {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_scaleproof_manifest").getAbsolutePath
+      Imi.persistIndex(emb, idx)
+      Imi.deleteFromIndex(
+        emb.filter((col("vec_id") % 10000000L) % 7 === 2), idx)
+      val m = Imi.indexManifest(spark, idx).head()
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+    }
+    val mfBase = Sources.embeddings(spark, sfDir)
+      .agg(count(lit(1)), count(when(col("vec_id") % 7 === 2, 1))).head()
+    val (mfN, mfPend) = (mfBase.getLong(0), mfBase.getLong(1))
+    results += "index_manifest_10x" -> tMf
+    checks += "manifest_counts_scale_exactly" ->
+      (mfVals._1 == reps * mfN && mfVals._3 == reps * mfPend &&
+        mfVals._2 == mfVals._1 - mfVals._3)
+    checks += "manifest_max_cell_multiple_of_reps" ->
+      (mfVals._5 > 0 && mfVals._5 % reps == 0)
+
     // Cell-state growth under a FROZEN index (the disease
     // EmbDedupStream.CellCap guards): banding is a pure function of the
     // vector VALUE, so replicating the corpus reps× multiplies every
