@@ -522,10 +522,21 @@ object Imi {
   }
 
   private def appendDelta(spark: SparkSession, versionDir: Path,
-                          assigned: DataFrame): Unit =
+                          assigned: DataFrame): Unit = {
     graft.sources.Sources.writePartitioned(
       assigned, new Path(versionDir, "members").toString,
       Seq("scell"), mode = "append")
+    // delivery ledger: one marker per append — BOTH upsert paths (batch
+    // and committed-streaming) — the O(1) fragmentation signal
+    // [[maintainIndex]] reads (each delivery appended its own file set
+    // into every touched cell subtree). Sequential naming is safe under
+    // the single-maintenance-writer contract.
+    val fs = hfs(spark, versionDir.toString)
+    val ledger = new Path(versionDir, "_deliveries")
+    fs.mkdirs(ledger)
+    val n = fs.listStatus(ledger).count(_.isFile)
+    fs.create(new Path(ledger, s"d$n"), false).close()
+  }
 
   /** [[upsertIndex]] for AT-LEAST-ONCE callers ([[graft.streaming
     * .IndexUpsertStream]]'s foreachBatch): the append is keyed by
@@ -675,20 +686,32 @@ object Imi {
       live.repartition(col("scell")),
       new Path(newDir, "members").toString, Seq("scell"))
     // the codebooks are immutable within a version: byte-copy them into
-    // the new subtree (tens of small files)
+    // the new subtree (tens of small files); a failed copy must abort
+    // BEFORE the publish — a version without books would fail every
+    // serve with an unrelated-looking read error
     for (sub <- Seq("books", "pq_books")) {
       val src = new Path(curDir, sub)
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, new Path(newDir, sub),
-        false, spark.sparkContext.hadoopConfiguration): Unit
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new Path(newDir, sub), false,
+          spark.sparkContext.hadoopConfiguration))
+        throw new IllegalStateException(
+          s"compaction could not copy $src into $newDir — aborting before " +
+            "publish (the old version is untouched)")
     }
     def carryForward(): Unit = {                                   // steps 3/4
       val snap = snapshot.map(_.getName).toSet
       tombstoneFiles(fs, curDir).filterNot(f => snap.contains(f.getName))
         .foreach { f =>
           val dst = new Path(new Path(newDir, "deletes"), f.getName)
-          if (!fs.exists(dst))
-            org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst,
-              false, spark.sparkContext.hadoopConfiguration): Unit
+          // a failed carry-forward is a silently lost forget request —
+          // the precise compliance failure this protocol exists to
+          // prevent; fail LOUDLY instead
+          if (!fs.exists(dst) &&
+              !org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst,
+                false, spark.sparkContext.hadoopConfiguration))
+            throw new IllegalStateException(
+              s"compaction could not carry forward tombstone $f into " +
+                s"$newDir — a forget request would be silently lost")
         }
     }
     carryForward()
@@ -1032,17 +1055,17 @@ object Imi {
     * .IndexLifecycle]] closes the drift loop: read two O(1) artifact
     * signals and compact when either crosses its bound.
     *
-    *   - `deliveries`: committed micro-batch markers in the current
-    *     version ([[upsertIndexCommitted]]'s `_batch_commits` — ONE
-    *     listStatus, no data read). Every committed delivery appended
-    *     its own file set into each touched scell subtree, so this IS
-    *     the per-cell file fragmentation a probe pays
-    *     ([[compactIndex]]'s small-files story);
+    *   - `deliveries`: append markers in the current version's
+    *     `_deliveries` ledger — ONE listStatus, no data read, written
+    *     by BOTH upsert paths (ad-hoc batch and committed streaming).
+    *     Every delivery appended its own file set into each touched
+    *     scell subtree, so this IS the per-cell file fragmentation a
+    *     probe pays ([[compactIndex]]'s small-files story);
     *   - `pending`: tombstone files awaiting physical apply — the
     *     right-to-be-forgotten backlog ([[deleteFromIndex]]).
     *
     * Compacting resets both by construction (the new version starts
-    * with fresh `_batch_commits` and only carried-forward tombstones).
+    * with a fresh delivery ledger and only carried-forward tombstones).
     * A retried micro-batch whose marker died with the old version is
     * absorbed by the insert-only guard ([[upsertIndexCommitted]]'s
     * present==total branch re-marks without re-appending). Returns the
@@ -1053,9 +1076,9 @@ object Imi {
                     maxPendingTombstones: Int = 0): String = {
     val (_, dir) = currentVersionOrThrow(spark, path)
     val fs = hfs(spark, path)
-    val commits = new Path(dir, "_batch_commits")
+    val ledger = new Path(dir, "_deliveries")
     val deliveries =
-      if (fs.exists(commits)) fs.listStatus(commits).count(_.isFile) else 0
+      if (fs.exists(ledger)) fs.listStatus(ledger).count(_.isFile) else 0
     val pending = tombstoneFiles(fs, dir).size
     if (deliveries > maxDeliveries || pending > maxPendingTombstones) {
       compactIndex(spark, path)
