@@ -257,6 +257,9 @@ object Imi {
   //   path/v<N>/deletes             version-scoped tombstone table
   //   path/v<N>/_batch_commits      per-micro-batch commit markers
   //                                 ([[upsertIndexCommitted]])
+  //   path/v<N>/_deliveries         one marker per append — the O(1)
+  //                                 fragmentation ledger
+  //                                 ([[maintainIndex]]'s trigger)
   //
   // Readers resolve the current version ONCE (max published N) and read
   // every table from that subtree, so a query sees one consistent
@@ -376,8 +379,9 @@ object Imi {
   /** Train → PERSIST: the artifact an ANN deployment actually ships (r9
     * verdict, "what's missing" #1 — every in-query retrain is gate-correct
     * but not what production executes; this is the compaction family's
-    * plan→write loop closure applied to the index). Three parquet tables
-    * under `path`:
+    * plan→write loop closure applied to the index). Three parquet tables,
+    * written into a fresh version subtree and atomically published (see
+    * the layout contract above):
     *   - `books`  (s, cid, cv): the two half-space codebooks — 2·kSide
     *     rows, O(√k·d) bytes, the driver-small artifact a prober loads;
     *   - `pq_books` (s, cid, cv): the 8 PQ sub-codebooks (8·16 rows) the
@@ -574,8 +578,10 @@ object Imi {
     * stored ANN artifact: a right-to-be-forgotten request must stop a
     * vector from being RETRIEVABLE immediately, but rewriting a 100 TB
     * member table per request is absurd. The deployment shape is a
-    * tombstone table: deletes append O(|request|) rows to
-    * `path/deletes`, serving anti-joins the (broadcast-small) tombstone
+    * tombstone table: deletes append O(|request|) rows to the CURRENT
+    * version's `deletes` table (version-scoped, so a reader's one
+    * resolved subtree carries members AND the tombstones that apply to
+    * them), serving anti-joins the (broadcast-small) tombstone
     * set out of every candidate read ([[liveMembers]]), and the next
     * [[compactIndex]] applies tombstones PHYSICALLY (rewrites members
     * without them and clears the tombstone table) — logical delete now,
