@@ -317,6 +317,31 @@ object Imi {
     currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"no published index version at $path — bootstrap with persistIndex first"))
 
+  /** The current published version number — what a training run PINS
+    * before a multi-query read session ([[annImiServed]]'s `version`
+    * param), so every read in the session sees one snapshot regardless
+    * of concurrent maintenance. A pinned version survives exactly one
+    * maintenance publish (the retained-previous-version window); a run
+    * outliving that re-resolves and restarts its reads. */
+  def currentIndexVersion(spark: SparkSession, path: String): Long =
+    currentVersionOrThrow(spark, path)._1
+
+  /** Resolve a read's version subtree: latest published, or the caller's
+    * pinned version — LOUDLY refusing a pin that has been pruned (a
+    * silent fallback to latest would mix snapshots mid-session). */
+  private def versionDirAt(spark: SparkSession, path: String,
+                           version: Option[Long]): Path = version match {
+    case None => currentVersionOrThrow(spark, path)._2
+    case Some(v) =>
+      val dir = new Path(new Path(path), s"v$v")
+      if (!hfs(spark, path).exists(new Path(dir, PublishedMarker)))
+        throw new IllegalStateException(
+          s"pinned index version v$v at $path is not published (pruned by a " +
+            "later maintenance cycle, or never existed) — pinned reads " +
+            "survive one publish; re-resolve with currentIndexVersion")
+      dir
+  }
+
   /** The CURRENT version's member directory — the raw-table read surface
     * the proof harnesses and specs use (external code never paths into a
     * version subtree by hand). */
@@ -794,13 +819,15 @@ object Imi {
     * (qid, nid, rank). */
   def annImiServed(emb: DataFrame, path: String, nQueries: Int = 5,
                    k: Int = 10, nprobeSuper: Int = 2,
-                   nprobeSub: Int = 4): DataFrame = {
+                   nprobeSub: Int = 4,
+                   version: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     // resolve the version ONCE and read books + members + tombstones from
     // that one immutable subtree: a serve in flight across a concurrent
     // compaction/reindex publish sees the old snapshot or the new one,
-    // never a mix (the r11 "serve-during-maintenance" consistency ask)
-    val (_, dir) = currentVersionOrThrow(spark, path)
+    // never a mix (the r11 "serve-during-maintenance" consistency ask).
+    // `version` pins a snapshot ACROSS queries ([[currentIndexVersion]])
+    val dir = versionDirAt(spark, path, version)
     val books = booksAt(spark, dir)
     // schema-on-read (the compaction executor's discipline): the written
     // layout is (data cols + scell partition col); inference has nothing
@@ -832,9 +859,10 @@ object Imi {
     * `q_imi_pq`). Output (qid, nid, cos, rank). */
   def annImiPqServed(emb: DataFrame, path: String, nQueries: Int = 5,
                      k: Int = 10, nprobeSuper: Int = 2,
-                     nprobeSub: Int = 4): DataFrame = {
+                     nprobeSub: Int = 4,
+                     version: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
-    val (_, dir) = currentVersionOrThrow(spark, path) // one snapshot, as annImiServed
+    val dir = versionDirAt(spark, path, version) // one snapshot, as annImiServed
     val books = booksAt(spark, dir)
     val pqBooks = pqBooksAt(spark, dir)
     if (pqBooks.exists(_.isEmpty)) {

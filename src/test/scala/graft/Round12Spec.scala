@@ -185,6 +185,28 @@ class Round12Spec extends AnyFunSuite with SharedSpark {
     assert(memberCount() === n)
   }
 
+  // ---- snapshot pinning across a multi-query read session ----
+
+  test("a pinned version reads one snapshot across maintenance; a pruned pin fails loudly") {
+    val idx = tmp("graft_r12_pin")
+    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+    val pinned = Imi.currentIndexVersion(spark, idx)
+    val atPin = Imi.annImiServed(emb, idx).collect().toSeq
+    // a reindex on different data publishes a new version; the pinned
+    // session keeps reading ITS snapshot, a fresh resolve sees the new one
+    Imi.persistIndex(emb, idx)
+    assert(Imi.annImiServed(emb, idx, version = Some(pinned))
+      .collect().toSeq === atPin)
+    assert(Imi.annImiServed(emb, idx).collect().toSeq !== atPin)
+    // one more maintenance cycle prunes the pinned version: the read
+    // fails loudly instead of silently mixing snapshots
+    Imi.compactIndex(spark, idx)
+    val e = intercept[IllegalStateException] {
+      Imi.annImiServed(emb, idx, version = Some(pinned))
+    }
+    assert(e.getMessage.contains("pruned"))
+  }
+
   // ---- auto-maintenance policy: fragmentation/backlog triggers ----
 
   test("auto-maintenance compacts on the delivery-count and forget-backlog triggers") {
