@@ -115,6 +115,11 @@ object DedupStream {
   private val auditCkpts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test seam: total drains this JVM has run — a cache HIT leaves it
+    * unchanged, so specs can pin both halves of the key contract (same
+    * replay amortizes; a rewritten replay re-drains). */
+  private[graft] val auditDrains = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The temp checkpoint dirs this JVM drained, removed on shutdown (r11
     * ADVICE: they otherwise accumulate for the JVM lifetime — within a
     * session they must persist, the cache reads them per rep). */
@@ -140,18 +145,40 @@ object DedupStream {
     df.queryExecution.logical.collectFirst {
       case org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
           ds, _, _) => ds.options.get("path")
+      // Spark 4 defers file-source resolution: readStream.parquet(path)
+      // yields UnresolvedDataSource at construction time, so the
+      // StreamingRelation case never fires on an un-analyzed frame (the
+      // r12 bench symptom: the audit cache key resolved to None and the
+      // drain re-ran on EVERY rep — 0.17 s → 3.5 s/rep)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedDataSource
+          if u.isStreaming =>
+        u.paths.headOption.orElse(u.options.get("path"))
     }.flatten
 
-  /** (name, length, mtime) digest of the replay directory's files: the
-    * content half of the cache key, so a REWRITTEN replay at the same
-    * path misses and re-drains instead of serving stale state. */
+  /** (name, length, mtime, head-CRC) digest of the replay directory's
+    * files: the content half of the cache key, so a REWRITTEN replay at
+    * the same path misses and re-drains instead of serving stale state.
+    * The CRC32 of each file's first 64 KB closes the r12 residual: on a
+    * filesystem with 1 s mtime granularity, an in-place rewrite within
+    * the same second with equal file sizes would otherwise fingerprint
+    * identically (replay fixtures are small, so the head read is cheap
+    * and driver-bounded: ≤ |files| × 64 KB). */
   private def contentFingerprint(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
     val parts = fs.listStatus(p).filter(_.isFile)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .map { st =>
+        val crc = new java.util.zip.CRC32()
+        val in = fs.open(st.getPath)
+        try {
+          val buf = new Array[Byte](65536)
+          val n = in.read(buf)
+          if (n > 0) crc.update(buf, 0, n)
+        } finally in.close()
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:${crc.getValue}"
+      }
       .sorted.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.getBytes("UTF-8")).map(b => f"$b%02x").mkString
@@ -172,6 +199,7 @@ object DedupStream {
   def stateAudit(stream: DataFrame): DataFrame = {
     val spark = stream.sparkSession
     def drain(): String = {
+      auditDrains.incrementAndGet(): Unit
       auditCleanupHook
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_dedup_state_audit").toString
