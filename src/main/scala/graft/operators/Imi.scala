@@ -390,6 +390,12 @@ object Imi {
                              prevPublished: Option[Long],
                              newV: Long, newDir: Path): Unit = {
     val out = fs.create(new Path(newDir, PublishedMarker), false)
+    // a publish-unique token INSIDE the marker (r12 ADVICE, low): the
+    // book cache keys on it, so an index root that is deleted and
+    // re-bootstrapped at the same path can never hit a stale cached
+    // codebook entry (the path string alone would collide; mtime alone
+    // has 1 s granularity on some local filesystems)
+    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
     out.close()
     val keep = Set(newV) ++ prevPublished
     versionDirs(fs, root, publishedOnly = false)
@@ -613,12 +619,41 @@ object Imi {
     * physical reclamation at the cadence the layout is rewritten anyway.
     * `q_ann_forget` gates the logical path, `q_ann_forget_compact` the
     * physical one, against the same filtered-members oracle. */
-  def deleteFromIndex(ids: DataFrame, path: String): Unit = {
+  def deleteFromIndex(ids: DataFrame, path: String): Unit =
+    deleteFromIndexHooked(ids, path, () => ())
+
+  /** [[deleteFromIndex]] with a test seam fired between the version
+    * resolve and the tombstone write — how the race spec injects a FULL
+    * compaction (publish + final straggler sweep included) completing
+    * inside the delete's resolve→write window without real thread
+    * scheduling. Production callers use [[deleteFromIndex]]; the
+    * protocol is identical. */
+  private[graft] def deleteFromIndexHooked(ids: DataFrame, path: String,
+                                           afterResolve: () => Unit): Unit = {
     val spark = ids.sparkSession
-    val (_, dir) = currentVersionOrThrow(spark, path)
-    ids.select(col("vec_id").cast("long"))
-      .coalesce(1) // requests are tiny; one footer per delivery
-      .write.mode("append").parquet(new Path(dir, "deletes").toString)
+    val slim = ids.select(col("vec_id").cast("long"))
+    // WRITE-THEN-RE-RESOLVE loop (r12 ADVICE, medium): resolving the
+    // version once and appending asynchronously leaves a window where a
+    // concurrent compaction completes its publish AND its final
+    // straggler sweep before this append's parquet lands — the tombstone
+    // then exists only in the pruned-next-cycle old subtree, and the
+    // forget request silently vanishes at the following publish. After
+    // each append, re-resolve: if the current version moved, append the
+    // ids again into the NEW version (duplicate tombstone rows are
+    // harmless — every consumer reads tombstones through a `.distinct()`
+    // and the next compaction clears them physically). The loop
+    // terminates because publishes are finite; each iteration is one
+    // request-sized write.
+    var (v, dir) = currentVersionOrThrow(spark, path)
+    afterResolve()
+    var settled = false
+    while (!settled) {
+      slim.coalesce(1) // requests are tiny; one footer per delivery
+        .write.mode("append").parquet(new Path(dir, "deletes").toString)
+      val (v2, dir2) = currentVersionOrThrow(spark, path)
+      if (v2 == v) settled = true
+      else { v = v2; dir = dir2 }
+    }
   }
 
   /** The distinct tombstoned ids of `files` (None when there are none) —
@@ -729,6 +764,24 @@ object Imi {
           s"compaction could not copy $src into $newDir — aborting before " +
             "publish (the old version is untouched)")
     }
+    // carry the batch-commit markers forward too (r12 ADVICE, low): the
+    // markers are the at-least-once dedup memory of
+    // [[upsertIndexCommitted]]. Without them, a micro-batch retried
+    // after a compaction in which EVERY row of that batch was tombstoned
+    // and physically removed sees present == 0 and silently re-appends
+    // the forgotten vectors (the partial and fully-present cases are
+    // caught by the insert-only guard; the all-deleted case has no
+    // surviving row to trip it). Markers are empty files — the copy is
+    // O(|batches since last compaction|).
+    val commits = new Path(curDir, "_batch_commits")
+    if (fs.exists(commits) &&
+        !org.apache.hadoop.fs.FileUtil.copy(fs, commits, fs,
+          new Path(newDir, "_batch_commits"), false,
+          spark.sparkContext.hadoopConfiguration))
+      throw new IllegalStateException(
+        s"compaction could not carry forward $commits into $newDir — a " +
+          "retried micro-batch could re-append forgotten rows; aborting " +
+          "before publish")
     def carryForward(): Unit = {                                   // steps 3/4
       val snap = snapshot.map(_.getName).toSet
       tombstoneFiles(fs, curDir).filterNot(f => snap.contains(f.getName))
@@ -782,20 +835,43 @@ object Imi {
     * hit). */
   private val BookCacheMaxEntries = 64
 
-  private def cachedBooks(spark: SparkSession, dir: String,
+  /** The publish-unique token of a version subtree — the UUID
+    * [[publishVersion]] writes into the marker. Markers published before
+    * the token existed are empty: fall back to (mtime, length), which is
+    * as unique as the old behavior (the token is strictly an
+    * improvement, never a regression for existing artifacts). */
+  private def publishToken(fs: FileSystem, versionDir: Path): String = {
+    val marker = new Path(versionDir, PublishedMarker)
+    val st = fs.getFileStatus(marker)
+    if (st.getLen > 0) {
+      val in = fs.open(marker)
+      try {
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(buf)
+        new String(buf, "UTF-8")
+      } finally in.close()
+    } else s"${st.getModificationTime}:${st.getLen}"
+  }
+
+  private def cachedBooks(spark: SparkSession, versionDir: Path, sub: String,
                           m: Int): Seq[Seq[(Long, Array[Double])]] = {
     if (bookCache.size() > BookCacheMaxEntries) bookCache.clear()
-    bookCache.computeIfAbsent(dir, d => loadBookTable(spark, d, m))
+    val dir = new Path(versionDir, sub).toString
+    // key = table dir + the version's publish token (r12 ADVICE, low):
+    // a deleted-and-rebootstrapped index at the same path republishes
+    // under a fresh token, so the recreated v0/books can never serve
+    // codebooks cached from the previous life of the path
+    val key = s"$dir#${publishToken(hfs(spark, versionDir.toString), versionDir)}"
+    bookCache.computeIfAbsent(key, _ => loadBookTable(spark, dir, m))
   }
 
   private def booksAt(spark: SparkSession,
                       versionDir: Path): Seq[Seq[(Long, Array[Double])]] =
-    cachedBooks(spark, new Path(versionDir, "books").toString, 2)
+    cachedBooks(spark, versionDir, "books", 2)
 
   private def pqBooksAt(spark: SparkSession,
                         versionDir: Path): Seq[Seq[(Long, Array[Double])]] =
-    cachedBooks(spark, new Path(versionDir, "pq_books").toString,
-      Similarity.PqSubspaces)
+    cachedBooks(spark, versionDir, "pq_books", Similarity.PqSubspaces)
 
   /** The stored half-space books of the CURRENT version: 2·kSide rows —
     * the same driver-state mass training ends with, now read from the
@@ -1110,6 +1186,21 @@ object Imi {
                     maxPendingTombstones: Int = 0): String = {
     val (_, dir) = currentVersionOrThrow(spark, path)
     val fs = hfs(spark, path)
+    // prune crash junk on EVERY maintenance entry (r12 verdict, #5):
+    // unpublished version subtrees are rewrites that died before their
+    // marker; they are otherwise only pruned at the next successful
+    // publish, so a crash LOOP (every rewrite dies) would accumulate
+    // them unboundedly. Under the single-maintenance-writer contract no
+    // rewrite is in flight when maintainIndex runs, so every unpublished
+    // subtree here is junk by definition — published subtrees (current
+    // and the retained previous) are never touched.
+    versionDirs(fs, new Path(path), publishedOnly = false)
+      .filterNot { case (_, d) => fs.exists(new Path(d, PublishedMarker)) }
+      .foreach { case (_, d) =>
+        if (!fs.delete(d, true)) throw new IllegalStateException(
+          s"could not prune crashed-rewrite junk $d — it would pin the " +
+            "version counter and leak storage; failing loudly")
+      }
     val ledger = new Path(dir, "_deliveries")
     val deliveries =
       if (fs.exists(ledger)) fs.listStatus(ledger).count(_.isFile) else 0
