@@ -13,7 +13,18 @@ import graft.streaming.FrequentItemsStream
   * keep their scripts. Formats cite the reference print statements.
   */
 object AppSession {
+  /** Whether the last [[get]] CREATED the session (vs reusing an active
+    * one — e.g. when a spec drives a main inside a shared test session):
+    * [[stopOwned]] only stops sessions the CLI itself created, so an
+    * embedding harness keeps its session. */
+  @volatile private var lastOwned = true
+
+  private[apps] def stopOwned(s: SparkSession): Unit =
+    if (lastOwned) s.stop()
+
   def get(name: String): SparkSession = {
+    lastOwned = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(name)
@@ -54,7 +65,9 @@ object Hw1Main {
     println(path)
     println(s"D= $d"); println(s"M= $m"); println(s"K= $k"); println(s"L= $l")
     val n = points.count()
-    println(s"Number of points = $n")
+    // python's print("... = ", n) emits TWO spaces (sep plus the literal
+    // trailing space) — replicated byte-for-byte, GoldenStdoutSpec-pinned
+    println(s"Number of points =  $n")
 
     if (n <= 200000) { // big_data_computing_1.py:178
       val (rows, ms) = AppSession.timedMs {
@@ -65,8 +78,9 @@ object Hw1Main {
         (cnt, out.collect())
       }
       println(s"Number of Outliers = ${rows._1}") // big_data_computing_1.py:51
-      rows._2.foreach(r => println(s"Point: (${r.getDouble(1)},${r.getDouble(2)})"))
-      println(s"Running time of ExactOutliers = $ms ms")
+      rows._2.foreach(r => // "Point: " + sep + python tuple repr (", ")
+        println(s"Point:  (${r.getDouble(1)}, ${r.getDouble(2)})"))
+      println(s"Running time of ExactOutliers =  $ms  ms") // :182 spacing
     }
 
     val (_, msApprox) = AppSession.timedMs {
@@ -74,11 +88,11 @@ object Hw1Main {
       println(s"Number of sure outliers: ${sum.getLong(1)}")     // :109
       println(s"Number of uncertain points: ${sum.getLong(2)}")  // :110
       GridOutliers.topKCells(points, d, k).collect().foreach { r =>
-        println(s"Cell: (${r.getLong(0)},${r.getLong(1)}) Size = ${r.getLong(2)}") // :114
+        println(s"Cell: (${r.getLong(0)}, ${r.getLong(1)}) Size = ${r.getLong(2)}") // :114
       }
     }
-    println(s"Running time of MRApproxOutliers = $msApprox ms") // :188
-    spark.stop()
+    println(s"Running time of MRApproxOutliers =  $msApprox ms") // :188
+    AppSession.stopOwned(spark)
   }
 }
 
@@ -122,7 +136,7 @@ object Hw2Main {
       println(s"Number of uncertain points = ${sum.getLong(2)}") // :113
     }
     println(s"Running time of MRApproxOutliers = $msApprox ms") // :171
-    spark.stop()
+    AppSession.stopOwned(spark)
   }
 }
 
@@ -131,10 +145,14 @@ object Hw2Main {
   * text stream, final three-section report. */
 object Hw3Main {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 5, "Usage: Hw3Main <n> <phi> <epsilon> <delta> <port> [host]")
+    require(args.length >= 5,
+      "Usage: Hw3Main <n> <phi> <epsilon> <delta> <port> [host] [seed]")
     val p = StreamParams(args(0).toLong, args(1).toDouble, args(2).toDouble, args(3).toDouble)
     val port = args(4).toInt
     val host = if (args.length > 5) args(5) else "algo.dei.unipd.it"
+    // optional seed (beyond the reference contract): replay the reservoir/
+    // sticky coin flips deterministically — the golden-stdout spec's hook
+    val seed = if (args.length > 6) args(6).toLong else System.nanoTime()
     val spark = AppSession.get("graft-hw3")
 
     println("INPUT PROPERTIES") // big_data_computing_3.py:55-56
@@ -142,9 +160,10 @@ object Hw3Main {
 
     val stream = FrequentItemsStream.socketItems(spark, host, port)
     println("Starting streaming engine")
-    val (state, query) = FrequentItemsStream.run(stream, p, seed = System.nanoTime())
+    val (state, query) = FrequentItemsStream.run(stream, p, seed = seed)
     println("Waiting for shutdown condition")
     query.awaitTermination()
+    println("Stopping the streaming engine") // big_data_computing_3.py:105
     println("Streaming engine stopped")
 
     // report shapes: big_data_computing_3.py:114-137
@@ -169,6 +188,6 @@ object Hw3Main {
     println(s"Number of estimated frequent items = ${sticky.length}")
     println("Estimated frequent items:")
     sticky.foreach { case (i, _) => println(s"$i ${if (trueSet(i)) "+" else "-"}") }
-    spark.stop()
+    AppSession.stopOwned(spark)
   }
 }
