@@ -2726,5 +2726,138 @@ object ExtensionOracles {
          |       (CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)) >= 0.2 AS contaminated
          |  FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
          | ORDER BY t.doc_id""".stripMargin,
+    // ---- round 13: BM25 retrieval (integer-scaled, whole-bit idf) ----
+    // mirrors graft.operators.Retrieval.bm25TopK: k1=6/5, b=3/4, contrib
+    // = (idf*tf*44*S*1024) // (20*tf*S + 6*S + 18*dl*N), order-free
+    // integer sum per (qid, doc) — every operand int64, no libm anywhere
+    "q_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, doc_id, score, rank FROM rk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // composed retrieve -> exact-dup collapse -> greedy budget pack
+    "q_rag_pipeline" ->
+      s"""WITH $bm25Ctes,
+         |hits AS (SELECT qid, doc_id, score, rank FROM rk WHERE rank <= 10),
+         |hx AS (SELECT h.qid, h.doc_id, h.rank, d2.text, dl.dl AS n_tokens
+         |         FROM hits h
+         |         JOIN $DOCS d2 ON h.doc_id = d2.doc_id
+         |         JOIN dl ON h.doc_id = dl.doc_id),
+         |ded AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, text ORDER BY rank) AS copy_rn
+         |          FROM hx),
+         |pk AS (SELECT qid, doc_id, rank, n_tokens,
+         |              CAST(SUM(n_tokens) OVER (PARTITION BY qid ORDER BY rank
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |         FROM ded WHERE copy_rn = 1)
+         |SELECT qid, doc_id, rank, n_tokens, cum_tokens,
+         |       cum_tokens <= 256 AS packed
+         |  FROM pk ORDER BY qid, rank""".stripMargin,
+    // ---- round 13: SQ8 scalar quantization tier ----
+    "q_sq8_codes" ->
+      s"""WITH $sq8Ctes
+         |SELECT vec_id, pos, code FROM c ORDER BY vec_id, pos""".stripMargin,
+    "q_sq8_topk" ->
+      s"""WITH $sq8TopkCtes
+         |SELECT qid, nid, d2, rank FROM srk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // SQ8 recall@k against the EXACT squared-L2 top-k (code-space L2's
+    // own metric — the q_pq_recall truth pairing)
+    "q_sq8_recall" ->
+      s"""WITH $sq8TopkCtes,
+         |bs AS (SELECT q0.vec_id AS qid, e2.vec_id AS nid,
+         |              ${sqdistSql("q0.emb", "e2.emb")} AS d
+         |         FROM e q0, e e2
+         |        WHERE q0.vec_id < 5 AND e2.vec_id <> q0.vec_id),
+         |br AS (SELECT qid, nid,
+         |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |         FROM bs),
+         |h AS (SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |        FROM srk r JOIN br ON r.qid = br.qid AND r.nid = br.nid
+         |       WHERE r.rank <= 10 AND br.rank <= 10 GROUP BY r.qid)
+         |SELECT q1.qid, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |  FROM (SELECT vec_id AS qid FROM e WHERE vec_id < 5) q1
+         |  LEFT JOIN h ON q1.qid = h.qid ORDER BY q1.qid""".stripMargin,
+    // ---- round 13: per-source token drift (exact-integer TVD) ----
+    "q_token_drift" ->
+      s"""WITH t AS (SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS tok
+         |             FROM $DOCS d),
+         |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_all FROM t GROUP BY tok),
+         |cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_src FROM t GROUP BY 1, 2),
+         |sa AS (SELECT CAST(SUM(c_all) AS BIGINT) AS s_all FROM ca),
+         |ss AS (SELECT source, CAST(SUM(c_src) AS BIGINT) AS s_src FROM cs GROUP BY source),
+         |gap AS (SELECT ss.source, ss.s_src, sa.s_all,
+         |               ABS(sa.s_all * COALESCE(cs.c_src, 0) - ss.s_src * ca.c_all) AS g
+         |          FROM ca CROSS JOIN ss CROSS JOIN sa
+         |          LEFT JOIN cs ON cs.source = ss.source AND cs.tok = ca.tok)
+         |SELECT source, s_src AS n_tokens,
+         |       CAST(SUM(g) AS BIGINT) AS tvd_num,
+         |       CAST(CAST(SUM(g) AS BIGINT) AS DOUBLE) /
+         |       (CAST(2 AS DOUBLE) * CAST(s_all AS DOUBLE) * CAST(s_src AS DOUBLE)) AS tvd
+         |  FROM gap GROUP BY source, s_src, s_all ORDER BY source""".stripMargin,
   )
+
+  /** BM25 CTE chain ending in ranked (qid, doc_id, score, rank) rows
+    * `rk` (plus `dl` for the pack stage) — shared by q_bm25 and
+    * q_rag_pipeline so the composed gate packs exactly the ranking
+    * q_bm25 hash-verifies. Mirrors [[graft.operators.Retrieval]]. */
+  private def bm25Ctes: String =
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+       |corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+       |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |voc AS (SELECT tok, CAST(length(bin(n // df)) - 1 AS BIGINT) AS idf
+       |          FROM dft, corp
+       |         WHERE df <= 50 AND length(bin(n // df)) - 1 >= 1),
+       |terms AS (SELECT qid, tok, idf FROM (
+       |            SELECT tf.doc_id AS qid, tf.tok, v.idf,
+       |                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tok) AS rn
+       |              FROM tf JOIN voc v ON tf.tok = v.tok
+       |             WHERE tf.doc_id < 5) WHERE rn <= 6),
+       |sc AS (SELECT tm.qid, tf.doc_id,
+       |              CAST(SUM((tm.idf * tf.tf * 44 * corp.s * 1024) //
+       |                       (20 * tf.tf * corp.s + 6 * corp.s + 18 * dl.dl * corp.n))
+       |                   AS BIGINT) AS score
+       |         FROM tf
+       |         JOIN terms tm ON tf.tok = tm.tok
+       |         JOIN dl ON tf.doc_id = dl.doc_id
+       |         CROSS JOIN corp
+       |        WHERE tf.doc_id <> tm.qid
+       |        GROUP BY tm.qid, tf.doc_id),
+       |rk AS (SELECT qid, doc_id, score,
+       |              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |         FROM sc)""".stripMargin
+
+  /** SQ8 CTE chain ending in per-dim codes `c` (vec_id, pos, code) —
+    * mirrors [[graft.operators.Sq8]]: per-dim min/max ranges, then
+    * clamp(floor((x-mn)*255/(mx-mn) + 1/2), 0, 255), constant dims 0.
+    * `pos` is 0-based to match Spark's posexplode. */
+  private def sq8Ctes: String =
+    s"""$EMB,
+       |ex AS (SELECT vec_id, unnest(emb) AS x,
+       |              CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS pos
+       |         FROM e),
+       |rg AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+       |c AS (SELECT ex.vec_id, ex.pos,
+       |             CASE WHEN rg.mx = rg.mn THEN CAST(0 AS BIGINT)
+       |                  ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+       |                       CAST(floor((ex.x - rg.mn) * 255.0 / (rg.mx - rg.mn) + 0.5) AS BIGINT)))
+       |             END AS code
+       |        FROM ex JOIN rg ON ex.pos = rg.pos)""".stripMargin
+
+  /** [[sq8Ctes]] + the integer-dot serving chain ending in ranked
+    * (qid, nid, score, rank) rows `srk` — shared by q_sq8_topk and
+    * q_sq8_recall. */
+  private def sq8TopkCtes: String =
+    s"""$sq8Ctes,
+       |sdot AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |                CAST(SUM((q.code - n.code) * (q.code - n.code)) AS BIGINT) AS d2
+       |           FROM c q JOIN c n ON q.pos = n.pos
+       |          WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+       |          GROUP BY q.vec_id, n.vec_id),
+       |srk AS (SELECT qid, nid, d2,
+       |               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |                    ORDER BY d2, nid) AS BIGINT) AS rank
+       |          FROM sdot)""".stripMargin
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomJoin, Curation, DataQuality, Dedup,
-  ExactOutliers, Imi, IndexLifecycle, KMeans, Relational, Similarity,
-  Sketches, TextAnalysis}
+  ExactOutliers, Imi, IndexLifecycle, KMeans, Relational, Retrieval,
+  Similarity, Sketches, Sq8, TextAnalysis}
 import graft.sources.Sources
 
 /** Scale-proof run of the heavy query family at sf1-equivalent volume
@@ -1244,6 +1244,138 @@ object ScaleProof {
     results += "ingest_pipeline_10x" -> tPipe
     checks += "ingest_pipeline_replica0_equals_base" -> pipeAgree._1
     checks += "ingest_pipeline_replicas_all_exact" -> pipeAgree._2
+
+    // ---- round 13: BM25 / ragPack / SQ8 / token drift closed forms ----
+
+    // BM25 at reps×: with the df cap scaled by reps the vocabulary and
+    // whole-bit idf are invariant ((R·N) div (R·df) = N div df), and the
+    // integer contribution is invariant ((R·A) div (R·B) = A div B since
+    // numerator and denominator both carry exactly one factor of S or N).
+    // So the FULL 10× scored set is the base scored set expanded: every
+    // base candidate appears once per replica with the SAME score, ranked
+    // by (score desc, doc_id asc). Both sides collected in full —
+    // driver-bounded: ≤ nq·qTerms·dfCap·reps rows.
+    val baseDocsTab = Sources.documents(spark, sfDir)
+    val (bm25Agree, tBm25) = timed {
+      val all = Int.MaxValue
+      val base = Retrieval.bm25TopK(baseDocsTab, k = all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val big = Retrieval.bm25TopK(docs, k = all, dfCap = 50L * reps).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val predicted = base.groupBy(_._1).flatMap { case (qid, rows) =>
+        val expanded = for {
+          (_, d, sc) <- rows.toSeq
+          j <- 0L until reps.toLong
+        } yield (qid, j * 10000000L + d, sc)
+        expanded.sortBy { case (_, d, sc) => (-sc, d) }
+          .zipWithIndex.map { case ((q, d, sc), i) => (q, d, sc, i + 1L) }
+      }.toSet
+      (predicted == big.toSet, base.length, big.length)
+    }
+    results += "bm25_10x" -> tBm25
+    checks += "bm25_scored_set_closed_form" -> bm25Agree._1
+
+    // ragPack at reps×: replicas carry identical text, so the dup
+    // collapse must absorb them — the predicted output is the expanded
+    // ranking collapsed to first-occurrence-per-text with the running
+    // token sum recomputed over survivors. Derived entirely from the base
+    // scored set + base texts/token counts (driver-side on the same
+    // bounded candidate sets as above).
+    val (ragAgree, tRag) = timed {
+      val all = Int.MaxValue
+      val base = Retrieval.bm25TopK(baseDocsTab, k = all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val candIds = base.map(_._2).toSet
+      val meta = baseDocsTab
+        .filter(col("doc_id").isin(candIds.toSeq: _*))
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val predicted = base.groupBy(_._1).flatMap { case (qid, rows) =>
+        val expanded = (for {
+          (_, d, sc) <- rows.toSeq
+          j <- 0L until reps.toLong
+        } yield (j * 10000000L + d, d, sc)).sortBy { case (rid, _, sc) => (-sc, rid) }
+        val seen = scala.collection.mutable.Set.empty[String]
+        var cum = 0L
+        expanded.zipWithIndex.flatMap { case ((rid, baseId, _), i) =>
+          val (text, nt) = meta(baseId)
+          if (seen.add(text)) {
+            cum += nt
+            Some((qid, rid, i + 1L, nt, cum, cum <= 256L))
+          } else None
+        }
+      }.toSet
+      val big = Retrieval.ragPack(docs, k = all, dfCap = 50L * reps).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      (predicted == big, big.size)
+    }
+    results += "ragpack_10x" -> tRag
+    checks += "ragpack_replica_collapse_closed_form" -> ragAgree._1
+
+    // SQ8 at reps×: replication leaves every per-dimension (min, max)
+    // in place, so ranges are invariant and each replica's codes equal
+    // its base vector's codes (checked as exact per-dim aggregates).
+    val (sq8Agree, tSq8) = timed {
+      val baseEmbTab = Sources.embeddings(spark, sfDir)
+        .select("vec_id", "label", "emb")
+      val baseRg = Sq8.ranges(baseEmbTab).collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val bigRg = Sq8.ranges(emb).collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val baseSums = Sq8.codes(baseEmbTab).groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("code").as("sc")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val bigSums = Sq8.codes(emb).groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("code").as("sc")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val rangesOk = bigRg == baseRg
+      val codesOk = bigSums == baseSums.map { case (p, (n, sc)) =>
+        p -> ((n * reps, sc * reps))
+      }
+      // full serving ranking: base pairs expand with invariant integer
+      // d2; the query's OWN replicas (nid = qid + j·1e7, j ≥ 1) join the
+      // candidate set at d2 = 0 — the closed form merges them in
+      val all = Int.MaxValue
+      val basePairs = Sq8.topK(baseEmbTab, k = all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val predicted = basePairs.groupBy(_._1).flatMap { case (qid, rows) =>
+        val expanded = (for {
+          (_, n, d2) <- rows.toSeq
+          j <- 0L until reps.toLong
+        } yield (j * 10000000L + n, d2)) ++
+          (1L until reps.toLong).map(j => (j * 10000000L + qid, 0L))
+        expanded.sortBy { case (n, d2) => (d2, n) }
+          .zipWithIndex.map { case ((n, d2), i) => (qid, n, d2, i + 1L) }
+      }.toSet
+      val bigPairs = Sq8.topK(emb, k = all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      (rangesOk, codesOk, predicted == bigPairs)
+    }
+    results += "sq8_10x" -> tSq8
+    checks += "sq8_ranges_invariant" -> sq8Agree._1
+    checks += "sq8_codes_scale_exactly" -> sq8Agree._2
+    checks += "sq8_full_ranking_closed_form" -> sq8Agree._3
+
+    // token drift at reps×: every count carries one factor of reps, so
+    // the integer numerator scales by reps² exactly and the tvd double
+    // recomputes from the scaled int64s (replayed here op for op).
+    val (tokDriftAgree, tTokDrift) = timed {
+      val base = DataQuality.tokenDriftBySource(baseDocsTab).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val sAllBase = base.values.map(_._1).sum
+      val big = DataQuality.tokenDriftBySource(docs).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val r2 = reps.toLong * reps
+      (big == base.map { case (src, (n, num, _)) =>
+        val (n10, num10) = (n * reps, num * r2)
+        src -> ((n10, num10,
+          num10.toDouble / (2.0 * (sAllBase * reps).toDouble * n10.toDouble)))
+      }, big.size)
+    }
+    results += "token_drift_10x" -> tTokDrift
+    checks += "token_drift_closed_form" -> tokDriftAgree._1
 
     val total = results.values.sum
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.model.StreamParams
 import graft.operators.{AsOfJoin, BloomJoin, Bpe, Clustering, Curation,
   DataQuality, Dedup, ExactOutliers, GridOutliers, IntervalJoin, JoinRouter,
-  KMeans, Layout, Multimodal, Relational, Similarity, Skew, Sketches,
-  TextAnalysis}
+  KMeans, Layout, Multimodal, Relational, Retrieval, Similarity, Skew,
+  Sketches, Sq8, TextAnalysis}
 import graft.sources.Sources
 import graft.streaming.{DedupStream, EmbDedupStream, FrequentItems,
   FrequentItemsStream, ReservoirAgg}
@@ -273,6 +273,18 @@ object SparkEntry {
     "q_join_card" -> ((s, dir) => Relational.joinCardCheck(s, dir)),
     "q_session_stats" -> ((s, dir) => Relational.sessionStats(s, dir)),
     "q_search" -> ((s, dir) => TextAnalysis.keywordSearch(Sources.documents(s, dir))),
+    // BM25 retrieval (integer-scaled whole-bit form — Retrieval scaladoc)
+    // + the composed retrieve->dedup->pack RAG context builder
+    "q_bm25" -> ((s, dir) => Retrieval.bm25TopK(Sources.documents(s, dir))),
+    "q_rag_pipeline" -> ((s, dir) => Retrieval.ragPack(Sources.documents(s, dir))),
+    // SQ8 scalar-quantized ANN tier: trained ranges -> byte codes ->
+    // exact integer-dot serving + recall gauge
+    "q_sq8_codes" -> ((s, dir) => Sq8.codes(Sources.embeddings(s, dir))),
+    "q_sq8_topk" -> ((s, dir) => Sq8.topK(Sources.embeddings(s, dir))),
+    "q_sq8_recall" -> ((s, dir) => Sq8.recall(Sources.embeddings(s, dir))),
+    // per-source token-distribution drift (exact-integer TVD)
+    "q_token_drift" -> ((s, dir) =>
+      DataQuality.tokenDriftBySource(Sources.documents(s, dir))),
     "q_dataset_card" -> ((s, dir) =>
       TextAnalysis.datasetCard(Sources.documents(s, dir))),
     "q_packing_stats" -> ((s, dir) =>

@@ -192,6 +192,47 @@ object DataQuality {
           (col("n_train") * col("n_holdout")).cast("double")).as("ks"))
   }
 
+  /** Per-source token-distribution drift — the corpus-side twin of the
+    * index family's [[Imi.indexDrift]] gauge: for each `source`, the
+    * total-variation distance between that source's token distribution
+    * and the whole corpus's. This is the monitor a training-data
+    * pipeline runs per ingest feed — a source whose language/topic mix
+    * shifts shows up here before any downstream metric moves.
+    *
+    * Determinism: the exact-integer TVD form (the `q_index_drift`
+    * idiom) — numerator Σ_t |S_all·c_src(t) − S_src·c_all(t)| is an
+    * order-free int64 sum over the corpus vocabulary (c_src = 0 for
+    * tokens the source lacks, so the corpus vocab IS the union), and the
+    * only double is the single final division by 2·S_all·S_src.
+    *
+    * Scale shape: two hash aggregations over the token stream (per-token
+    * corpus counts, per-(source, token) counts) + one join on tok —
+    * map-side partials carry the load; the join is |vocab|·|sources| at
+    * worst. Output (source, n_tokens, tvd_num, tvd) ordered by source. */
+  def tokenDriftBySource(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val cAll = toks.groupBy("tok").agg(count(lit(1)).as("c_all"))
+    val cSrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_src"))
+    val sAll = cAll.agg(sum(col("c_all")).as("s_all"))
+    val sSrc = cSrc.groupBy("source").agg(sum(col("c_src")).as("s_src"))
+    // left join FROM the corpus vocab per source: missing (source, tok)
+    // pairs contribute |0 - s_src*c_all| = s_src*c_all via coalesce
+    cAll.crossJoin(broadcast(sSrc))
+      .join(cSrc, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(sAll))
+      .select(col("source"), col("s_src"), col("s_all"),
+        abs(col("s_all") * coalesce(col("c_src"), lit(0L)) -
+          col("s_src") * col("c_all")).as("gap"))
+      .groupBy("source", "s_src", "s_all")
+      .agg(sum(col("gap")).as("tvd_num"))
+      .select(col("source"), col("s_src").as("n_tokens"), col("tvd_num"),
+        (col("tvd_num").cast("double") /
+          (lit(2.0) * col("s_all").cast("double") * col("s_src").cast("double")))
+          .as("tvd"))
+      .orderBy("source")
+  }
+
   /** Embedding norm histogram — the normalization audit for a vector
     * corpus: cosine-based ANN assumes unit-ish norms, and a bimodal or
     * heavy-tailed norm histogram is the first sign of mixed encoders or

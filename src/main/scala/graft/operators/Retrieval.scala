@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document table — the BM25 ranking a
+  * RAG/eval pipeline runs against the same corpus the dedup/curation
+  * operators maintain (beyond the reference, which has no text-retrieval
+  * surface; this is the retrieval-side counterpart of
+  * [[TextAnalysis.tfidfCosinePairs]]'s similarity side).
+  *
+  * Determinism contract (the repo-wide whole-bit discipline — see
+  * [[TextAnalysis.tfidfTopTerms]] for why ln-based scoring cannot hash
+  * cross-engine): BM25's Robertson idf and length normalization are
+  * re-expressed in EXACT integer arithmetic,
+  *
+  *   - idf_t       = floor(log2(N div df_t))  (binary-string length, no
+  *                   libm — boilerplate terms with df > N/2 score 0 and
+  *                   are dropped),
+  *   - k1 = 6/5, b = 3/4 (the standard 1.2/0.75 as exact rationals),
+  *   - contrib(q,d,t) scaled by 2^10 and floor-divided:
+  *
+  *       tfScale·idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/S))
+  *     = (idf·tf·44·S·1024) div (20·tf·S + 6·S + 18·dl·N)
+  *
+  *     with S = Σ dl (total corpus tokens). Every operand is int64; the
+  *     floor division and the ORDER-FREE integer SUM over a query's
+  *     terms make the final score an exact int64, bit-identical across
+  *     engines and invariant to partitioning — the property a
+  *     double-summed BM25 does not have. Int64 headroom: the numerator
+  *     is ≤ idf·tf·44·1024 · S ≈ 2^21·tf·S; the loud `require` below
+  *     guards the gate-scale bound, and the 100 TB deployment note is
+  *     the same as [[TextAnalysis.tfidfCosinePairs]]: lift the two
+  *     products into decimal(38,0) when S approaches 2^40.
+  *
+  * Query derivation is corpus-internal and SQL-replicable: the nq
+  * lowest-doc_id documents are the query set; a query's terms are its
+  * first `qTerms` distinct indexable tokens in token order (indexable =
+  * survives the df cap and has idf ≥ 1). Candidates are every OTHER
+  * document sharing ≥ 1 query term.
+  *
+  * Scale shape: the term table is |q|·qTerms rows — broadcast; the only
+  * shuffle is the (qid, doc) score aggregation over the posting-list
+  * join, whose size is Σ_t df_t ≤ dfCap·|terms| by the cap — linear,
+  * never corpus². Top-k per query is a window over ≤ dfCap·qTerms
+  * candidate rows per query. */
+object Retrieval {
+
+  /** BM25 top-k per derived query: (qid, doc_id, score, rank) with the
+    * integer-scaled score above and the (score desc, doc_id asc)
+    * tie-break. */
+  def bm25TopK(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
+               dfCap: Long = 50L): DataFrame = {
+    val toks = TextAnalysis.tokens(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // indexable vocabulary: df-capped, whole-bit idf ≥ 1
+    val vocab = dfTab.filter(col("df") <= dfCap)
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", (length(bin(expr("n div df"))) - 1).cast("long"))
+      .filter(col("idf") >= 1L)
+      .select("tok", "idf")
+    // query terms: first qTerms indexable tokens of the nq lowest-id docs
+    val qw = Window.partitionBy("qid").orderBy("tok")
+    val terms = tf.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(vocab, "tok")
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select("qid", "tok", "idf")
+    // posting join: candidates share ≥1 term; self excluded
+    val scored = tf.join(broadcast(terms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      // loud int64-headroom guard IN the plan (candidate rows only — ≤
+      // nq·qTerms·dfCap rows): Spark's non-ANSI int64 multiply wraps
+      // silently, so the numerator is re-derived in decimal and compared
+      // (DuckDB's own BIGINT overflow is already loud)
+      .withColumn("_guard", assert_true(
+        col("idf").cast("decimal(38,0)") * col("tf") * lit(44) * col("s") *
+          lit(1024) < lit(Long.MaxValue).cast("decimal(38,0)"),
+        lit("bm25 int64 headroom exceeded: lift the contribution products " +
+          "into decimal(38,0) — see the Retrieval scaladoc")))
+      .withColumn("contrib",
+        expr("(idf * tf * 44 * s * 1024) div (20 * tf * s + 6 * s + 18 * dl * n)"))
+      .filter(col("_guard").isNull) // assert_true returns null — keep all rows
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("contrib")).as("score")) // exact int64 — order-free
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** The COMPOSED retrieval-side pipeline a RAG/eval run executes per
+    * query: BM25 retrieve ([[bm25TopK]]) → collapse exact duplicates
+    * among the retrieved set (identical retrieved texts waste context
+    * budget; the best-ranked copy survives — the retrieval-side instance
+    * of [[Dedup]]'s keeper rule) → greedily pack survivors in rank order
+    * into a fixed token budget. Output one row per surviving retrieved
+    * doc: (qid, doc_id, rank, n_tokens, cum_tokens, packed) — `packed`
+    * marks the prefix that fits the budget, and the unpacked tail stays
+    * in the report (an eval wants to see what the budget cut).
+    *
+    * Everything downstream of the BM25 scores is integer windows
+    * (row_number for the dup collapse, a running int64 sum for the
+    * budget), so the whole composition hash-gates. The per-query window
+    * partitions are ≤ k rows — never a scale concern. */
+  def ragPack(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
+              budget: Long = 256L, dfCap: Long = 50L): DataFrame = {
+    val hits = bm25TopK(docs, nq, qTerms, k, dfCap)
+    val dl = TextAnalysis.tokens(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val dupW = Window.partitionBy("qid", "text").orderBy("rank")
+    val packW = Window.partitionBy("qid").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .join(dl, "doc_id")
+      .withColumn("copy_rn", row_number().over(dupW))
+      .filter(col("copy_rn") === 1) // best-ranked copy of each text survives
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(packW))
+      .select(col("qid"), col("doc_id"), col("rank"), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") <= budget).as("packed"))
+      .orderBy("qid", "rank")
+  }
+}

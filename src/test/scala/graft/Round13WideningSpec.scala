@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DataQuality, Retrieval, Sq8}
+
+/** Round-13 widening: BM25 retrieval + RAG packing, the SQ8 quantized
+  * ANN tier, and the per-source token-drift monitor. The hash gates pin
+  * the values on the real corpus; these specs pin the SEMANTICS on
+  * constructed inputs where the expected behavior is derivable by hand. */
+class Round13WideningSpec extends AnyFunSuite with SharedSpark {
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // ---- BM25 ----
+
+  test("bm25: a matching doc outranks a non-matching one; ranks are contiguous") {
+    // query doc 0 mentions 'zebra'; docs 10/11 contain it, 12 does not
+    val docs = docsOf(
+      0L -> "zebra query words here",
+      10L -> "zebra in the savanna",
+      11L -> "zebra zebra spotted twice",
+      12L -> "nothing relevant at all",
+      13L -> "filler so idf stays sane", 14L -> "more filler text rows",
+      15L -> "yet another filler doc", 16L -> "and one more filler entry")
+    val out = Retrieval.bm25TopK(docs, nq = 1, qTerms = 6, k = 10).collect()
+    val byDoc = out.map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(byDoc.contains(10L) && byDoc.contains(11L),
+      s"docs sharing the query term must be retrieved: ${out.toSeq}")
+    assert(!byDoc.contains(12L),
+      "a doc sharing no query term must not appear")
+    val ranks = out.filter(_.getLong(0) == 0L).map(_.getLong(3)).sorted
+    assert(ranks.toSeq === (1L to ranks.length).toSeq, "contiguous ranks")
+  }
+
+  test("bm25 length normalization: equal tf, shorter doc scores higher") {
+    val filler = (20L to 40L).map(i => i -> s"pad_$i common filler words")
+    val docs = docsOf((Seq(
+      0L -> "needle probe",
+      10L -> "needle short",
+      11L -> ("needle " + Seq.tabulate(30)(i => s"long_$i").mkString(" "))) ++
+      filler): _*)
+    val out = Retrieval.bm25TopK(docs, nq = 1, qTerms = 6, k = 10).collect()
+      .filter(_.getLong(0) == 0L).map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(10L) > out(11L),
+      s"same tf=1 for 'needle': the 2-token doc must outscore the 31-token doc ($out)")
+  }
+
+  test("ragPack: duplicate retrieved texts collapse to the best rank; budget cuts a prefix") {
+    val docs = docsOf(
+      0L -> "needle probe",
+      10L -> "needle alpha text", // dup pair: same text, ids 10 < 11
+      11L -> "needle alpha text",
+      12L -> ("needle " + Seq.tabulate(300)(i => s"w_$i").mkString(" ")),
+      13L -> "needle beta words",
+      14L -> "filler one", 15L -> "filler two", 16L -> "filler three")
+    val out = Retrieval.ragPack(docs, nq = 1, qTerms = 6, k = 10, budget = 20L)
+      .collect()
+    val ids = out.map(_.getLong(1)).toSet
+    assert(!(ids.contains(10L) && ids.contains(11L)),
+      "identical retrieved texts must collapse to one survivor")
+    // packed flag: cumulative sums are monotone; every packed row fits,
+    // and no packed row follows an unpacked one (prefix property)
+    val rows = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(2))
+    val packedFlags = rows.map(_.getBoolean(5))
+    assert(packedFlags.sliding(2).forall(p => p.length < 2 || p(0) || !p(1)),
+      s"packed must be a rank prefix: ${rows.toSeq}")
+    rows.filter(_.getBoolean(5)).foreach(r =>
+      assert(r.getLong(4) <= 20L, s"packed row over budget: $r"))
+  }
+
+  // ---- SQ8 ----
+
+  private def embOf(rows: (Long, Seq[Double])*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "emb")
+  }
+
+  test("sq8 codes: range [0,255], endpoints exact, constant dims encode 0") {
+    val emb = embOf(
+      0L -> Seq(0.0, -1.0, 7.0),
+      1L -> Seq(51.0, 1.0, 7.0),
+      2L -> Seq(102.0, 3.0, 7.0))
+    val codes = Sq8.codes(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(codes.forall { case (_, _, c) => c >= 0L && c <= 255L })
+    val byKey = codes.map { case (v, p, c) => (v, p) -> c }.toMap
+    assert(byKey((0L, 0L)) === 0L && byKey((2L, 0L)) === 255L,
+      "min and max of a dimension must encode 0 and 255")
+    assert(byKey((1L, 0L)) === 128L, "midpoint encodes round(127.5) = 128")
+    assert(Seq(0L, 1L, 2L).forall(v => byKey((v, 2L)) === 0L),
+      "a constant dimension encodes 0")
+  }
+
+  test("sq8 topK reproduces exact L2 ranking on grid-aligned vectors") {
+    // values sit exactly on the 255-step grid of [0, 255] per dim, so
+    // quantization is LOSSLESS and code-L2 == true L2 exactly
+    val emb = embOf(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 0.0), 2L -> Seq(0.0, 20.0),
+      3L -> Seq(100.0, 100.0), 4L -> Seq(255.0, 0.0), 5L -> Seq(0.0, 255.0),
+      6L -> Seq(255.0, 255.0))
+    val out = Sq8.topK(emb, nQueries = 1, k = 6).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getLong(3)).map(_.getLong(1))
+    assert(out.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "lossless quantization must rank exactly as L2")
+    val recall = Sq8.recall(emb, nQueries = 1, k = 6).collect()
+    assert(recall.head.getDouble(2) === 1.0, "lossless grid => recall 1.0")
+  }
+
+  // ---- token drift ----
+
+  test("token drift: a source distributed like the corpus reads ~0; a disjoint one reads its mass complement") {
+    import spark.implicits._
+    // source A: 30 tokens all 'x'; source B: 10 tokens all 'y'
+    // corpus: {x: 30, y: 10} — TVD(A, corpus) = 10/40, TVD(B, corpus) = 30/40
+    val docs = (Seq.tabulate(3)(i => (i.toLong, Seq.fill(10)("x").mkString(" "), "A")) ++
+      Seq((3L, Seq.fill(10)("y").mkString(" "), "B")))
+      .toDF("doc_id", "text", "source")
+    val out = DataQuality.tokenDriftBySource(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (na, numA, tvdA) = out("A")
+    val (nb, numB, tvdB) = out("B")
+    assert(na === 30L && nb === 10L)
+    // numerator = Σ_t |S_all·c_src − S_src·c_all|, S_all = 40
+    // A: t=x |40·30 − 30·30| = 300; t=y |0 − 30·10| = 300 → 600
+    //    tvd = 600 / (2·40·30) = 0.25
+    assert(numA === 600L && tvdA === 0.25)
+    // B: t=x |0 − 10·30| = 300; t=y |40·10 − 10·10| = 300 → 600
+    //    tvd = 600 / (2·40·10) = 0.75
+    assert(numB === 600L && tvdB === 0.75)
+  }
+}
