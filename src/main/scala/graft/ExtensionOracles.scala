@@ -2759,6 +2759,24 @@ object ExtensionOracles {
       s"""WITH $sq8TopkCtes
          |SELECT qid, nid, d2, rank FROM srk
          | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // serve-from-artifact == in-query chain (stored ranges = deterministic
+    // min/max training on the same corpus; shared d2 kernel)
+    "q_sq8_served" ->
+      s"""WITH $sq8TopkCtes
+         |SELECT qid, nid, d2, rank FROM srk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // upsert under FROZEN stored ranges: ranges train on the % 4 <> 3
+    // base split only, the full corpus encodes against them
+    "q_sq8_upsert" ->
+      s"""WITH ${sq8TopkCtesFor("ex.vec_id % 4 <> 3", "TRUE")}
+         |SELECT qid, nid, d2, rank FROM srk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // forgotten ids leave the candidate scan (deleted vectors may still
+    // QUERY — the query set comes from the caller, not the index)
+    "q_sq8_forget" ->
+      s"""WITH ${sq8TopkCtesFor("TRUE", "n.vec_id % 7 <> 2")}
+         |SELECT qid, nid, d2, rank FROM srk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // SQ8 recall@k against the EXACT squared-L2 top-k (code-space L2's
     // own metric — the q_pq_recall truth pairing)
     "q_sq8_recall" ->
@@ -2778,7 +2796,12 @@ object ExtensionOracles {
          |  FROM (SELECT vec_id AS qid FROM e WHERE vec_id < 5) q1
          |  LEFT JOIN h ON q1.qid = h.qid ORDER BY q1.qid""".stripMargin,
     // ---- round 13: per-source token drift (exact-integer TVD) ----
-    "q_token_drift" ->
+    // the streaming replay twin converges to the BATCH answer: same SQL
+    "q_token_drift_stream" -> tokenDriftSql,
+    "q_token_drift" -> tokenDriftSql,
+  )
+
+  private def tokenDriftSql: String =
       s"""WITH t AS (SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS tok
          |             FROM $DOCS d),
          |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_all FROM t GROUP BY tok),
@@ -2793,8 +2816,7 @@ object ExtensionOracles {
          |       CAST(SUM(g) AS BIGINT) AS tvd_num,
          |       CAST(CAST(SUM(g) AS BIGINT) AS DOUBLE) /
          |       (CAST(2 AS DOUBLE) * CAST(s_all AS DOUBLE) * CAST(s_src AS DOUBLE)) AS tvd
-         |  FROM gap GROUP BY source, s_src, s_all ORDER BY source""".stripMargin,
-  )
+         |  FROM gap GROUP BY source, s_src, s_all ORDER BY source""".stripMargin
 
   /** BM25 CTE chain ending in ranked (qid, doc_id, score, rank) rows
     * `rk` (plus `dl` for the pack stage) — shared by q_bm25 and
@@ -2846,15 +2868,31 @@ object ExtensionOracles {
        |             END AS code
        |        FROM ex JOIN rg ON ex.pos = rg.pos)""".stripMargin
 
-  /** [[sq8Ctes]] + the integer-dot serving chain ending in ranked
-    * (qid, nid, score, rank) rows `srk` — shared by q_sq8_topk and
-    * q_sq8_recall. */
-  private def sq8TopkCtes: String =
-    s"""$sq8Ctes,
+  /** [[sq8Ctes]] + the integer code-distance serving chain ending in
+    * ranked (qid, nid, d2, rank) rows `srk` — shared by q_sq8_topk,
+    * q_sq8_recall and the artifact-serve gates. `rangeFilter` restricts
+    * which rows TRAIN the ranges (the frozen-stored-ranges upsert gate);
+    * `candFilter` restricts the candidate scan (the forget gate). */
+  private def sq8TopkCtes: String = sq8TopkCtesFor("TRUE", "TRUE")
+
+  private def sq8TopkCtesFor(rangeFilter: String,
+                             candFilter: String): String =
+    s"""$EMB,
+       |ex AS (SELECT vec_id, unnest(emb) AS x,
+       |              CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS pos
+       |         FROM e),
+       |rg AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex
+       |        WHERE $rangeFilter GROUP BY pos),
+       |c AS (SELECT ex.vec_id, ex.pos,
+       |             CASE WHEN rg.mx = rg.mn THEN CAST(0 AS BIGINT)
+       |                  ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+       |                       CAST(floor((ex.x - rg.mn) * 255.0 / (rg.mx - rg.mn) + 0.5) AS BIGINT)))
+       |             END AS code
+       |        FROM ex JOIN rg ON ex.pos = rg.pos),
        |sdot AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
        |                CAST(SUM((q.code - n.code) * (q.code - n.code)) AS BIGINT) AS d2
        |           FROM c q JOIN c n ON q.pos = n.pos
-       |          WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+       |          WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id AND ($candFilter)
        |          GROUP BY q.vec_id, n.vec_id),
        |srk AS (SELECT qid, nid, d2,
        |               CAST(ROW_NUMBER() OVER (PARTITION BY qid

@@ -1358,6 +1358,62 @@ object ScaleProof {
     checks += "sq8_codes_scale_exactly" -> sq8Agree._2
     checks += "sq8_full_ranking_closed_form" -> sq8Agree._3
 
+    // streaming drift at reps×: the keyed (source, token) count fold is a
+    // pure commutative sum, so draining the REPLICATED replay must equal
+    // the batch monitor on the replicated corpus row for row — the
+    // large-volume route equivalence the ingest family proves for every
+    // streaming twin
+    val (driftStreamAgree, tDriftStream) = timed {
+      val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_scaleproof_drift10").getAbsolutePath
+      docs.select(col("doc_id").cast("long"), col("text"), col("source"))
+        .repartition(8).write.mode("overwrite").parquet(replay)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING, source STRING")
+        .option("maxFilesPerTrigger", 1).parquet(replay)
+      val streamed = graft.streaming.DriftStream
+        .tokenDriftReplay(stream, "scaleproof_drift10").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = DataQuality.tokenDriftBySource(docs).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      streamed == batch
+    }
+    results += "token_drift_stream_10x" -> tDriftStream
+    checks += "token_drift_stream_equals_batch_at_10x" -> driftStreamAgree
+
+    // SQ8 served from a 10×-persisted artifact: ranges are min/max —
+    // invariant under replication — so stored codes replicate and the
+    // artifact serve must equal the closed-form expansion of the BASE
+    // full ranking (query self-copies joining at d2 = 0), truncated to
+    // the serve's k. Binds training → persist → artifact scan → rank at
+    // 10× volume in one check.
+    val (sq8ServedAgree, tSq8Served) = timed {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_scaleproof_sq8").toString
+      Imi.persistIndex(emb, idx)
+      val served = Imi.annSq8Served(emb, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val basePairs = Sq8.topK(Sources.embeddings(spark, sfDir)
+          .select("vec_id", "label", "emb"), k = Int.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val predicted = basePairs.groupBy(_._1).flatMap { case (qid, rows) =>
+        val expanded = (for {
+          (_, n, d2) <- rows.toSeq
+          j <- 0L until reps.toLong
+        } yield (j * 10000000L + n, d2)) ++
+          (1L until reps.toLong).map(j => (j * 10000000L + qid, 0L))
+        expanded.sortBy { case (n, d2) => (d2, n) }
+          .take(10)
+          .zipWithIndex.map { case ((n, d2), i) => (qid, n, d2, i + 1L) }
+      }.toSet
+      predicted == served
+    }
+    results += "sq8_served_10x" -> tSq8Served
+    checks += "sq8_artifact_serve_closed_form" -> sq8ServedAgree
+
     // token drift at reps×: every count carries one factor of reps, so
     // the integer numerator scales by reps² exactly and the tvd double
     // recomputes from the scaled int64s (replayed here op for op).

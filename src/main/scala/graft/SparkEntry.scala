@@ -74,6 +74,18 @@ object SparkEntry {
       .option("maxFilesPerTrigger", 1).parquet(replay)
   }
 
+  /** The document table WITH its source column as a deterministic 4-file
+    * replay — the [[docReplayStream]] treatment for the per-feed drift
+    * monitor (which keys state by (source, token)). */
+  private def docSourceReplayStream(s: SparkSession, dir: String): DataFrame = {
+    val replay = replayFixture("graft_drift_stream", dir, path =>
+      Sources.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"), col("source"))
+        .repartition(4).write.mode("overwrite").parquet(path))
+    s.readStream.schema("doc_id BIGINT, text STRING, source STRING")
+      .option("maxFilesPerTrigger", 1).parquet(replay)
+  }
+
   /** The embeddings table as a deterministic 4-file replay — the
     * [[docReplayStream]] treatment for the embedding ingest screen. */
   private def embReplayStream(s: SparkSession, dir: String): DataFrame = {
@@ -282,9 +294,51 @@ object SparkEntry {
     "q_sq8_codes" -> ((s, dir) => Sq8.codes(Sources.embeddings(s, dir))),
     "q_sq8_topk" -> ((s, dir) => Sq8.topK(Sources.embeddings(s, dir))),
     "q_sq8_recall" -> ((s, dir) => Sq8.recall(Sources.embeddings(s, dir))),
+    // SQ8 tier persisted INTO the versioned index artifact: stored
+    // trained ranges + ~1 B/dim code table, published/compacted/forgotten
+    // with everything else. Fresh full-corpus persist => stored ranges ==
+    // in-query training (deterministic min/max), so serve rides the
+    // q_sq8_topk chain verbatim
+    "q_sq8_served" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_sq8_idx_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.annSq8Served(emb, idx)
+    }),
+    // SQ8 under upsert: the delivery is encoded with the STORED (frozen)
+    // base ranges — the oracle retrains ranges on the base split only and
+    // encodes the full corpus with them (no pins: min/max deterministic)
+    "q_sq8_upsert" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_sq8_up_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+      operators.Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
+      operators.Imi.annSq8Served(emb, idx)
+    }),
+    // SQ8 honors right-to-be-forgotten: tombstoned ids are anti-joined
+    // out of the code-table scan like every other serving tier
+    "q_sq8_forget" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_sq8_fg_${Sources.pathKey(dir)}").getAbsolutePath
+      val emb = Sources.embeddings(s, dir)
+      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.deleteFromIndex(
+        emb.filter(col("vec_id") % 7 === 2).select("vec_id"), idx)
+      operators.Imi.annSq8Served(emb, idx)
+    }),
     // per-source token-distribution drift (exact-integer TVD)
     "q_token_drift" -> ((s, dir) =>
       DataQuality.tokenDriftBySource(Sources.documents(s, dir))),
+    // the streaming twin: keyed (source, token) count state folded over
+    // the document replay; the TVD computed FROM the converged state
+    // equals the batch monitor bit for bit (order-free sum), so it rides
+    // the q_token_drift oracle verbatim
+    "q_token_drift_stream" -> ((s, dir) =>
+      graft.streaming.DriftStream.tokenDriftReplay(
+        docSourceReplayStream(s, dir),
+        s"q_token_drift_stream_${Sources.pathKey(dir)}")),
     "q_dataset_card" -> ((s, dir) =>
       TextAnalysis.datasetCard(Sources.documents(s, dir))),
     "q_packing_stats" -> ((s, dir) =>

@@ -459,6 +459,20 @@ object Imi {
     graft.sources.Sources.writePartitioned(
       memberTable(emb, books).withColumn("code", codeCol),
       new Path(newDir, "members").toString, Seq("scell"))
+    // SQ8 tier (r13): per-dimension trained ranges (2·d scalars — the
+    // stored-books discipline applied to scalar quantization) plus the
+    // byte-code table the serve scans instead of raw vectors. The code
+    // values are ≤ 255, so parquet bit-packs them to ~1 B/dim on disk —
+    // the 8× read-amplification win [[Sq8]] documents, now a column of
+    // the SAME versioned artifact (published, retained, compacted and
+    // tombstone-filtered with everything else).
+    val sq8Ranges = Sq8.ranges(emb.select(col("vec_id"),
+      col("emb").cast("array<double>").as("emb")))
+    sq8Ranges.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(newDir, "sq8_ranges").toString)
+    Sq8.encodeWith(emb.select(col("vec_id").cast("long"),
+        col("emb").cast("array<double>").as("emb")), sq8Ranges)
+      .write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
     // a fresh bootstrap carries no pending deletes BY CONSTRUCTION: the
     // new version starts with an empty deletes table (no clear op to
     // fail half-way — the r11 ADVICE ignored-delete hazard is gone)
@@ -561,12 +575,26 @@ object Imi {
     graft.sources.Sources.writePartitioned(
       assigned, new Path(versionDir, "members").toString,
       Seq("scell"), mode = "append")
+    // SQ8 tier append: encode the delivery with the STORED ranges (the
+    // frozen-books purity — per-row function, so streamed/batched/bulk
+    // deliveries converge to identical code tables) and append. An
+    // artifact persisted before the tier existed has no ranges table:
+    // the tier is absent there, so the append is skipped (serving it
+    // fails loudly in [[annSq8Served]] — never silently partial).
+    val fs = hfs(spark, versionDir.toString)
+    val rangesDir = new Path(versionDir, "sq8_ranges")
+    if (fs.exists(rangesDir)) {
+      val ranges = spark.read.schema("pos INT, mn DOUBLE, mx DOUBLE")
+        .parquet(rangesDir.toString)
+      Sq8.encodeWith(assigned.select(col("vec_id"),
+          col("emb").cast("array<double>").as("emb")), ranges)
+        .write.mode("append").parquet(new Path(versionDir, "sq8").toString)
+    }
     // delivery ledger: one marker per append — BOTH upsert paths (batch
     // and committed-streaming) — the O(1) fragmentation signal
     // [[maintainIndex]] reads (each delivery appended its own file set
     // into every touched cell subtree). Sequential naming is safe under
     // the single-maintenance-writer contract.
-    val fs = hfs(spark, versionDir.toString)
     val ledger = new Path(versionDir, "_deliveries")
     fs.mkdirs(ledger)
     val n = fs.listStatus(ledger).count(_.isFile)
@@ -764,6 +792,26 @@ object Imi {
           s"compaction could not copy $src into $newDir — aborting before " +
             "publish (the old version is untouched)")
     }
+    // SQ8 tier rewrite: the new version's code table is RE-ENCODED from
+    // the live member rows under the carried-forward stored ranges —
+    // members are the single source of truth, so a torn sq8 append (a
+    // crash between the member write and the sq8 write of one delivery,
+    // which the batch-commit recovery marks committed off member presence
+    // alone) HEALS here instead of persisting forever. Pre-r13 artifacts
+    // have no ranges table → no tier, nothing to rebuild.
+    val rangesDir = new Path(curDir, "sq8_ranges")
+    if (fs.exists(rangesDir)) {
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, rangesDir, fs,
+          new Path(newDir, "sq8_ranges"), false,
+          spark.sparkContext.hadoopConfiguration))
+        throw new IllegalStateException(
+          s"compaction could not copy $rangesDir into $newDir — aborting " +
+            "before publish (the old version is untouched)")
+      val ranges = spark.read.schema("pos INT, mn DOUBLE, mx DOUBLE")
+        .parquet(rangesDir.toString)
+      Sq8.encodeWith(live.select(col("vec_id"), col("emb")), ranges)
+        .write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
+    }
     // carry the batch-commit markers forward too (r12 ADVICE, low): the
     // markers are the at-least-once dedup memory of
     // [[upsertIndexCommitted]]. Without them, a micro-batch retried
@@ -922,6 +970,47 @@ object Imi {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** The SQ8 tier served FROM THE STORED ARTIFACT (r13): queries encode
+    * against the RELOADED stored ranges, candidates are the stored code
+    * table with tombstones anti-joined out, ranking is the exact integer
+    * code-space L2 of [[Sq8.topK]] (shared [[Sq8.d2Col]] — the two
+    * rankings cannot diverge). The read path scans ~1 B/dim parquet
+    * codes, never the raw vectors; on a fresh full-corpus persist the
+    * stored ranges equal the in-query training (per-dim MIN/MAX is
+    * deterministic — no pins needed), so `q_sq8_served` rides the
+    * `q_sq8_topk` oracle chain verbatim. Output (qid, nid, d2, rank). */
+  def annSq8Served(emb: DataFrame, path: String, nQueries: Int = 5,
+                   k: Int = 10, version: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val dir = versionDirAt(spark, path, version)
+    val fs = hfs(spark, path)
+    val rangesDir = new Path(dir, "sq8_ranges")
+    if (!fs.exists(rangesDir)) throw new IllegalStateException(
+      s"index at $path has no SQ8 tier (persisted before the tier " +
+        "existed) — re-persist or compact after a re-bootstrap")
+    val ranges = spark.read.schema("pos INT, mn DOUBLE, mx DOUBLE")
+      .parquet(rangesDir.toString)
+    val stored = spark.read.schema("vec_id LONG, qc ARRAY<BIGINT>")
+      .parquet(new Path(dir, "sq8").toString)
+    val cand = (tombstones(spark, dir) match {
+      case Some(del) => stored.join(broadcast(del), Seq("vec_id"), "left_anti")
+      case None => stored
+    }).select(col("vec_id").as("nid"), col("qc"))
+    val q = Sq8.encodeWith(
+        emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").cast("long"), col("emb").cast("array<double>").as("emb")),
+        ranges)
+      .select(col("vec_id").as("qid"), col("qc").as("qq"))
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("nid").asc)
+    cand.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), Sq8.d2Col("qc", "qq").as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "d2", "rank")
       .orderBy("qid", "rank")
   }
 

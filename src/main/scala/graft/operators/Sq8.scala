@@ -62,10 +62,14 @@ object Sq8 {
       least(lit(255L), greatest(lit(0L),
         floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)))))
 
-  /** Codes as an array column (vec_id, qcodes array<long>) — the packed
-    * serving shape (one row per vector, dims in index order). */
-  private def codesArr(emb: DataFrame): DataFrame = {
-    val r = ranges(emb)
+  /** Encode (vec_id, emb) rows against an EXPLICIT ranges table — the
+    * form the persisted index tier uses, where the ranges are the STORED
+    * trained state rather than retrained per call (the stored-books
+    * discipline applied to SQ8). Output (vec_id, qc array<long>, dims in
+    * index order). */
+  private[operators] def encodeWith(emb: DataFrame,
+                                    ranges: DataFrame): DataFrame = {
+    val r = ranges
       .select(array_agg(struct(col("pos"), col("mn"), col("mx"))).as("rs"))
       .select(array_sort(col("rs")).as("rs"))
     emb.crossJoin(broadcast(r))
@@ -76,6 +80,18 @@ object Sq8 {
           "CAST(floor((x - r.mn) * 255.0D / (r.mx - r.mn) + 0.5D) AS BIGINT)))" +
           " END)").as("qc"))
   }
+
+  /** Codes as an array column (vec_id, qcodes array<long>) — the packed
+    * serving shape (one row per vector, dims in index order). */
+  private def codesArr(emb: DataFrame): DataFrame =
+    encodeWith(emb, ranges(emb))
+
+  /** The integer code-space squared distance between two code arrays —
+    * shared by the in-query ranking ([[topK]]) and the artifact serve
+    * ([[Imi.annSq8Served]]) so the two tiers can never rank differently. */
+  private[operators] def d2Col(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
   /** SQ8 top-k per query (queries = the nq lowest vec_ids, self
     * excluded): (qid, nid, d2, rank), d2 = exact integer code distance
@@ -88,9 +104,7 @@ object Sq8 {
     enc.select(col("vec_id").as("nid"), col("qc"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        expr("aggregate(zip_with(qc, qq, (a, b) -> (a - b) * (a - b)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d2"))
+      .select(col("qid"), col("nid"), d2Col("qc", "qq").as("d2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "d2", "rank")

@@ -30,6 +30,12 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     * construction. Every other query must stay free of nested-loop pair
     * spaces. */
   private val deliberateNestedLoop = Set("q_ann_topk", "q_ann_ivf",
+    "q_bm25", "q_rag_pipeline", // SINGLE-ROW corpus (n, s) stats x the posting rows
+    // SQ8 family: the 5-row encoded query side and the 1-row packed-ranges
+    // side broadcast against the code scan, as q_ann_topk
+    "q_sq8_codes", "q_sq8_topk", "q_sq8_recall",
+    "q_sq8_served", "q_sq8_upsert", "q_sq8_forget",
+    "q_token_drift", "q_token_drift_stream", // SINGLE-ROW corpus total x |sources| totals
     "q_hard_negatives", // broadcast query side x candidate scan, as q_ann_topk
 
     "q_ann_recall", // brute-force ground-truth side of the recall measure

@@ -180,6 +180,56 @@ class Round13Spec extends AnyFunSuite with SharedSpark {
       "pruning junk must not touch the published snapshot")
   }
 
+  // ---- the SQ8 tier as a citizen of the versioned artifact ----
+
+  test("sq8 tier: compaction preserves the served ranking and applies forgets") {
+    import spark.implicits._
+    val idx = tmp("graft_r13_sq8_compact")
+    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+    Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
+    val del = emb.filter(col("vec_id") % 7 === 2)
+    val delIds = del.select("vec_id").as[Long].collect().toSet
+    Imi.deleteFromIndex(del.select("vec_id"), idx)
+    val before = Imi.annSq8Served(emb, idx).collect().toSeq
+    assert(before.map(_.getLong(1)).toSet.intersect(delIds).isEmpty,
+      "tombstones must filter the code-table scan logically")
+    Imi.compactIndex(spark, idx)
+    assert(Imi.annSq8Served(emb, idx).collect().toSeq === before,
+      "physical tombstone apply + sq8 rebuild must not change a served row")
+  }
+
+  test("sq8 tier: a torn delivery append heals at the next compaction") {
+    val idx = tmp("graft_r13_sq8_torn")
+    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+    Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
+    val expected = Imi.annSq8Served(emb, idx).collect().toSeq
+    // simulate the crash window: the member append of a delivery landed
+    // but its sq8 append did not — wipe the whole code table (the most
+    // extreme tear) while members stay intact
+    val v = Imi.currentIndexVersion(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/v$v/sq8"), true))
+    // compaction re-encodes the tier from the live MEMBER rows (the
+    // single source of truth) under the carried-forward stored ranges
+    Imi.compactIndex(spark, idx)
+    assert(Imi.annSq8Served(emb, idx).collect().toSeq === expected,
+      "the rebuilt code table must serve exactly what the untorn one did")
+  }
+
+  test("sq8 tier: serving a pre-tier artifact fails loudly, not silently empty") {
+    val idx = tmp("graft_r13_sq8_old")
+    Imi.persistIndex(emb, idx)
+    val v = Imi.currentIndexVersion(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an artifact persisted before the tier existed
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/v$v/sq8_ranges"), true))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/v$v/sq8"), true))
+    val e = intercept[IllegalStateException](Imi.annSq8Served(emb, idx))
+    assert(e.getMessage.contains("no SQ8 tier"))
+  }
+
   // ---- index-upsert stream: restart against a REAL checkpoint (r12
   // verdict #4 — the gates use ephemeral checkpoints, so the committed
   // batchId protection was never exercised across an actual resume) ----
