@@ -2734,6 +2734,18 @@ object ExtensionOracles {
       s"""WITH $bm25Ctes
          |SELECT qid, doc_id, score, rank FROM rk
          | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // serve-from-artifact == the in-query chain (stored counts are exact
+    // integers; same whole-bit idf, same floor-divided contributions)
+    "q_bm25_served" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, doc_id, score, rank FROM rk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // upsert under FROZEN stats: (N, S, df, idf) from the % 4 <> 3 base
+    // split; postings and lengths over the merged corpus
+    "q_bm25_upsert" ->
+      s"""WITH ${bm25CtesFor("doc_id % 4 <> 3")}
+         |SELECT qid, doc_id, score, rank FROM rk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // composed retrieve -> exact-dup collapse -> greedy budget pack
     "q_rag_pipeline" ->
       s"""WITH $bm25Ctes,
@@ -2822,12 +2834,20 @@ object ExtensionOracles {
     * `rk` (plus `dl` for the pack stage) — shared by q_bm25 and
     * q_rag_pipeline so the composed gate packs exactly the ranking
     * q_bm25 hash-verifies. Mirrors [[graft.operators.Retrieval]]. */
-  private def bm25Ctes: String =
+  private def bm25Ctes: String = bm25CtesFor("TRUE")
+
+  /** [[bm25Ctes]] with the collection statistics (doc count, total
+    * tokens, document frequencies — hence idf) restricted to the docs
+    * matching `statsFilter`, while lengths and postings stay
+    * corpus-wide: the FROZEN-statistics upsert gate's oracle. */
+  private def bm25CtesFor(statsFilter: String): String =
     s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
-       |corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+       |corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
+       |           FROM dl WHERE $statsFilter),
        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-       |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |         WHERE $statsFilter GROUP BY tok),
        |voc AS (SELECT tok, CAST(length(bin(n // df)) - 1 AS BIGINT) AS idf
        |          FROM dft, corp
        |         WHERE df <= 50 AND length(bin(n // df)) - 1 >= 1),

@@ -1275,6 +1275,35 @@ object ScaleProof {
     results += "bm25_10x" -> tBm25
     checks += "bm25_scored_set_closed_form" -> bm25Agree._1
 
+    // the persisted lexicon at reps×: stats/df/idf are invariant with the
+    // scaled cap ((R·N) div (R·df) = N div df), so building the artifact
+    // on the replicated corpus and serving from its pruned posting
+    // buckets must equal the SAME closed-form expansion the in-query
+    // check predicts (truncated to the serve's k) — binds tokenize →
+    // persist → bucket-pruned read → score → rank at 10× volume
+    val (lexAgree, tLex) = timed {
+      val lex = java.nio.file.Files
+        .createTempDirectory("graft_scaleproof_lex").toString
+      Retrieval.persistLexicon(docs, lex, dfCap = 50L * reps)
+      val served = Retrieval.bm25Served(docs, lex).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val base = Retrieval.bm25TopK(baseDocsTab, k = Int.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val predicted = base.groupBy(_._1).flatMap { case (qid, rows) =>
+        val expanded = for {
+          (_, d, sc) <- rows.toSeq
+          j <- 0L until reps.toLong
+        } yield (j * 10000000L + d, sc)
+        expanded.sortBy { case (d, sc) => (-sc, d) }
+          .take(10)
+          .zipWithIndex.map { case ((d, sc), i) => (qid, d, sc, i + 1L) }
+      }.toSet
+      predicted == served
+    }
+    results += "bm25_served_10x" -> tLex
+    checks += "lexicon_artifact_serve_closed_form" -> lexAgree
+
     // ragPack at reps×: replicas carry identical text, so the dup
     // collapse must absorb them — the predicted output is the expanded
     // ranking collapsed to first-occurrence-per-text with the running
@@ -1392,7 +1421,7 @@ object ScaleProof {
     val (sq8ServedAgree, tSq8Served) = timed {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_scaleproof_sq8").toString
-      Imi.persistIndex(emb, idx)
+      Imi.persistIndex(emb, idx, withSq8 = true)
       val served = Imi.annSq8Served(emb, idx).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet

@@ -289,6 +289,28 @@ object SparkEntry {
     // + the composed retrieve->dedup->pack RAG context builder
     "q_bm25" -> ((s, dir) => Retrieval.bm25TopK(Sources.documents(s, dir))),
     "q_rag_pipeline" -> ((s, dir) => Retrieval.ragPack(Sources.documents(s, dir))),
+    // the PERSISTED lexicon: build the inverted-index artifact, serve
+    // BM25 from its partition-pruned posting buckets — every stored
+    // number is an exact integer, so the serve rides the q_bm25 oracle
+    // verbatim (no pins)
+    "q_bm25_served" -> ((s, dir) => {
+      val lex = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lex_${Sources.pathKey(dir)}").getAbsolutePath
+      val docs = Sources.documents(s, dir)
+      Retrieval.persistLexicon(docs, lex)
+      Retrieval.bm25Served(docs, lex)
+    }),
+    // incremental document delivery under FROZEN collection statistics
+    // (the frozen-books discipline applied to retrieval): the oracle
+    // recomputes (N, S, df, idf) on the base split only, in plain SQL
+    "q_bm25_upsert" -> ((s, dir) => {
+      val lex = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lex_up_${Sources.pathKey(dir)}").getAbsolutePath
+      val docs = Sources.documents(s, dir)
+      Retrieval.persistLexicon(docs.filter(col("doc_id") % 4 =!= 3), lex)
+      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 4 === 3), lex)
+      Retrieval.bm25Served(docs, lex)
+    }),
     // SQ8 scalar-quantized ANN tier: trained ranges -> byte codes ->
     // exact integer-dot serving + recall gauge
     "q_sq8_codes" -> ((s, dir) => Sq8.codes(Sources.embeddings(s, dir))),
@@ -303,7 +325,7 @@ object SparkEntry {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_sq8_idx_${Sources.pathKey(dir)}").getAbsolutePath
       val emb = Sources.embeddings(s, dir)
-      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.persistIndex(emb, idx, withSq8 = true)
       operators.Imi.annSq8Served(emb, idx)
     }),
     // SQ8 under upsert: the delivery is encoded with the STORED (frozen)
@@ -313,7 +335,8 @@ object SparkEntry {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_sq8_up_${Sources.pathKey(dir)}").getAbsolutePath
       val emb = Sources.embeddings(s, dir)
-      operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+      operators.Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx,
+        withSq8 = true)
       operators.Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
       operators.Imi.annSq8Served(emb, idx)
     }),
@@ -323,7 +346,7 @@ object SparkEntry {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_sq8_fg_${Sources.pathKey(dir)}").getAbsolutePath
       val emb = Sources.embeddings(s, dir)
-      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.persistIndex(emb, idx, withSq8 = true)
       operators.Imi.deleteFromIndex(
         emb.filter(col("vec_id") % 7 === 2).select("vec_id"), idx)
       operators.Imi.annSq8Served(emb, idx)
@@ -451,7 +474,7 @@ object SparkEntry {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_imi_manifest_${Sources.pathKey(dir)}").getAbsolutePath
       val emb = Sources.embeddings(s, dir)
-      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.persistIndex(emb, idx, withSq8 = true)
       operators.Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
       operators.Imi.indexManifest(s, idx)
     }),
@@ -485,7 +508,7 @@ object SparkEntry {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_imi_forget_${Sources.pathKey(dir)}").getAbsolutePath
       val emb = Sources.embeddings(s, dir)
-      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.persistIndex(emb, idx, withSq8 = true)
       operators.Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
       operators.Imi.annImiServed(emb, idx)
     }),
@@ -495,7 +518,7 @@ object SparkEntry {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_imi_forgetc_${Sources.pathKey(dir)}").getAbsolutePath
       val emb = Sources.embeddings(s, dir)
-      operators.Imi.persistIndex(emb, idx)
+      operators.Imi.persistIndex(emb, idx, withSq8 = true)
       operators.Imi.deleteFromIndex(emb.filter(col("vec_id") % 7 === 2), idx)
       operators.Imi.compactIndex(s, idx)
       operators.Imi.annImiServed(emb, idx)

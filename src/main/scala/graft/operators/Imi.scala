@@ -428,7 +428,8 @@ object Imi {
     *     payload, `code` the compressed tier's).
     * Returns the trained coarse books so the caller can serve without
     * re-reading them. */
-  def persistIndex(emb: DataFrame, path: String): Seq[Seq[(Long, Array[Double])]] = {
+  def persistIndex(emb: DataFrame, path: String,
+                   withSq8: Boolean = false): Seq[Seq[(Long, Array[Double])]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val books = productBooks(emb, imiDims(emb)._1)
@@ -436,6 +437,14 @@ object Imi {
     val fs = hfs(spark, path)
     val root = new Path(path)
     val prev = currentVersion(spark, path).map(_._1)
+    // the SQ8 tier is OPT-IN (it costs two extra passes per persist, which
+    // a deployment that never serves it should not pay) but STICKY: a
+    // rebuild over an artifact that carries the tier keeps it — so a
+    // drift-triggered reindex ([[IndexLifecycle]]) retrains the ranges
+    // instead of silently dropping the tier
+    val sq8Tier = withSq8 || currentVersion(spark, path).exists { case (_, d) =>
+      fs.exists(new Path(d, "sq8_ranges"))
+    }
     // build the ENTIRE new version subtree before the marker lands: a
     // crash mid-write leaves the previous version untouched and this one
     // as unpublished junk (pruned at the next publish) — the atomic
@@ -459,20 +468,22 @@ object Imi {
     graft.sources.Sources.writePartitioned(
       memberTable(emb, books).withColumn("code", codeCol),
       new Path(newDir, "members").toString, Seq("scell"))
-    // SQ8 tier (r13): per-dimension trained ranges (2·d scalars — the
-    // stored-books discipline applied to scalar quantization) plus the
-    // byte-code table the serve scans instead of raw vectors. The code
-    // values are ≤ 255, so parquet bit-packs them to ~1 B/dim on disk —
-    // the 8× read-amplification win [[Sq8]] documents, now a column of
-    // the SAME versioned artifact (published, retained, compacted and
-    // tombstone-filtered with everything else).
-    val sq8Ranges = Sq8.ranges(emb.select(col("vec_id"),
-      col("emb").cast("array<double>").as("emb")))
-    sq8Ranges.coalesce(1).write.mode("overwrite")
-      .parquet(new Path(newDir, "sq8_ranges").toString)
-    Sq8.encodeWith(emb.select(col("vec_id").cast("long"),
-        col("emb").cast("array<double>").as("emb")), sq8Ranges)
-      .write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
+    // SQ8 tier (r13, opt-in — see sq8Tier above): per-dimension trained
+    // ranges (2·d scalars — the stored-books discipline applied to scalar
+    // quantization) plus the byte-code table the serve scans instead of
+    // raw vectors. The code values are ≤ 255, so parquet bit-packs them
+    // to ~1 B/dim on disk — the 8× read-amplification win [[Sq8]]
+    // documents, now a table of the SAME versioned artifact (published,
+    // retained, compacted and tombstone-filtered with everything else).
+    if (sq8Tier) {
+      val sq8Ranges = Sq8.ranges(emb.select(col("vec_id"),
+        col("emb").cast("array<double>").as("emb")))
+      sq8Ranges.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(newDir, "sq8_ranges").toString)
+      Sq8.encodeWith(emb.select(col("vec_id").cast("long"),
+          col("emb").cast("array<double>").as("emb")), sq8Ranges)
+        .write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
+    }
     // a fresh bootstrap carries no pending deletes BY CONSTRUCTION: the
     // new version starts with an empty deletes table (no clear op to
     // fail half-way — the r11 ADVICE ignored-delete hazard is gone)

@@ -130,4 +130,176 @@ object Retrieval {
         col("cum_tokens"), (col("cum_tokens") <= budget).as("packed"))
       .orderBy("qid", "rank")
   }
+
+  // --------------------------------------------------------------------
+  // The PERSISTED LEXICON — the retrieval family's stored artifact (the
+  // [[Imi.persistIndex]] story applied to BM25): a deployment does not
+  // re-tokenize 100 TB per query batch; it ships an inverted index and
+  // serves from it. Layout at `path`:
+  //
+  //   path/_PUBLISHED       atomic publish marker (created LAST — the
+  //                         crash-mid-write discipline of the ANN
+  //                         artifact; a serve against an unpublished
+  //                         lexicon fails loudly)
+  //   path/stats            (n, s): corpus doc count + total tokens — 1 row
+  //   path/dl               (doc_id, dl): per-doc lengths
+  //   path/vocab            (tok, df, idf): the df-capped indexable
+  //                         vocabulary with whole-bit idf
+  //   path/postings         (tok, doc_id, tf) partitioned by
+  //                         bucket = pmod(h60(tok), 64): a query's terms
+  //                         resolve to ≤ |terms| buckets, so the serve
+  //                         reads a DIRECTORY-PRUNED slice of the posting
+  //                         table, never a scan — the partition-pruning
+  //                         shape a 100 TB posting table needs.
+  //
+  // Every stored number is an exact integer (counts, whole-bit idf), so
+  // serving from the artifact is bit-identical to the in-query chain —
+  // `q_bm25_served` rides the `q_bm25` oracle verbatim, no pins.
+  // --------------------------------------------------------------------
+
+  private val Published = "_PUBLISHED"
+  private val PostingBuckets = 64
+
+  private def lexFs(df: DataFrame, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** Build and atomically publish the lexicon artifact. Single-version:
+    * a rebuild deletes the root first (so no stale posting bucket can
+    * survive a corpus that stopped touching it) and the marker lands
+    * LAST — a crash mid-rebuild leaves an unpublished tree that the next
+    * rebuild clears and [[bm25Served]] refuses to read. The multi-version
+    * retained-snapshot pattern is [[Imi]]'s; the lexicon keeps the
+    * single-publish shape a batch-rebuilt artifact needs. */
+  def persistLexicon(docs: DataFrame, path: String, dfCap: Long = 50L): Unit = {
+    lexFs(docs, path).delete(new org.apache.hadoop.fs.Path(path), true): Unit
+    val toks = TextAnalysis.tokens(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val vocab = dfTab.filter(col("df") <= dfCap)
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", (length(bin(expr("n div df"))) - 1).cast("long"))
+      .filter(col("idf") >= 1L)
+      .select("tok", "df", "idf")
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    dl.write.mode("overwrite").parquet(s"$path/dl")
+    vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    graft.sources.Sources.writePartitioned(
+      tf.join(vocab.select("tok"), "tok") // only indexable terms stored
+        .withColumn("bucket",
+          pmod(graft.functions.Hashes.h60(col("tok")), lit(PostingBuckets.toLong)))
+        .select("bucket", "tok", "doc_id", "tf"),
+      s"$path/postings", Seq("bucket"))
+    val out = lexFs(docs, path).create(
+      new org.apache.hadoop.fs.Path(path, Published), false)
+    out.close()
+  }
+
+  /** BM25 top-k served FROM the stored lexicon: query terms derive from
+    * the caller's query documents exactly as [[bm25TopK]] does, resolve
+    * against the STORED vocabulary, and score only the posting rows of
+    * the terms' hash buckets (collected driver-side first — ≤ nq·qTerms
+    * rows, the driver-bounded step that turns the bucket set into
+    * partition-pruning literals). Output identical to [[bm25TopK]]. */
+  def bm25Served(docs: DataFrame, path: String, nq: Int = 5, qTerms: Int = 6,
+                 k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    if (!lexFs(docs, path).exists(
+        new org.apache.hadoop.fs.Path(path, Published)))
+      throw new IllegalStateException(
+        s"no published lexicon at $path — persistLexicon first")
+    val stats = spark.read.schema("n BIGINT, s BIGINT").parquet(s"$path/stats")
+    val dl = spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(s"$path/dl")
+    val vocab = spark.read.schema("tok STRING, df BIGINT, idf BIGINT")
+      .parquet(s"$path/vocab")
+    val qw = Window.partitionBy("qid").orderBy("tok")
+    // driver-bounded: ≤ nq·qTerms term rows — the literal bucket list the
+    // posting read prunes on
+    val terms = TextAnalysis.tokens(docs.filter(col("doc_id") < nq))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_q"))
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(vocab.select("tok", "idf"), "tok")
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select(col("qid"), col("tok"), col("idf"),
+        pmod(graft.functions.Hashes.h60(col("tok")),
+          lit(PostingBuckets.toLong)).as("bucket"))
+      .localCheckpoint()
+    val buckets = terms.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val postings = spark.read
+      .schema("tok STRING, doc_id BIGINT, tf BIGINT, bucket BIGINT")
+      .parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*)) // directory-level pruning
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    postings
+      .join(broadcast(terms.select("qid", "tok", "idf")), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        expr("(idf * tf * 44 * s * 1024) div (20 * tf * s + 6 * s + 18 * dl * n)"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** Test seam: the posting buckets a serve for `docs`'s first `nq`
+    * query documents would read — so the pruning spec can delete every
+    * OTHER bucket and prove the serve never touches them. Driver-bounded
+    * (≤ nq·qTerms rows). */
+  private[graft] def queryBucketsForTest(docs: DataFrame, path: String,
+                                         nq: Int = 5,
+                                         qTerms: Int = 6): Set[Long] = {
+    val spark = docs.sparkSession
+    val vocab = spark.read.schema("tok STRING, df BIGINT, idf BIGINT")
+      .parquet(s"$path/vocab")
+    val qw = Window.partitionBy("qid").orderBy("tok")
+    TextAnalysis.tokens(docs.filter(col("doc_id") < nq))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_q"))
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(vocab.select("tok"), "tok")
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select(pmod(graft.functions.Hashes.h60(col("tok")),
+        lit(PostingBuckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Incremental document delivery into the stored lexicon under FROZEN
+    * statistics — the [[Imi.upsertIndex]] frozen-books discipline applied
+    * to retrieval: new documents gain posting rows and length entries
+    * (pure per-doc functions of the delivery), while (N, S, df, idf) stay
+    * the bootstrap artifact. This is how production lexicons actually
+    * serve between stat-refresh cycles: scores over the merged corpus are
+    * computed under slightly-stale collection statistics, and the staleness
+    * is repaid at the next [[persistLexicon]] rebuild (the compaction
+    * analogy). Because every stored number is frozen or a pure function,
+    * upsert-then-serve is bit-identical to one bulk build with base-split
+    * statistics — which is what `q_bm25_upsert` hash-gates in plain SQL,
+    * no pins. */
+  def upsertLexicon(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    if (!lexFs(delta, path).exists(
+        new org.apache.hadoop.fs.Path(path, Published)))
+      throw new IllegalStateException(
+        s"no published lexicon at $path — persistLexicon first")
+    val vocab = spark.read.schema("tok STRING, df BIGINT, idf BIGINT")
+      .parquet(s"$path/vocab")
+    val toks = TextAnalysis.tokens(delta)
+    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(s"$path/dl")
+    graft.sources.Sources.writePartitioned(
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .join(vocab.select("tok"), "tok")
+        .withColumn("bucket",
+          pmod(graft.functions.Hashes.h60(col("tok")), lit(PostingBuckets.toLong)))
+        .select("bucket", "tok", "doc_id", "tf"),
+      s"$path/postings", Seq("bucket"), mode = "append")
+  }
 }

@@ -185,7 +185,7 @@ class Round13Spec extends AnyFunSuite with SharedSpark {
   test("sq8 tier: compaction preserves the served ranking and applies forgets") {
     import spark.implicits._
     val idx = tmp("graft_r13_sq8_compact")
-    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx, withSq8 = true)
     Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
     val del = emb.filter(col("vec_id") % 7 === 2)
     val delIds = del.select("vec_id").as[Long].collect().toSet
@@ -200,7 +200,7 @@ class Round13Spec extends AnyFunSuite with SharedSpark {
 
   test("sq8 tier: a torn delivery append heals at the next compaction") {
     val idx = tmp("graft_r13_sq8_torn")
-    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx)
+    Imi.persistIndex(emb.filter(col("vec_id") % 4 =!= 3), idx, withSq8 = true)
     Imi.upsertIndex(emb.filter(col("vec_id") % 4 === 3), idx)
     val expected = Imi.annSq8Served(emb, idx).collect().toSeq
     // simulate the crash window: the member append of a delivery landed
@@ -219,13 +219,7 @@ class Round13Spec extends AnyFunSuite with SharedSpark {
 
   test("sq8 tier: serving a pre-tier artifact fails loudly, not silently empty") {
     val idx = tmp("graft_r13_sq8_old")
-    Imi.persistIndex(emb, idx)
-    val v = Imi.currentIndexVersion(spark, idx)
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate an artifact persisted before the tier existed
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/v$v/sq8_ranges"), true))
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/v$v/sq8"), true))
+    Imi.persistIndex(emb, idx) // tier NOT requested — the pre-tier shape
     val e = intercept[IllegalStateException](Imi.annSq8Served(emb, idx))
     assert(e.getMessage.contains("no SQ8 tier"))
   }

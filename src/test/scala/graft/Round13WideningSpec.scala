@@ -112,6 +112,60 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
     assert(recall.head.getDouble(2) === 1.0, "lossless grid => recall 1.0")
   }
 
+  // ---- the persisted lexicon ----
+
+  test("lexicon: serve refuses an unpublished artifact; prunes to the query terms' buckets") {
+    val docs = docsOf(
+      0L -> "needle probe",
+      10L -> "needle alpha", 11L -> "needle beta gamma",
+      12L -> "unrelated words entirely", 13L -> "more unrelated filler",
+      14L -> "padding one", 15L -> "padding two")
+    val lex = java.nio.file.Files.createTempDirectory("graft_r13_lex").toString
+    val e = intercept[IllegalStateException](
+      graft.operators.Retrieval.bm25Served(docs, lex))
+    assert(e.getMessage.contains("no published lexicon"))
+    graft.operators.Retrieval.persistLexicon(docs, lex)
+    val served = graft.operators.Retrieval.bm25Served(docs, lex, nq = 1)
+    val expected = served.collect().toSeq
+    assert(expected.map(_.getLong(1)).toSet === Set(10L, 11L),
+      s"only needle-bearing docs retrieve: $expected")
+    // partition-pruning semantics: delete every posting bucket the query
+    // terms do NOT hash to — the serve must not notice (it never reads
+    // them); pruning is what makes a 100 TB posting table affordable
+    val needed = graft.operators.Retrieval
+      .queryBucketsForTest(docs, lex, nq = 1)
+    val fs = new org.apache.hadoop.fs.Path(lex)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$lex/postings"))
+      .filter(_.isDirectory)
+      .filterNot(st => needed.exists(b => st.getPath.getName == s"bucket=$b"))
+      .foreach(st => assert(fs.delete(st.getPath, true)))
+    assert(graft.operators.Retrieval.bm25Served(docs, lex, nq = 1)
+      .collect().toSeq === expected,
+      "serving must only touch the query terms' buckets")
+  }
+
+  test("lexicon upsert: new docs retrieve, collection statistics stay frozen") {
+    val base = docsOf(
+      0L -> "needle probe",
+      10L -> "needle alpha", 12L -> "unrelated words entirely",
+      13L -> "more unrelated filler", 14L -> "padding one")
+    val delta = docsOf(20L -> "needle fresh arrival")
+    val lex = java.nio.file.Files.createTempDirectory("graft_r13_lexup").toString
+    graft.operators.Retrieval.persistLexicon(base, lex)
+    val statsBefore = spark.read.parquet(s"$lex/stats").collect().toSeq
+    val vocabBefore = spark.read.parquet(s"$lex/vocab").collect().toSeq
+    graft.operators.Retrieval.upsertLexicon(delta, lex)
+    assert(spark.read.parquet(s"$lex/stats").collect().toSeq === statsBefore,
+      "upsert must not touch (N, S)")
+    assert(spark.read.parquet(s"$lex/vocab").collect().toSeq === vocabBefore,
+      "upsert must not touch (df, idf)")
+    val all = base.union(delta)
+    val ids = graft.operators.Retrieval.bm25Served(all, lex, nq = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(ids.contains(20L), "the upserted doc must be retrievable")
+  }
+
   // ---- token drift ----
 
   test("token drift: a source distributed like the corpus reads ~0; a disjoint one reads its mass complement") {
