@@ -105,6 +105,15 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
       s"IMI candidate join must broadcast the probe side on (scell, sub):\n$plan")
   }
 
+  test("the lexicon serve prunes the posting read to the query terms' buckets") {
+    // the partition filter must reach the SCAN (directory-level pruning),
+    // not run as a post-scan filter — the property that makes a 100 TB
+    // posting table affordable; the artifact is (re)built by the gate
+    val plan = planOf("q_bm25_served")
+    assert("PartitionFilters: \\[[^\\]]*bucket#".r.findFirstIn(plan).isDefined,
+      s"q_bm25_served must prune posting buckets at the scan:\n$plan")
+  }
+
   test("selective scans push their filters into the parquet reader") {
     val plan = planOf("q1_pricing")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
