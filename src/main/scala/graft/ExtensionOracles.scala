@@ -2740,6 +2740,37 @@ object ExtensionOracles {
       s"""WITH $bm25Ctes
          |SELECT qid, doc_id, score, rank FROM rk
          | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // upsert -> trigger -> rebuild: after the remedy the statistics are
+    // the full corpus's again, so the serve IS the q_bm25 chain
+    "q_lexicon_lifecycle" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, doc_id, score, rank FROM rk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // P/R@10 against the term-overlap pseudo-relevance set (>= 2 shared
+    // distinct indexable query terms; NOT what BM25 optimizes, so the
+    // gauge discriminates rankings rather than echoing the score)
+    "q_retrieval_eval" ->
+      s"""WITH $bm25Ctes,
+         |rel AS (SELECT tm.qid, tf.doc_id
+         |          FROM tf JOIN terms tm ON tf.tok = tm.tok
+         |         WHERE tf.doc_id <> tm.qid
+         |         GROUP BY tm.qid, tf.doc_id
+         |        HAVING COUNT(DISTINCT tf.tok) >= 2),
+         |nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+         |h AS (SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |        FROM rk r JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+         |       WHERE r.rank <= 10 GROUP BY r.qid),
+         |qs AS (SELECT DISTINCT doc_id AS qid FROM tf WHERE doc_id < 5)
+         |SELECT qs.qid,
+         |       COALESCE(nr.n_rel, CAST(0 AS BIGINT)) AS n_rel,
+         |       COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS precision,
+         |       CASE WHEN COALESCE(nr.n_rel, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE CAST(COALESCE(h.hits, 0) AS DOUBLE) /
+         |                 CAST(COALESCE(nr.n_rel, 1) AS DOUBLE) END AS recall
+         |  FROM qs
+         |  LEFT JOIN nr ON qs.qid = nr.qid
+         |  LEFT JOIN h ON qs.qid = h.qid ORDER BY qs.qid""".stripMargin,
     // upsert under FROZEN stats: (N, S, df, idf) from the % 4 <> 3 base
     // split; postings and lengths over the merged corpus
     "q_bm25_upsert" ->
@@ -2750,10 +2781,13 @@ object ExtensionOracles {
     "q_rag_pipeline" ->
       s"""WITH $bm25Ctes,
          |hits AS (SELECT qid, doc_id, score, rank FROM rk WHERE rank <= 10),
-         |hx AS (SELECT h.qid, h.doc_id, h.rank, d2.text, dl.dl AS n_tokens
+         |wc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |                 FROM $DOCS) GROUP BY doc_id),
+         |hx AS (SELECT h.qid, h.doc_id, h.rank, d2.text, wc.n_tokens
          |         FROM hits h
          |         JOIN $DOCS d2 ON h.doc_id = d2.doc_id
-         |         JOIN dl ON h.doc_id = dl.doc_id),
+         |         JOIN wc ON h.doc_id = wc.doc_id),
          |ded AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, text ORDER BY rank) AS copy_rn
          |          FROM hx),
          |pk AS (SELECT qid, doc_id, rank, n_tokens,
@@ -2841,7 +2875,10 @@ object ExtensionOracles {
     * matching `statsFilter`, while lengths and postings stay
     * corpus-wide: the FROZEN-statistics upsert gate's oracle. */
   private def bm25CtesFor(statsFilter: String): String =
-    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $DOCS),
+    s"""ba AS (SELECT doc_id, string_split(text, ' ') AS a FROM $DOCS
+       |        WHERE len(string_split(text, ' ')) >= 2),
+       |t AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS tok
+       |        FROM ba, unnest(range(1, len(a))) AS u(i)),
        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
        |corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s
        |           FROM dl WHERE $statsFilter),
@@ -2850,7 +2887,7 @@ object ExtensionOracles {
        |         WHERE $statsFilter GROUP BY tok),
        |voc AS (SELECT tok, CAST(length(bin(n // df)) - 1 AS BIGINT) AS idf
        |          FROM dft, corp
-       |         WHERE df <= 50 AND length(bin(n // df)) - 1 >= 1),
+       |         WHERE df * 10 <= n AND length(bin(n // df)) - 1 >= 1),
        |terms AS (SELECT qid, tok, idf FROM (
        |            SELECT tf.doc_id AS qid, tf.tok, v.idf,
        |                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tok) AS rn

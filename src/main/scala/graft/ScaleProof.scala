@@ -1247,26 +1247,69 @@ object ScaleProof {
 
     // ---- round 13: BM25 / ragPack / SQ8 / token drift closed forms ----
 
-    // BM25 at reps×: with the df cap scaled by reps the vocabulary and
+    val baseDocsTab = Sources.documents(spark, sfDir)
+
+    // Self-copy scores for the BM25-family closed forms: at reps× the
+    // query docs' replicas are CANDIDATES (self-exclusion is by id, and a
+    // replica of the query doc is a different id carrying the same text),
+    // so the predictions need the score a copy of query q earns against
+    // q's own terms — derived driver-side from the base aggregates with
+    // the same integer formula (replication-invariant, so the base-(N, S)
+    // evaluation equals the 10× value exactly).
+    def bm25SelfScores(): (Map[Long, Long], Map[Long, (String, Long)]) = {
+      val bg = Retrieval.bigrams(baseDocsTab.select(col("doc_id"), col("text")))
+      val tfAll = bg.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dlTab = bg.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corp = dlTab.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+      val (nB, sB) = (corp.getLong(0), corp.getLong(1))
+      val dfTab = tfAll.groupBy("tok").agg(count(lit(1)).as("df"))
+      val qrows = tfAll.filter(col("doc_id") < 5).join(dfTab, "tok")
+        .select("doc_id", "tok", "tf", "df").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val dlQ = dlTab.filter(col("doc_id") < 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def idfOf(df: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(nB / df)
+      val scores = qrows.groupBy(_._1).map { case (q, rows) =>
+        val terms = rows.toSeq
+          .filter { case (_, _, _, df) => df * 10 <= nB && idfOf(df) >= 1 }
+          .sortBy(_._2).take(6)
+        val dl = dlQ(q)
+        q -> terms.map { case (_, _, tf, df) =>
+          (idfOf(df) * tf * 44L * sB * 1024L) /
+            (20L * tf * sB + 6L * sB + 18L * dl * nB)
+        }.sum
+      }
+      val qMeta = baseDocsTab.filter(col("doc_id") < 5)
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      (scores, qMeta)
+    }
+    val (selfScores, qMeta) = bm25SelfScores()
+
+    // BM25 at reps×: under the FRACTIONAL df cap the vocabulary and
     // whole-bit idf are invariant ((R·N) div (R·df) = N div df), and the
     // integer contribution is invariant ((R·A) div (R·B) = A div B since
     // numerator and denominator both carry exactly one factor of S or N).
     // So the FULL 10× scored set is the base scored set expanded: every
     // base candidate appears once per replica with the SAME score, ranked
     // by (score desc, doc_id asc). Both sides collected in full —
-    // driver-bounded: ≤ nq·qTerms·dfCap·reps rows.
-    val baseDocsTab = Sources.documents(spark, sfDir)
+    // driver-bounded: ≤ nq·qTerms·(N/10)·reps rows.
     val (bm25Agree, tBm25) = timed {
       val all = Int.MaxValue
       val base = Retrieval.bm25TopK(baseDocsTab, k = all).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val big = Retrieval.bm25TopK(docs, k = all, dfCap = 50L * reps).collect()
+      // fractional df cap: the indexable set is scale-invariant by
+      // construction (R·df·den ≤ R·N ⇔ df·den ≤ N) — no cap scaling needed
+      val big = Retrieval.bm25TopK(docs, k = all).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val predicted = base.groupBy(_._1).flatMap { case (qid, rows) =>
-        val expanded = for {
+        val expanded = (for {
           (_, d, sc) <- rows.toSeq
           j <- 0L until reps.toLong
-        } yield (qid, j * 10000000L + d, sc)
+        } yield (qid, j * 10000000L + d, sc)) ++
+          (1L until reps.toLong).map(j =>
+            (qid, j * 10000000L + qid, selfScores(qid)))
         expanded.sortBy { case (_, d, sc) => (-sc, d) }
           .zipWithIndex.map { case ((q, d, sc), i) => (q, d, sc, i + 1L) }
       }.toSet
@@ -1275,8 +1318,8 @@ object ScaleProof {
     results += "bm25_10x" -> tBm25
     checks += "bm25_scored_set_closed_form" -> bm25Agree._1
 
-    // the persisted lexicon at reps×: stats/df/idf are invariant with the
-    // scaled cap ((R·N) div (R·df) = N div df), so building the artifact
+    // the persisted lexicon at reps×: stats/df/idf are invariant under the
+    // fractional cap ((R·N) div (R·df) = N div df), so building the artifact
     // on the replicated corpus and serving from its pruned posting
     // buckets must equal the SAME closed-form expansion the in-query
     // check predicts (truncated to the serve's k) — binds tokenize →
@@ -1284,17 +1327,19 @@ object ScaleProof {
     val (lexAgree, tLex) = timed {
       val lex = java.nio.file.Files
         .createTempDirectory("graft_scaleproof_lex").toString
-      Retrieval.persistLexicon(docs, lex, dfCap = 50L * reps)
+      Retrieval.persistLexicon(docs, lex)
       val served = Retrieval.bm25Served(docs, lex).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       val base = Retrieval.bm25TopK(baseDocsTab, k = Int.MaxValue).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val predicted = base.groupBy(_._1).flatMap { case (qid, rows) =>
-        val expanded = for {
+        val expanded = (for {
           (_, d, sc) <- rows.toSeq
           j <- 0L until reps.toLong
-        } yield (j * 10000000L + d, sc)
+        } yield (j * 10000000L + d, sc)) ++
+          (1L until reps.toLong).map(j =>
+            (j * 10000000L + qid, selfScores(qid)))
         expanded.sortBy { case (d, sc) => (-sc, d) }
           .take(10)
           .zipWithIndex.map { case ((d, sc), i) => (qid, d, sc, i + 1L) }
@@ -1321,21 +1366,24 @@ object ScaleProof {
           size(split(col("text"), " ")).cast("long").as("nt"))
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       val predicted = base.groupBy(_._1).flatMap { case (qid, rows) =>
-        val expanded = (for {
+        val expanded = ((for {
           (_, d, sc) <- rows.toSeq
           j <- 0L until reps.toLong
-        } yield (j * 10000000L + d, d, sc)).sortBy { case (rid, _, sc) => (-sc, rid) }
+        } yield (j * 10000000L + d, d, sc)) ++
+          (1L until reps.toLong).map(j =>
+            (j * 10000000L + qid, -1L, selfScores(qid)))
+          ).sortBy { case (rid, _, sc) => (-sc, rid) }
         val seen = scala.collection.mutable.Set.empty[String]
         var cum = 0L
         expanded.zipWithIndex.flatMap { case ((rid, baseId, _), i) =>
-          val (text, nt) = meta(baseId)
+          val (text, nt) = if (baseId == -1L) qMeta(qid) else meta(baseId)
           if (seen.add(text)) {
             cum += nt
             Some((qid, rid, i + 1L, nt, cum, cum <= 256L))
           } else None
         }
       }.toSet
-      val big = Retrieval.ragPack(docs, k = all, dfCap = 50L * reps).collect()
+      val big = Retrieval.ragPack(docs, k = all).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getBoolean(5))).toSet
       (predicted == big, big.size)

@@ -300,6 +300,25 @@ object SparkEntry {
       Retrieval.persistLexicon(docs, lex)
       Retrieval.bm25Served(docs, lex)
     }),
+    // the CLOSED lexicon lifecycle: upsert accrues staleness under the
+    // frozen statistics, the exact-integer trigger fires, the rebuild
+    // remedy retrains the statistics over the grown corpus — after which
+    // serving equals the full-corpus chain (the q_bm25 oracle verbatim)
+    "q_lexicon_lifecycle" -> ((s, dir) => {
+      val lex = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lex_lc_${Sources.pathKey(dir)}").getAbsolutePath
+      val docs = Sources.documents(s, dir)
+      Retrieval.persistLexicon(docs.filter(col("doc_id") % 4 =!= 3), lex)
+      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 4 === 3), lex)
+      // delta/base = 1/3 > 1/5: the trigger must fire and rebuild
+      require(Retrieval.maintainLexicon(docs, lex) == "rebuild",
+        "lexicon lifecycle gate: the staleness trigger must fire")
+      Retrieval.bm25Served(docs, lex)
+    }),
+    // BM25 quality gauge: precision/recall@10 against the deterministic
+    // term-overlap pseudo-relevance set (>= 2 shared indexable terms)
+    "q_retrieval_eval" -> ((s, dir) =>
+      Retrieval.retrievalEval(Sources.documents(s, dir))),
     // incremental document delivery under FROZEN collection statistics
     // (the frozen-books discipline applied to retrieval): the oracle
     // recomputes (N, S, df, idf) on the base split only, in plain SQL

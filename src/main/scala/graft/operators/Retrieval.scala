@@ -37,29 +37,50 @@ import org.apache.spark.sql.functions._
   * Query derivation is corpus-internal and SQL-replicable: the nq
   * lowest-doc_id documents are the query set; a query's terms are its
   * first `qTerms` distinct indexable tokens in token order (indexable =
-  * survives the df cap and has idf ≥ 1). Candidates are every OTHER
+  * df ≤ N/dfCapDen and idf ≥ 1). Candidates are every OTHER
   * document sharing ≥ 1 query term.
   *
   * Scale shape: the term table is |q|·qTerms rows — broadcast; the only
   * shuffle is the (qid, doc) score aggregation over the posting-list
-  * join, whose size is Σ_t df_t ≤ dfCap·|terms| by the cap — linear,
-  * never corpus². Top-k per query is a window over ≤ dfCap·qTerms
-  * candidate rows per query. */
+  * join, whose size is Σ_t df_t ≤ (N/dfCapDen)·|terms| by the cap —
+  * linear, never corpus². Top-k per query is a window over
+  * ≤ (N/dfCapDen)·qTerms candidate rows per query. */
 object Retrieval {
+
+  /** The retrieval TERM UNIT: word bigrams. The synthetic corpus (and
+    * many real ones after aggressive normalization) has a tiny unigram
+    * vocabulary where almost every word is boilerplate-common — term
+    * statistics are bimodal and single-word retrieval degenerates. Word
+    * bigrams give a rich vocabulary with genuine document-frequency
+    * spread (phrase-level retrieval — the standard n-gram lexical
+    * fallback), and every downstream formula is term-unit-agnostic:
+    * lengths, frequencies and idf all live in bigram space. (doc_id, tok)
+    * with multiplicity; single-word documents carry no term and drop out
+    * of the collection statistics on BOTH engines identically. */
+  private[graft] def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
+        .as("tok"))
 
   /** BM25 top-k per derived query: (qid, doc_id, score, rank) with the
     * integer-scaled score above and the (score desc, doc_id asc)
     * tie-break. */
   def bm25TopK(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
-               dfCap: Long = 50L): DataFrame = {
-    val toks = TextAnalysis.tokens(docs)
+               dfCapDen: Long = 10L): DataFrame = {
+    val toks = bigrams(docs)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    // indexable vocabulary: df-capped, whole-bit idf ≥ 1
-    val vocab = dfTab.filter(col("df") <= dfCap)
+    // indexable vocabulary: df ≤ N/dfCapDen (the cap is a FRACTION of the
+    // corpus, so the indexable set is scale-invariant — a fixed absolute
+    // cap empties the vocabulary as df grows linearly with N), whole-bit
+    // idf ≥ 1; the comparison is exact integers (df·den ≤ N)
+    val vocab = dfTab
       .crossJoin(broadcast(corpus))
+      .filter(col("df") * lit(dfCapDen) <= col("n"))
       .withColumn("idf", (length(bin(expr("n div df"))) - 1).cast("long"))
       .filter(col("idf") >= 1L)
       .select("tok", "idf")
@@ -77,7 +98,7 @@ object Retrieval {
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       // loud int64-headroom guard IN the plan (candidate rows only — ≤
-      // nq·qTerms·dfCap rows): Spark's non-ANSI int64 multiply wraps
+      // nq·qTerms·(N/dfCapDen) rows): Spark's non-ANSI int64 multiply wraps
       // silently, so the numerator is re-derived in decimal and compared
       // (DuckDB's own BIGINT overflow is already loud)
       .withColumn("_guard", assert_true(
@@ -113,8 +134,8 @@ object Retrieval {
     * budget), so the whole composition hash-gates. The per-query window
     * partitions are ≤ k rows — never a scale concern. */
   def ragPack(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
-              budget: Long = 256L, dfCap: Long = 50L): DataFrame = {
-    val hits = bm25TopK(docs, nq, qTerms, k, dfCap)
+              budget: Long = 256L, dfCapDen: Long = 10L): DataFrame = {
+    val hits = bm25TopK(docs, nq, qTerms, k, dfCapDen)
     val dl = TextAnalysis.tokens(docs)
       .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
     val dupW = Window.partitionBy("qid", "text").orderBy("rank")
@@ -171,15 +192,17 @@ object Retrieval {
     * rebuild clears and [[bm25Served]] refuses to read. The multi-version
     * retained-snapshot pattern is [[Imi]]'s; the lexicon keeps the
     * single-publish shape a batch-rebuilt artifact needs. */
-  def persistLexicon(docs: DataFrame, path: String, dfCap: Long = 50L): Unit = {
+  def persistLexicon(docs: DataFrame, path: String,
+                     dfCapDen: Long = 10L): Unit = {
     lexFs(docs, path).delete(new org.apache.hadoop.fs.Path(path), true): Unit
-    val toks = TextAnalysis.tokens(docs)
+    val toks = bigrams(docs)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-    val vocab = dfTab.filter(col("df") <= dfCap)
+    val vocab = dfTab
       .crossJoin(broadcast(corpus))
+      .filter(col("df") * lit(dfCapDen) <= col("n"))
       .withColumn("idf", (length(bin(expr("n div df"))) - 1).cast("long"))
       .filter(col("idf") >= 1L)
       .select("tok", "df", "idf")
@@ -217,7 +240,7 @@ object Retrieval {
     val qw = Window.partitionBy("qid").orderBy("tok")
     // driver-bounded: ≤ nq·qTerms term rows — the literal bucket list the
     // posting read prunes on
-    val terms = TextAnalysis.tokens(docs.filter(col("doc_id") < nq))
+    val terms = bigrams(docs.filter(col("doc_id") < nq))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_q"))
       .select(col("doc_id").as("qid"), col("tok"))
       .join(vocab.select("tok", "idf"), "tok")
@@ -249,6 +272,101 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
+  /** Lexicon staleness — the O(1)-ish health signal the maintenance loop
+    * reads (the [[Imi.maintainIndex]] trigger applied to retrieval): the
+    * stored stats table says how many documents the collection statistics
+    * were computed over; the lengths table says how many the lexicon
+    * currently serves. Their gap is the mass scored under stale
+    * (N, S, df, idf). One row: (n_stats, n_docs, n_stale) — the fraction
+    * is left to the caller as two exact int64s (no ratio column, so the
+    * row hash-gates without a division contract). Cost: one 1-row stats
+    * read + one count over the slim lengths table. */
+  def lexiconStaleness(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val stats = spark.read.schema("n BIGINT, s BIGINT").parquet(s"$path/stats")
+    val nDocs = spark.read.schema("doc_id BIGINT, dl BIGINT")
+      .parquet(s"$path/dl").agg(count(lit(1)).as("n_docs"))
+    stats.select(col("n").as("n_stats"))
+      .crossJoin(nDocs)
+      .select(col("n_stats"), col("n_docs"),
+        (col("n_docs") - col("n_stats")).as("n_stale"))
+  }
+
+  /** The maintenance policy: rebuild when the stale mass exceeds
+    * `maxStaleNum/maxStaleDen` of the statistics base (exact integer
+    * comparison — no float boundary decides maintenance). Rebuilding
+    * retrains the collection statistics over what the corpus has become
+    * (`docs` — the caller's current corpus table), repaying the frozen-
+    * stats staleness the upsert path accrues. Returns the action taken
+    * ("rebuild" | "none"), loggable/spec-assertable like
+    * [[Imi.maintainIndex]]. */
+  def maintainLexicon(docs: DataFrame, path: String,
+                      maxStaleNum: Long = 1L, maxStaleDen: Long = 5L): String = {
+    val row = lexiconStaleness(docs.sparkSession, path).head()
+    val (nStats, nStale) = (row.getLong(0), row.getLong(2))
+    if (nStale * maxStaleDen > nStats * maxStaleNum) {
+      persistLexicon(docs, path)
+      "rebuild"
+    } else "none"
+  }
+
+  /** Retrieval quality gauge — precision/recall@k of the BM25 ranking
+    * against a DETERMINISTIC pseudo-relevance set (no human labels exist
+    * for a synthetic corpus, and none are needed for a regression gauge):
+    * a document is pseudo-relevant to a query iff it shares ≥ `minShared`
+    * DISTINCT indexable query terms. That is the standard term-overlap
+    * proxy, it is exactly SQL-expressible, and it is NOT what BM25
+    * optimizes (BM25 weighs tf, idf and length), so the gauge genuinely
+    * discriminates rankings rather than echoing the score. Output one row
+    * per query: (qid, n_rel, hits, precision, recall) — integers plus two
+    * single exact divisions. */
+  def retrievalEval(docs: DataFrame, nq: Int = 5, qTerms: Int = 6,
+                    k: Int = 10, dfCapDen: Long = 10L,
+                    minShared: Long = 2L): DataFrame = {
+    val toks = bigrams(docs)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val vocab = dfTab
+      .crossJoin(broadcast(corpus))
+      .filter(col("df") * lit(dfCapDen) <= col("n"))
+      .withColumn("idf", (length(bin(expr("n div df"))) - 1).cast("long"))
+      .filter(col("idf") >= 1L)
+      .select("tok", "idf")
+    val qw = Window.partitionBy("qid").orderBy("tok")
+    val terms = tf.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(vocab, "tok")
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select("qid", "tok")
+    // pseudo-relevance: ≥ minShared distinct shared terms, self excluded
+    val rel = tf.join(broadcast(terms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(countDistinct(col("tok")).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("qid", "doc_id")
+    val hits = bm25TopK(docs, nq, qTerms, k, dfCapDen)
+      .select("qid", "doc_id")
+      .join(rel, Seq("qid", "doc_id"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid")).distinct()
+      .join(nRel, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("precision"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("hits"), lit(0L)).cast("double") /
+            coalesce(col("n_rel"), lit(1L)).cast("double")).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Test seam: the posting buckets a serve for `docs`'s first `nq`
     * query documents would read — so the pruning spec can delete every
     * OTHER bucket and prove the serve never touches them. Driver-bounded
@@ -260,7 +378,7 @@ object Retrieval {
     val vocab = spark.read.schema("tok STRING, df BIGINT, idf BIGINT")
       .parquet(s"$path/vocab")
     val qw = Window.partitionBy("qid").orderBy("tok")
-    TextAnalysis.tokens(docs.filter(col("doc_id") < nq))
+    bigrams(docs.filter(col("doc_id") < nq))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_q"))
       .select(col("doc_id").as("qid"), col("tok"))
       .join(vocab.select("tok"), "tok")
@@ -291,7 +409,7 @@ object Retrieval {
         s"no published lexicon at $path — persistLexicon first")
     val vocab = spark.read.schema("tok STRING, df BIGINT, idf BIGINT")
       .parquet(s"$path/vocab")
-    val toks = TextAnalysis.tokens(delta)
+    val toks = bigrams(delta)
     toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .write.mode("append").parquet(s"$path/dl")
     graft.sources.Sources.writePartitioned(

@@ -20,15 +20,20 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
   // ---- BM25 ----
 
   test("bm25: a matching doc outranks a non-matching one; ranks are contiguous") {
-    // query doc 0 mentions 'zebra'; docs 10/11 contain it, 12 does not
+    // terms are word BIGRAMS: the query doc carries the phrase
+    // "zebra stripes"; docs 10/11 contain that exact phrase, 12 does not
+    // (it has both words but never adjacent — phrase retrieval semantics)
     val docs = docsOf(
-      0L -> "zebra query words here",
-      10L -> "zebra in the savanna",
-      11L -> "zebra zebra spotted twice",
-      12L -> "nothing relevant at all",
+      0L -> "zebra stripes query words",
+      10L -> "the zebra stripes shine",
+      11L -> "zebra stripes zebra stripes twice",
+      12L -> "zebra likes bold stripes",
       13L -> "filler so idf stays sane", 14L -> "more filler text rows",
-      15L -> "yet another filler doc", 16L -> "and one more filler entry")
-    val out = Retrieval.bm25TopK(docs, nq = 1, qTerms = 6, k = 10).collect()
+      15L -> "yet another filler doc", 16L -> "and one more filler entry",
+      17L -> "extra rows for cap room", 18L -> "still more corpus mass",
+      19L -> "tail filler to widen n")
+    val out = Retrieval.bm25TopK(docs, nq = 1, qTerms = 6, k = 10,
+      dfCapDen = 1L).collect() // tiny toy corpus: no fractional cap
     val byDoc = out.map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(byDoc.contains(10L) && byDoc.contains(11L),
       s"docs sharing the query term must be retrieved: ${out.toSeq}")
@@ -40,12 +45,14 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
 
   test("bm25 length normalization: equal tf, shorter doc scores higher") {
     val filler = (20L to 40L).map(i => i -> s"pad_$i common filler words")
+    // same bigram "needle probe" once in each; 11 is much longer
     val docs = docsOf((Seq(
-      0L -> "needle probe",
-      10L -> "needle short",
-      11L -> ("needle " + Seq.tabulate(30)(i => s"long_$i").mkString(" "))) ++
+      0L -> "needle probe query",
+      10L -> "needle probe short",
+      11L -> ("needle probe " + Seq.tabulate(30)(i => s"long_$i").mkString(" "))) ++
       filler): _*)
-    val out = Retrieval.bm25TopK(docs, nq = 1, qTerms = 6, k = 10).collect()
+    val out = Retrieval.bm25TopK(docs, nq = 1, qTerms = 6, k = 10,
+        dfCapDen = 1L).collect()
       .filter(_.getLong(0) == 0L).map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(out(10L) > out(11L),
       s"same tf=1 for 'needle': the 2-token doc must outscore the 31-token doc ($out)")
@@ -53,14 +60,15 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
 
   test("ragPack: duplicate retrieved texts collapse to the best rank; budget cuts a prefix") {
     val docs = docsOf(
-      0L -> "needle probe",
-      10L -> "needle alpha text", // dup pair: same text, ids 10 < 11
-      11L -> "needle alpha text",
-      12L -> ("needle " + Seq.tabulate(300)(i => s"w_$i").mkString(" ")),
-      13L -> "needle beta words",
-      14L -> "filler one", 15L -> "filler two", 16L -> "filler three")
-    val out = Retrieval.ragPack(docs, nq = 1, qTerms = 6, k = 10, budget = 20L)
-      .collect()
+      0L -> "needle probe query",
+      10L -> "needle probe text one", // dup pair: same text, ids 10 < 11
+      11L -> "needle probe text one",
+      12L -> ("needle probe " + Seq.tabulate(300)(i => s"w_$i").mkString(" ")),
+      13L -> "needle probe beta words",
+      14L -> "filler one", 15L -> "filler two", 16L -> "filler three",
+      17L -> "filler four", 18L -> "filler five", 19L -> "filler six")
+    val out = Retrieval.ragPack(docs, nq = 1, qTerms = 6, k = 10, budget = 20L,
+      dfCapDen = 1L).collect()
     val ids = out.map(_.getLong(1)).toSet
     assert(!(ids.contains(10L) && ids.contains(11L)),
       "identical retrieved texts must collapse to one survivor")
@@ -116,15 +124,15 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
 
   test("lexicon: serve refuses an unpublished artifact; prunes to the query terms' buckets") {
     val docs = docsOf(
-      0L -> "needle probe",
-      10L -> "needle alpha", 11L -> "needle beta gamma",
+      0L -> "needle probe query",
+      10L -> "needle probe alpha", 11L -> "needle probe beta gamma",
       12L -> "unrelated words entirely", 13L -> "more unrelated filler",
       14L -> "padding one", 15L -> "padding two")
     val lex = java.nio.file.Files.createTempDirectory("graft_r13_lex").toString
     val e = intercept[IllegalStateException](
       graft.operators.Retrieval.bm25Served(docs, lex))
     assert(e.getMessage.contains("no published lexicon"))
-    graft.operators.Retrieval.persistLexicon(docs, lex)
+    graft.operators.Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
     val served = graft.operators.Retrieval.bm25Served(docs, lex, nq = 1)
     val expected = served.collect().toSeq
     assert(expected.map(_.getLong(1)).toSet === Set(10L, 11L),
@@ -147,12 +155,12 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
 
   test("lexicon upsert: new docs retrieve, collection statistics stay frozen") {
     val base = docsOf(
-      0L -> "needle probe",
-      10L -> "needle alpha", 12L -> "unrelated words entirely",
+      0L -> "needle probe query",
+      10L -> "needle probe alpha", 12L -> "unrelated words entirely",
       13L -> "more unrelated filler", 14L -> "padding one")
-    val delta = docsOf(20L -> "needle fresh arrival")
+    val delta = docsOf(20L -> "needle probe fresh arrival")
     val lex = java.nio.file.Files.createTempDirectory("graft_r13_lexup").toString
-    graft.operators.Retrieval.persistLexicon(base, lex)
+    graft.operators.Retrieval.persistLexicon(base, lex, dfCapDen = 1L)
     val statsBefore = spark.read.parquet(s"$lex/stats").collect().toSeq
     val vocabBefore = spark.read.parquet(s"$lex/vocab").collect().toSeq
     graft.operators.Retrieval.upsertLexicon(delta, lex)
