@@ -31,7 +31,7 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
     * spaces. */
   private val deliberateNestedLoop = Set("q_ann_topk", "q_ann_ivf",
     "q_bm25", "q_rag_pipeline", // SINGLE-ROW corpus (n, s) stats x the posting rows
-    "q_bm25_served", "q_bm25_upsert", // the stored 1-row stats table x the pruned postings
+    "q_bm25_served", "q_bm25_upsert", "q_lexicon_lifecycle", "q_retrieval_eval", // the stored/derived 1-row stats x the posting rows
     // SQ8 family: the 5-row encoded query side and the 1-row packed-ranges
     // side broadcast against the code scan, as q_ann_topk
     "q_sq8_codes", "q_sq8_topk", "q_sq8_recall",
