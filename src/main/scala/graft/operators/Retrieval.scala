@@ -69,10 +69,14 @@ object Retrieval {
     * tie-break. */
   def bm25TopK(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
                dfCapDen: Long = 10L): DataFrame = {
-    val toks = bigrams(docs)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE bigram-explode pass: tf is materialized once (localCheckpoint)
+    // and dl/df/corpus all derive from it (dl = Σ_tok tf by definition) —
+    // without this every downstream branch re-runs the |corpus|·|doc|
+    // explode (no cross-branch reuse in one Catalyst plan)
+    val tf = bigrams(docs).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     // indexable vocabulary: df ≤ N/dfCapDen (the cap is a FRACTION of the
     // corpus, so the indexable set is scale-invariant — a fixed absolute
@@ -195,9 +199,10 @@ object Retrieval {
   def persistLexicon(docs: DataFrame, path: String,
                      dfCapDen: Long = 10L): Unit = {
     lexFs(docs, path).delete(new org.apache.hadoop.fs.Path(path), true): Unit
-    val toks = bigrams(docs)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // one explode pass feeds all four table writes (see bm25TopK)
+    val tf = bigrams(docs).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val vocab = dfTab
@@ -323,10 +328,10 @@ object Retrieval {
   def retrievalEval(docs: DataFrame, nq: Int = 5, qTerms: Int = 6,
                     k: Int = 10, dfCapDen: Long = 10L,
                     minShared: Long = 2L): DataFrame = {
-    val toks = bigrams(docs)
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tf = bigrams(docs).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
     val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val corpus = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val vocab = dfTab
       .crossJoin(broadcast(corpus))
@@ -409,12 +414,12 @@ object Retrieval {
         s"no published lexicon at $path — persistLexicon first")
     val vocab = spark.read.schema("tok STRING, df BIGINT, idf BIGINT")
       .parquet(s"$path/vocab")
-    val toks = bigrams(delta)
-    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = bigrams(delta).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.mode("append").parquet(s"$path/dl")
     graft.sources.Sources.writePartitioned(
-      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .join(vocab.select("tok"), "tok")
+      tf.join(vocab.select("tok"), "tok")
         .withColumn("bucket",
           pmod(graft.functions.Hashes.h60(col("tok")), lit(PostingBuckets.toLong)))
         .select("bucket", "tok", "doc_id", "tf"),
