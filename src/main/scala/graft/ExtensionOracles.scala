@@ -2777,6 +2777,14 @@ object ExtensionOracles {
       s"""WITH ${bm25CtesFor("doc_id % 4 <> 3")}
          |SELECT qid, doc_id, score, rank FROM rk
          | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // FREE-TEXT query surface (r14): caller-supplied (qid, text) queries —
+    // here derived from the % 101 = 5 doc slice so the oracle is
+    // SQL-expressible — scored with NO self-exclusion (caller qids are
+    // not corpus doc ids; a query equal to a corpus doc retrieves it)
+    "q_bm25_freeq" ->
+      s"""WITH ${bm25CtesFor("TRUE", "tf.doc_id % 101 = 5", selfExclude = false)}
+         |SELECT qid, doc_id, score, rank FROM rk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // composed retrieve -> exact-dup collapse -> greedy budget pack
     "q_rag_pipeline" ->
       s"""WITH $bm25Ctes,
@@ -2873,8 +2881,14 @@ object ExtensionOracles {
   /** [[bm25Ctes]] with the collection statistics (doc count, total
     * tokens, document frequencies — hence idf) restricted to the docs
     * matching `statsFilter`, while lengths and postings stay
-    * corpus-wide: the FROZEN-statistics upsert gate's oracle. */
-  private def bm25CtesFor(statsFilter: String): String =
+    * corpus-wide: the FROZEN-statistics upsert gate's oracle.
+    * `queryFilter` picks the query set (the free-text gate derives its
+    * queries from a different doc slice); `selfExclude = false` is the
+    * free-text convention — caller qids are not corpus doc ids, so every
+    * candidate stays. */
+  private def bm25CtesFor(statsFilter: String,
+                          queryFilter: String = "tf.doc_id < 5",
+                          selfExclude: Boolean = true): String =
     s"""ba AS (SELECT doc_id, string_split(text, ' ') AS a FROM $DOCS
        |        WHERE len(string_split(text, ' ')) >= 2),
        |t AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS tok
@@ -2892,7 +2906,7 @@ object ExtensionOracles {
        |            SELECT tf.doc_id AS qid, tf.tok, v.idf,
        |                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tok) AS rn
        |              FROM tf JOIN voc v ON tf.tok = v.tok
-       |             WHERE tf.doc_id < 5) WHERE rn <= 6),
+       |             WHERE $queryFilter) WHERE rn <= 6),
        |sc AS (SELECT tm.qid, tf.doc_id,
        |              CAST(SUM((tm.idf * tf.tf * 44 * corp.s * 1024) //
        |                       (20 * tf.tf * corp.s + 6 * corp.s + 18 * dl.dl * corp.n))
@@ -2901,7 +2915,7 @@ object ExtensionOracles {
        |         JOIN terms tm ON tf.tok = tm.tok
        |         JOIN dl ON tf.doc_id = dl.doc_id
        |         CROSS JOIN corp
-       |        WHERE tf.doc_id <> tm.qid
+       |        WHERE ${if (selfExclude) "tf.doc_id <> tm.qid" else "TRUE"}
        |        GROUP BY tm.qid, tf.doc_id),
        |rk AS (SELECT qid, doc_id, score,
        |              CAST(ROW_NUMBER() OVER (PARTITION BY qid

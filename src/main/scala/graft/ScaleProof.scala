@@ -1328,6 +1328,18 @@ object ScaleProof {
       val lex = java.nio.file.Files
         .createTempDirectory("graft_scaleproof_lex").toString
       Retrieval.persistLexicon(docs, lex)
+      // r14: the posting-bucket count must RESPOND to the 10× corpus
+      // (corpus-scaled partitioning, r13 verdict #5) while the served
+      // ranking stays bit-identical — stored count == the pure formula
+      // of the counted posting rows, and above the dev-scale floor
+      val postingRows = spark.read.parquet(
+        Retrieval.lexTableDirForTest(spark, lex, "postings")).count()
+      val storedBuckets = spark.read.parquet(
+        Retrieval.lexTableDirForTest(spark, lex, "stats"))
+        .select("buckets").head().getLong(0)
+      val bucketsRespond =
+        storedBuckets == Retrieval.postingBucketCount(postingRows) &&
+          storedBuckets > 16L
       val served = Retrieval.bm25Served(docs, lex).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
@@ -1344,10 +1356,11 @@ object ScaleProof {
           .take(10)
           .zipWithIndex.map { case ((d, sc), i) => (qid, d, sc, i + 1L) }
       }.toSet
-      predicted == served
+      (predicted == served, bucketsRespond)
     }
     results += "bm25_served_10x" -> tLex
-    checks += "lexicon_artifact_serve_closed_form" -> lexAgree
+    checks += "lexicon_artifact_serve_closed_form" -> lexAgree._1
+    checks += "lexicon_bucket_count_scales_with_corpus" -> lexAgree._2
 
     // ragPack at reps×: replicas carry identical text, so the dup
     // collapse must absorb them — the predicted output is the expanded

@@ -53,6 +53,11 @@ object SparkEntry {
   private val replayWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Invocation counter for the q_bm25_upsert gate's fresh-per-invocation
+    * artifact path (r13 verdict #3 — bench reps re-run the gate lambda, so
+    * the artifact must never be shared across invocations). */
+  private val upsertGateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def replayFixture(prefix: String, dir: String,
                             write: String => Unit): String = {
     val replay = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -289,6 +294,15 @@ object SparkEntry {
     // + the composed retrieve->dedup->pack RAG context builder
     "q_bm25" -> ((s, dir) => Retrieval.bm25TopK(Sources.documents(s, dir))),
     "q_rag_pipeline" -> ((s, dir) => Retrieval.ragPack(Sources.documents(s, dir))),
+    // FREE-TEXT retrieval (r14): a caller-supplied (qid, text) query
+    // table — derived from the % 101 = 5 doc slice so the oracle can
+    // replicate it — scored with no self-exclusion (caller id space)
+    "q_bm25_freeq" -> ((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 101 === 5)
+        .select(col("doc_id").as("qid"), col("text"))
+      Retrieval.bm25TopKQueries(docs, queries)
+    }),
     // the PERSISTED lexicon: build the inverted-index artifact, serve
     // BM25 from its partition-pruned posting buckets — every stored
     // number is an exact integer, so the serve rides the q_bm25 oracle
@@ -309,7 +323,8 @@ object SparkEntry {
         s"graft_lex_lc_${Sources.pathKey(dir)}").getAbsolutePath
       val docs = Sources.documents(s, dir)
       Retrieval.persistLexicon(docs.filter(col("doc_id") % 4 =!= 3), lex)
-      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 4 === 3), lex)
+      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 4 === 3), lex,
+        deliveryId = "lc-delta")
       // delta/base = 1/3 > 1/5: the trigger must fire and rebuild
       require(Retrieval.maintainLexicon(docs, lex) == "rebuild",
         "lexicon lifecycle gate: the staleness trigger must fire")
@@ -323,11 +338,24 @@ object SparkEntry {
     // (the frozen-books discipline applied to retrieval): the oracle
     // recomputes (N, S, df, idf) on the base split only, in plain SQL
     "q_bm25_upsert" -> ((s, dir) => {
-      val lex = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_lex_up_${Sources.pathKey(dir)}").getAbsolutePath
+      // FRESH artifact path per invocation (r13 verdict #3: bench reps
+      // re-run the whole gate, and any cross-rep artifact reuse makes the
+      // gate non-idempotent under re-execution); the previous invocation's
+      // tree is torn down so /tmp never accretes across reps
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lex_up_${Sources.pathKey(dir)}")
+      val seq = upsertGateSeq.incrementAndGet()
+      val prior = new java.io.File(base.getParentFile, s"${base.getName}_${seq - 1}")
+        .getAbsolutePath
+      new org.apache.hadoop.fs.Path(prior)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(prior), true): Unit
+      val lex = new java.io.File(base.getParentFile, s"${base.getName}_$seq")
+        .getAbsolutePath
       val docs = Sources.documents(s, dir)
       Retrieval.persistLexicon(docs.filter(col("doc_id") % 4 =!= 3), lex)
-      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 4 === 3), lex)
+      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 4 === 3), lex,
+        deliveryId = "up-delta")
       Retrieval.bm25Served(docs, lex)
     }),
     // SQ8 scalar-quantized ANN tier: trained ranges -> byte codes ->

@@ -286,36 +286,26 @@ object Imi {
   // read would miss the new rows in the rewrite.
   // --------------------------------------------------------------------
 
-  private[graft] val PublishedMarker = "_PUBLISHED"
-  private val VersionName = "^v([0-9]+)$".r
+  // version management delegates to the shared [[graft.sources.Versioned]]
+  // discipline (extracted round 14, unchanged semantics, so the BM25
+  // lexicon rides the same publish/retain/prune machinery instead of
+  // reimplementing it)
+  private[graft] val PublishedMarker = graft.sources.Versioned.PublishedMarker
 
   private def hfs(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Versioned.fs(spark, path)
 
-  /** Every `v<N>` subtree under `root`; `publishedOnly` keeps the ones a
-    * reader may resolve (marker present). One listStatus — cheap even as
-    * a per-query resolution cost. */
   private def versionDirs(fs: FileSystem, root: Path,
                           publishedOnly: Boolean): Seq[(Long, Path)] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
-      st.getPath.getName match {
-        case VersionName(n)
-          if !publishedOnly || fs.exists(new Path(st.getPath, PublishedMarker)) =>
-          Some((n.toLong, st.getPath))
-        case _ => None
-      }
-    }
+    graft.sources.Versioned.versionDirs(fs, root, publishedOnly)
 
   private[graft] def currentVersion(spark: SparkSession,
-                                    path: String): Option[(Long, Path)] = {
-    val fs = hfs(spark, path)
-    versionDirs(fs, new Path(path), publishedOnly = true).sortBy(_._1).lastOption
-  }
+                                    path: String): Option[(Long, Path)] =
+    graft.sources.Versioned.currentVersion(spark, path)
 
   private def currentVersionOrThrow(spark: SparkSession, path: String): (Long, Path) =
-    currentVersion(spark, path).getOrElse(throw new IllegalStateException(
-      s"no published index version at $path — bootstrap with persistIndex first"))
+    graft.sources.Versioned.currentVersionOrThrow(spark, path,
+      "index", "persistIndex")
 
   /** The current published version number — what a training run PINS
     * before a multi-query read session ([[annImiServed]]'s `version`
@@ -330,17 +320,9 @@ object Imi {
     * pinned version — LOUDLY refusing a pin that has been pruned (a
     * silent fallback to latest would mix snapshots mid-session). */
   private def versionDirAt(spark: SparkSession, path: String,
-                           version: Option[Long]): Path = version match {
-    case None => currentVersionOrThrow(spark, path)._2
-    case Some(v) =>
-      val dir = new Path(new Path(path), s"v$v")
-      if (!hfs(spark, path).exists(new Path(dir, PublishedMarker)))
-        throw new IllegalStateException(
-          s"pinned index version v$v at $path is not published (pruned by a " +
-            "later maintenance cycle, or never existed) — pinned reads " +
-            "survive one publish; re-resolve with currentIndexVersion")
-      dir
-  }
+                           version: Option[Long]): Path =
+    graft.sources.Versioned.versionDirAt(spark, path, version,
+      "index", "persistIndex", "currentIndexVersion")
 
   /** The CURRENT version's member directory — the raw-table read surface
     * the proof harnesses and specs use (external code never paths into a
@@ -373,11 +355,8 @@ object Imi {
   /** Allocate the NEXT version number/dir: one past the max of ALL
     * version dirs (published or junk from a crashed rewrite — never write
     * into a partial subtree). */
-  private def nextVersionDir(fs: FileSystem, root: Path): (Long, Path) = {
-    val n = versionDirs(fs, root, publishedOnly = false)
-      .map(_._1).maxOption.getOrElse(-1L) + 1L
-    (n, new Path(root, s"v$n"))
-  }
+  private def nextVersionDir(fs: FileSystem, root: Path): (Long, Path) =
+    graft.sources.Versioned.nextVersionDir(fs, root)
 
   /** PUBLISH `newDir` as version `newV`: create the marker (atomic
     * create-exclusive — the point a reader flips to the new snapshot),
@@ -386,26 +365,14 @@ object Imi {
     * before the flip keep a complete snapshot; it falls out at the NEXT
     * publish). Prune failures are LOUD (r11 ADVICE: an ignored delete
     * left a stale table silently filtering every subsequent serve). */
+  // (the publish-unique UUID inside the marker — r12 ADVICE, low — is
+  // what the book cache keys on, so an index root deleted and
+  // re-bootstrapped at the same path can never hit a stale cached
+  // codebook entry; [[graft.sources.Versioned.publish]] writes it)
   private def publishVersion(fs: FileSystem, root: Path,
                              prevPublished: Option[Long],
-                             newV: Long, newDir: Path): Unit = {
-    val out = fs.create(new Path(newDir, PublishedMarker), false)
-    // a publish-unique token INSIDE the marker (r12 ADVICE, low): the
-    // book cache keys on it, so an index root that is deleted and
-    // re-bootstrapped at the same path can never hit a stale cached
-    // codebook entry (the path string alone would collide; mtime alone
-    // has 1 s granularity on some local filesystems)
-    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
-    out.close()
-    val keep = Set(newV) ++ prevPublished
-    versionDirs(fs, root, publishedOnly = false)
-      .filterNot { case (v, _) => keep.contains(v) }
-      .foreach { case (_, d) =>
-        if (!fs.delete(d, true)) throw new IllegalStateException(
-          s"could not prune stale index version $d — a stale subtree would " +
-            "shadow reads and leak storage; failing loudly")
-      }
-  }
+                             newV: Long, newDir: Path): Unit =
+    graft.sources.Versioned.publish(fs, root, prevPublished, newV, newDir)
 
   /** Train → PERSIST: the artifact an ANN deployment actually ships (r9
     * verdict, "what's missing" #1 — every in-query retrain is gate-correct
@@ -1294,13 +1261,7 @@ object Imi {
     // rewrite is in flight when maintainIndex runs, so every unpublished
     // subtree here is junk by definition — published subtrees (current
     // and the retained previous) are never touched.
-    versionDirs(fs, new Path(path), publishedOnly = false)
-      .filterNot { case (_, d) => fs.exists(new Path(d, PublishedMarker)) }
-      .foreach { case (_, d) =>
-        if (!fs.delete(d, true)) throw new IllegalStateException(
-          s"could not prune crashed-rewrite junk $d — it would pin the " +
-            "version counter and leak storage; failing loudly")
-      }
+    graft.sources.Versioned.pruneUnpublished(fs, new Path(path))
     val ledger = new Path(dir, "_deliveries")
     val deliveries =
       if (fs.exists(ledger)) fs.listStatus(ledger).count(_.isFile) else 0

@@ -142,9 +142,11 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
     // them); pruning is what makes a 100 TB posting table affordable
     val needed = graft.operators.Retrieval
       .queryBucketsForTest(docs, lex, nq = 1)
+    val postingsDir = graft.operators.Retrieval
+      .lexTableDirForTest(spark, lex, "postings")
     val fs = new org.apache.hadoop.fs.Path(lex)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$lex/postings"))
+    fs.listStatus(new org.apache.hadoop.fs.Path(postingsDir))
       .filter(_.isDirectory)
       .filterNot(st => needed.exists(b => st.getPath.getName == s"bucket=$b"))
       .foreach(st => assert(fs.delete(st.getPath, true)))
@@ -161,12 +163,15 @@ class Round13WideningSpec extends AnyFunSuite with SharedSpark {
     val delta = docsOf(20L -> "needle probe fresh arrival")
     val lex = java.nio.file.Files.createTempDirectory("graft_r13_lexup").toString
     graft.operators.Retrieval.persistLexicon(base, lex, dfCapDen = 1L)
-    val statsBefore = spark.read.parquet(s"$lex/stats").collect().toSeq
-    val vocabBefore = spark.read.parquet(s"$lex/vocab").collect().toSeq
-    graft.operators.Retrieval.upsertLexicon(delta, lex)
-    assert(spark.read.parquet(s"$lex/stats").collect().toSeq === statsBefore,
+    def tableDir(t: String) =
+      graft.operators.Retrieval.lexTableDirForTest(spark, lex, t)
+    val statsBefore = spark.read.parquet(tableDir("stats")).collect().toSeq
+    val vocabBefore = spark.read.parquet(tableDir("vocab")).collect().toSeq
+    assert(graft.operators.Retrieval.upsertLexicon(delta, lex,
+      deliveryId = "d1") === "append")
+    assert(spark.read.parquet(tableDir("stats")).collect().toSeq === statsBefore,
       "upsert must not touch (N, S)")
-    assert(spark.read.parquet(s"$lex/vocab").collect().toSeq === vocabBefore,
+    assert(spark.read.parquet(tableDir("vocab")).collect().toSeq === vocabBefore,
       "upsert must not touch (df, idf)")
     val all = base.union(delta)
     val ids = graft.operators.Retrieval.bm25Served(all, lex, nq = 1)

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** Round-14 widening: the VERSIONED lexicon artifact (zero-downtime
+  * rebuilds, pinned snapshots, crash-junk pruning), at-least-once upsert
+  * redelivery, the frozen-vocab new-term blindness contract, corpus-scaled
+  * posting buckets, and the free-text query surface. */
+class Round14Spec extends AnyFunSuite with SharedSpark {
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def corpus = docsOf(
+    0L -> "needle probe query",
+    10L -> "needle probe alpha", 11L -> "needle probe beta gamma",
+    12L -> "unrelated words entirely", 13L -> "more unrelated filler",
+    14L -> "padding one", 15L -> "padding two")
+
+  private def hfs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- versioned lexicon lifecycle ----
+
+  test("lexicon rebuild never takes the serve offline: old version serves while a new one builds; pins survive one publish") {
+    val docs = corpus
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexver").toString
+    Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
+    val v0 = Retrieval.currentLexiconVersion(spark, lex)
+    val expected = Retrieval.bm25Served(docs, lex, nq = 1).collect().toSeq
+    // an in-flight (or crashed) rebuild = an unpublished version subtree;
+    // the serve must resolve the published version and not notice
+    val fs = hfs(lex)
+    val junk = new org.apache.hadoop.fs.Path(s"$lex/v${v0 + 1}/postings")
+    fs.mkdirs(junk)
+    assert(Retrieval.bm25Served(docs, lex, nq = 1).collect().toSeq === expected,
+      "an unpublished subtree must be invisible to the serve")
+    // the rebuild publishes a NEW version; the pinned old version keeps
+    // serving identically (retained one cycle) and the junk subtree is
+    // pruned by the successful publish
+    Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
+    val v1 = Retrieval.currentLexiconVersion(spark, lex)
+    assert(v1 > v0, "a rebuild must publish a new version")
+    assert(!fs.exists(junk.getParent), "publish must prune crashed junk")
+    assert(Retrieval.bm25Served(docs, lex, nq = 1, version = Some(v0))
+      .collect().toSeq === expected, "the previous version is retained")
+    assert(Retrieval.bm25Served(docs, lex, nq = 1).collect().toSeq === expected,
+      "same corpus, same cap => the new version serves identically")
+    // one more publish: v0 falls out of the retention window — a stale
+    // pin must fail LOUDLY, never silently mix snapshots
+    Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
+    val e = intercept[IllegalStateException](
+      Retrieval.bm25Served(docs, lex, nq = 1, version = Some(v0)).collect())
+    assert(e.getMessage.contains("not published"))
+  }
+
+  test("maintainLexicon prunes crashed-rebuild junk on entry and rebuilds under the STORED df cap") {
+    val docs = corpus
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexmx").toString
+    // custom cap: with dfCapDen = 1 every term with idf >= 1 indexes; the
+    // default cap (10) would empty this toy vocabulary — a rebuild that
+    // silently reverted to the default would serve nothing
+    Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
+    val before = Retrieval.bm25Served(docs, lex, nq = 1).collect().toSeq
+    assert(before.nonEmpty)
+    val fs = hfs(lex)
+    val junkDir = new org.apache.hadoop.fs.Path(s"$lex/v99")
+    fs.mkdirs(junkDir)
+    // force the trigger: upsert 2 docs onto a 7-doc stats base (> 1/5).
+    // Only ONE carries the query phrase — a second would push
+    // df("needle probe") to 5 of 9 and the whole-bit idf to 0, emptying
+    // the post-rebuild ranking for reasons unrelated to the cap.
+    val delta = docsOf(20L -> "needle probe fresh one",
+      21L -> "fresh padding words")
+    Retrieval.upsertLexicon(delta, lex, deliveryId = "mx-d1")
+    assert(Retrieval.maintainLexicon(docs.union(delta), lex) === "rebuild")
+    assert(!fs.exists(junkDir), "maintenance entry must prune junk")
+    val after = Retrieval.bm25Served(docs, lex, nq = 1).collect()
+    assert(after.nonEmpty,
+      "the rebuild must reuse the stored dfCapDen = 1 (the default cap " +
+        "would empty the toy vocabulary and serve zero rows)")
+    assert(after.map(_.getLong(1)).toSet.contains(20L),
+      "rebuilt lexicon retrieves the upserted doc")
+  }
+
+  // ---- at-least-once upsert redelivery ----
+
+  test("upsert redelivery is a no-op: marker fast path AND doc_id presence healing") {
+    val docs = corpus
+    val delta = docsOf(20L -> "needle probe fresh arrival")
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexrd").toString
+    Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
+    def dlCount = spark.read.parquet(
+      Retrieval.lexTableDirForTest(spark, lex, "dl")).count()
+    def postingCount = spark.read.parquet(
+      Retrieval.lexTableDirForTest(spark, lex, "postings")).count()
+    val (dl0, p0) = (dlCount, postingCount)
+    assert(Retrieval.upsertLexicon(delta, lex, deliveryId = "d1") === "append")
+    val (dl1, p1) = (dlCount, postingCount)
+    assert(dl1 === dl0 + 1 && p1 > p0)
+    // retried delivery, same id: marker fast path
+    assert(Retrieval.upsertLexicon(delta, lex, deliveryId = "d1") === "duplicate")
+    assert(dlCount === dl1 && postingCount === p1,
+      "a redelivered delivery must append nothing")
+    // lost-ack shape: marker missing but appends landed (simulated by a
+    // NEW delivery id carrying already-delivered doc_ids) — the presence
+    // check re-marks without re-appending
+    assert(Retrieval.upsertLexicon(delta, lex, deliveryId = "d2") === "append")
+    assert(dlCount === dl1 && postingCount === p1,
+      "already-present doc_ids must not append again (lost-ack healing)")
+  }
+
+  // ---- frozen-vocab new-term blindness (r13 verdict #7) ----
+
+  test("a delta-only term is invisible until rebuild, then scores") {
+    // base corpus never contains the bigram "xylo zephyr"; the delta doc
+    // does, and a query doc carrying ONLY that phrase retrieves nothing
+    // under the frozen vocabulary — after the rebuild it retrieves the
+    // delta doc (the staleness trigger bounds how long blindness lasts)
+    val base = docsOf(
+      0L -> "xylo zephyr query",
+      10L -> "needle probe alpha", 11L -> "needle probe beta",
+      12L -> "unrelated words entirely", 13L -> "padding one")
+    val delta = docsOf(20L -> "xylo zephyr carrier doc")
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexnt").toString
+    Retrieval.persistLexicon(base, lex, dfCapDen = 1L)
+    Retrieval.upsertLexicon(delta, lex, deliveryId = "nt-d1")
+    val all = base.union(delta)
+    // blindness is about the VOCAB, not the delta: "xylo zephyr" IS in
+    // this artifact's frozen vocabulary (the query doc carried it at
+    // bootstrap), so the delta doc's posting rows survive and it
+    // retrieves immediately — the vocab-ABSENT case needs a bootstrap
+    // corpus that never saw the term
+    val baseNoQ = base.filter(col("doc_id") =!= 0L)
+    val lex2 = java.nio.file.Files.createTempDirectory("graft_r14_lexnt2").toString
+    Retrieval.persistLexicon(baseNoQ, lex2, dfCapDen = 1L)
+    Retrieval.upsertLexicon(delta, lex2, deliveryId = "nt-d2")
+    val blind = Retrieval.bm25ServedQueries(
+      docsOf(0L -> "xylo zephyr query").select(col("doc_id").as("qid"), col("text")),
+      lex2).collect()
+    assert(blind.isEmpty,
+      s"a vocab-absent term must contribute nothing under frozen stats: ${blind.toSeq}")
+    Retrieval.persistLexicon(baseNoQ.union(delta), lex2, dfCapDen = 1L)
+    val sighted = Retrieval.bm25ServedQueries(
+      docsOf(0L -> "xylo zephyr query").select(col("doc_id").as("qid"), col("text")),
+      lex2).collect()
+    assert(sighted.map(_.getLong(1)).toSet === Set(20L),
+      "after rebuild the delta-only term retrieves its carrier")
+    // the first artifact (query doc in base) retrieves through the frozen
+    // vocab immediately — blindness is about the VOCAB, not the delta
+    val hits = Retrieval.bm25Served(all, lex, nq = 1, k = 20).collect()
+    assert(hits.map(_.getLong(1)).toSet.contains(20L),
+      "a frozen-vocab term delivered by upsert retrieves immediately")
+  }
+
+  // ---- corpus-scaled posting buckets ----
+
+  test("postingBucketCount: floor at 16, one bucket per 64Ki rows above it") {
+    assert(Retrieval.postingBucketCount(0L) === 16L)
+    assert(Retrieval.postingBucketCount(25709L) === 16L)
+    assert(Retrieval.postingBucketCount(16L * 65536L) === 16L)
+    assert(Retrieval.postingBucketCount(16L * 65536L + 1L) === 17L)
+    assert(Retrieval.postingBucketCount(2560000L) === 40L)
+  }
+
+  test("the stored bucket count is what the stats table says and what the layout uses") {
+    val docs = corpus
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexbk").toString
+    Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
+    val stats = spark.read.parquet(
+      Retrieval.lexTableDirForTest(spark, lex, "stats")).collect().head
+    val buckets = stats.getAs[Long]("buckets")
+    assert(buckets === 16L, "toy corpus sits at the floor")
+    assert(stats.getAs[Long]("df_cap_den") === 1L,
+      "the df-cap contract is persisted with the stats")
+    // partition discovery infers the bucket dir values as int — cast
+    val bucketVals = spark.read.parquet(
+      Retrieval.lexTableDirForTest(spark, lex, "postings"))
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
+    assert(bucketVals.forall(b => b >= 0L && b < buckets))
+  }
+
+  // ---- free-text queries ----
+
+  test("free-text query retrieves by phrase with no self-exclusion; matches the derived surface on the same terms") {
+    val docs = docsOf(
+      10L -> "needle probe alpha", 11L -> "needle probe beta gamma",
+      12L -> "unrelated words entirely", 13L -> "more unrelated filler",
+      14L -> "padding one", 15L -> "padding two")
+    import spark.implicits._
+    val queries = Seq((100L, "needle probe search")).toDF("qid", "text")
+    val out = Retrieval.bm25TopKQueries(docs, queries, dfCapDen = 1L).collect()
+    assert(out.map(_.getLong(1)).toSet === Set(10L, 11L),
+      s"free-text phrase retrieval: ${out.toSeq}")
+    // a query equal to a corpus doc retrieves that doc (no exclusion)
+    val selfQ = Seq((200L, "needle probe alpha")).toDF("qid", "text")
+    val selfOut = Retrieval.bm25TopKQueries(docs, selfQ, dfCapDen = 1L).collect()
+    assert(selfOut.map(_.getLong(1)).toSet.contains(10L),
+      "a free-text query equal to a corpus doc must retrieve it")
+    // served variant agrees with the in-query variant bit-for-bit
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexfq").toString
+    Retrieval.persistLexicon(docs, lex, dfCapDen = 1L)
+    assert(Retrieval.bm25ServedQueries(queries, lex).collect().toSeq ===
+      out.toSeq, "served free-text == in-query free-text")
+    // ragPackQueries composes on the same hits
+    val packed = Retrieval.ragPackQueries(docs, queries, dfCapDen = 1L).collect()
+    assert(packed.map(_.getLong(1)).toSet === Set(10L, 11L))
+  }
+}
