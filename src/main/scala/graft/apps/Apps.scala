@@ -13,17 +13,20 @@ import graft.streaming.FrequentItemsStream
   * keep their scripts. Formats cite the reference print statements.
   */
 object AppSession {
-  /** Whether the last [[get]] CREATED the session (vs reusing an active
-    * one — e.g. when a spec drives a main inside a shared test session):
-    * [[stopOwned]] only stops sessions the CLI itself created, so an
-    * embedding harness keeps its session. */
-  @volatile private var lastOwned = true
+  /** Stop `s` only if this CLI invocation CREATED it (vs reusing an
+    * active one — e.g. when a spec drives a main inside a shared test
+    * session): an embedding harness keeps its session. The flag travels
+    * WITH the call (returned by [[get]]) rather than through JVM-global
+    * state (r13 ADVICE: a global last-owned bit mis-attributes ownership
+    * when mains interleave or run concurrently — one main could stop a
+    * session another main merely borrowed). */
+  private[apps] def stopOwned(s: SparkSession, owned: Boolean): Unit =
+    if (owned) s.stop()
 
-  private[apps] def stopOwned(s: SparkSession): Unit =
-    if (lastOwned) s.stop()
-
-  def get(name: String): SparkSession = {
-    lastOwned = SparkSession.getActiveSession
+  /** (session, owned): `owned` is true iff no session was active before
+    * this call — the caller threads it to [[stopOwned]]. */
+  def get(name: String): (SparkSession, Boolean) = {
+    val owned = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isEmpty
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -39,7 +42,7 @@ object AppSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    (s, owned)
   }
 
   private[apps] def timedMs[T](body: => T): (T, Long) = {
@@ -59,7 +62,7 @@ object Hw1Main {
     val Array(dS, mS, kS, lS, path) = args
     val (d, m, k, l) = (dS.toDouble, mS.toInt, kS.toInt, lS.toInt)
     require(d > 0, "D must be positive")
-    val spark = AppSession.get("graft-hw1")
+    val (spark, owned) = AppSession.get("graft-hw1")
     val points = Sources.pointsCsv(spark, path).repartition(l).cache()
 
     println(path)
@@ -92,7 +95,7 @@ object Hw1Main {
       }
     }
     println(s"Running time of MRApproxOutliers =  $msApprox ms") // :188
-    AppSession.stopOwned(spark)
+    AppSession.stopOwned(spark, owned)
   }
 }
 
@@ -109,7 +112,7 @@ object Hw2Main {
     // --seed S replays the reference's uniform first-center choice from a
     // seeded RNG; without it the injectable deterministic default applies.
     val seed: Option[Long] = if (args.length == 6) Some(args(5).toLong) else None
-    val spark = AppSession.get("graft-hw2")
+    val (spark, owned) = AppSession.get("graft-hw2")
     // spark.locality.wait=0s passthrough (big_data_computing_2.py:124) is
     // irrelevant in local mode; cluster deployments set it via spark-submit.
     val points = Sources.pointsCsv(spark, path).repartition(l).cache()
@@ -136,7 +139,7 @@ object Hw2Main {
       println(s"Number of uncertain points = ${sum.getLong(2)}") // :113
     }
     println(s"Running time of MRApproxOutliers = $msApprox ms") // :171
-    AppSession.stopOwned(spark)
+    AppSession.stopOwned(spark, owned)
   }
 }
 
@@ -153,7 +156,7 @@ object Hw3Main {
     // optional seed (beyond the reference contract): replay the reservoir/
     // sticky coin flips deterministically — the golden-stdout spec's hook
     val seed = if (args.length > 6) args(6).toLong else System.nanoTime()
-    val spark = AppSession.get("graft-hw3")
+    val (spark, owned) = AppSession.get("graft-hw3")
 
     println("INPUT PROPERTIES") // big_data_computing_3.py:55-56
     println(s"n = ${p.n} phi = ${p.phi} epsilon = ${p.eps} delta = ${p.delta} port = $port")
@@ -188,6 +191,6 @@ object Hw3Main {
     println(s"Number of estimated frequent items = ${sticky.length}")
     println("Estimated frequent items:")
     sticky.foreach { case (i, _) => println(s"$i ${if (trueSet(i)) "+" else "-"}") }
-    AppSession.stopOwned(spark)
+    AppSession.stopOwned(spark, owned)
   }
 }

@@ -770,13 +770,19 @@ object Imi {
           s"compaction could not copy $src into $newDir — aborting before " +
             "publish (the old version is untouched)")
     }
-    // SQ8 tier rewrite: the new version's code table is RE-ENCODED from
-    // the live member rows under the carried-forward stored ranges —
-    // members are the single source of truth, so a torn sq8 append (a
-    // crash between the member write and the sq8 write of one delivery,
-    // which the batch-commit recovery marks committed off member presence
-    // alone) HEALS here instead of persisting forever. Pre-r13 artifacts
-    // have no ranges table → no tier, nothing to rebuild.
+    // SQ8 tier rewrite (r14, r13 verdict #4): codes are IMMUTABLE under
+    // the carried-forward ranges, so the new version's code table is the
+    // stored one FILTERED to live members (64 B/vec code reads, no
+    // per-dim encode of raw vectors — the old full re-encode taxed every
+    // forget/compact ~2 s at the gate scale), UNIONED with a re-encode of
+    // only the members MISSING a stored code. That missing set is the
+    // torn-append healing set (a crash between the member write and the
+    // sq8 write of one delivery, which the batch-commit recovery marks
+    // committed off member presence alone) — empty in every non-crash
+    // compaction, so healing stays free while members remain the single
+    // source of truth. A wiped/absent code table (the most extreme tear)
+    // falls back to the full member re-encode. Pre-r13 artifacts have no
+    // ranges table → no tier, nothing to rebuild.
     val rangesDir = new Path(curDir, "sq8_ranges")
     if (fs.exists(rangesDir)) {
       if (!org.apache.hadoop.fs.FileUtil.copy(fs, rangesDir, fs,
@@ -787,8 +793,24 @@ object Imi {
             "before publish (the old version is untouched)")
       val ranges = spark.read.schema("pos INT, mn DOUBLE, mx DOUBLE")
         .parquet(rangesDir.toString)
-      Sq8.encodeWith(live.select(col("vec_id"), col("emb")), ranges)
-        .write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
+      val sq8Dir = new Path(curDir, "sq8")
+      val rebuilt =
+        if (!fs.exists(sq8Dir))
+          Sq8.encodeWith(live.select(col("vec_id"), col("emb")), ranges)
+        else {
+          val stored = spark.read.schema("vec_id LONG, qc ARRAY<BIGINT>")
+            .parquet(sq8Dir.toString)
+          // semi join drops tombstoned members' codes AND any code whose
+          // member is gone; anti join finds members whose code never
+          // landed — both slim id-keyed shuffles, no vector reads
+          val kept = stored.join(live.select("vec_id"), Seq("vec_id"), "left_semi")
+          val healed = Sq8.encodeWith(
+            live.select(col("vec_id"), col("emb"))
+              .join(stored.select("vec_id"), Seq("vec_id"), "left_anti"),
+            ranges)
+          kept.unionByName(healed)
+        }
+      rebuilt.write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
     }
     // carry the batch-commit markers forward too (r12 ADVICE, low): the
     // markers are the at-least-once dedup memory of

@@ -70,20 +70,37 @@ object IndexLifecycle {
     * 0.05 splits the two with margin on both sides. */
   val TvdThreshold = 0.05
 
+  /** Force-able legs stamped to stderr per invocation (r13 verdict #8:
+    * the gate's CPU crept 141 → 158 CPU-s across rounds on an identical
+    * 76-job plan with no way to attribute the delta; the hash-gated
+    * output row cannot carry timings, so the stamp is a log line — the
+    * lazily-evaluated serve+recall tail is total-minus-stamps). */
+  private def legMs[T](name: String,
+                       legs: scala.collection.mutable.ArrayBuffer[String])
+                      (body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    legs += s"$name=${(System.nanoTime() - t0) / 1000000L}ms"
+    r
+  }
+
   def run(emb: DataFrame, path: String,
           threshold: Double = TvdThreshold): DataFrame = {
+    val legs = scala.collection.mutable.ArrayBuffer.empty[String]
     // 1. bootstrap
-    Imi.persistIndex(emb, path)
+    legMs("bootstrap_persist", legs)(Imi.persistIndex(emb, path))
     // the grown corpus and the (corpus-quadratic at gate scale) truth
     // pair set each feed TWO legs — materialize both exactly once
-    val grown = Similarity.driftedCorpus(emb).localCheckpoint()
-    val truth = Similarity.neardupCosine(grown).select("a", "b")
-      .localCheckpoint()
+    val grown = legMs("grown_corpus", legs)(
+      Similarity.driftedCorpus(emb).localCheckpoint())
+    val truth = legMs("truth_pairs", legs)(
+      Similarity.neardupCosine(grown).select("a", "b").localCheckpoint())
     // 2. the drifted delivery's drift statistic against the stored
     //    artifact, and the frozen screen's realized recall (the
     //    embStreamRecall chain, over the shared truth)
-    val before = Imi.driftTvd(Imi.indexDriftServed(emb, path))
-      .select(col("tvd").as("tvd_frozen")).localCheckpoint()
+    val before = legMs("drift_frozen", legs)(
+      Imi.driftTvd(Imi.indexDriftServed(emb, path))
+        .select(col("tvd").as("tvd_frozen")).localCheckpoint())
     val recallFrozen = Similarity.recallRow(truth,
         Similarity.verifyCosCandidates(Similarity.embLshCandidatesFrom(
           Similarity.lshStreamBander(emb)(grown)), grown, threshold = 0.45)
@@ -91,7 +108,10 @@ object IndexLifecycle {
       .select(col("recall").as("recall_frozen"))
     // 3. the trigger decision — one scalar off the one-row statistic
     val triggered = before.head().getDouble(0) > threshold
-    if (triggered) Imi.persistIndex(grown, path): Unit // REINDEX remedy
+    if (triggered)
+      legMs("reindex_persist", legs)(Imi.persistIndex(grown, path)): Unit
+    System.err.println(s"q_index_lifecycle legs: ${legs.mkString(" ")} " +
+      "(serve+recall tail evaluates lazily at collect = total - these)")
     // 4. re-measure: post-drift deliveries against the (re)published
     //    artifact, and the retrained screen's recovered recall
     val after = Imi.driftTvd(Imi.indexDriftServedFrom(grown, path))

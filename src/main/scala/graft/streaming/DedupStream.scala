@@ -173,9 +173,18 @@ object DedupStream {
         val crc = new java.util.zip.CRC32()
         val in = fs.open(st.getPath)
         try {
+          // loop to 64 KB or EOF (r13 ADVICE): Hadoop checksum/buffered
+          // streams may legally return far fewer bytes than requested per
+          // read() call — a single call could CRC a few hundred bytes and
+          // miss exactly the in-place same-second rewrite this exists for
           val buf = new Array[Byte](65536)
-          val n = in.read(buf)
-          if (n > 0) crc.update(buf, 0, n)
+          var off = 0
+          var n = in.read(buf, 0, buf.length)
+          while (n > 0) {
+            off += n
+            n = if (off < buf.length) in.read(buf, off, buf.length - off) else -1
+          }
+          if (off > 0) crc.update(buf, 0, off)
         } finally in.close()
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:${crc.getValue}"
       }

@@ -186,6 +186,30 @@ class Round14Spec extends AnyFunSuite with SharedSpark {
     assert(bucketVals.forall(b => b >= 0L && b < buckets))
   }
 
+  // ---- SQ8 copy-pass compaction (r13 verdict #4) ----
+
+  test("sq8 tier: a PARTIALLY torn code table heals at compaction — kept codes copied, missing re-encoded") {
+    // real 64-dim embeddings: the PQ codebook trainer that persistIndex
+    // always runs needs the real subspace shape
+    val emb = graft.sources.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_r14_sq8part").toString
+    graft.operators.Imi.persistIndex(emb, idx, withSq8 = true)
+    val expected = graft.operators.Imi.annSq8Served(emb, idx).collect().toSeq
+    // tear a THIRD of the code table out (members intact): the compaction
+    // must copy the surviving codes and re-encode only the missing ones
+    val v = graft.operators.Imi.currentIndexVersion(spark, idx)
+    val sq8Dir = s"$idx/v$v/sq8"
+    val surviving = spark.read.schema("vec_id LONG, qc ARRAY<BIGINT>")
+      .parquet(sq8Dir).filter(col("vec_id") % 3 =!= 1L).localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(sq8Dir), true))
+    surviving.write.parquet(sq8Dir)
+    graft.operators.Imi.compactIndex(spark, idx)
+    assert(graft.operators.Imi.annSq8Served(emb, idx).collect().toSeq === expected,
+      "kept codes + re-encoded missing codes must serve exactly the untorn ranking")
+  }
+
   // ---- free-text queries ----
 
   test("free-text query retrieves by phrase with no self-exclusion; matches the derived surface on the same terms") {
