@@ -2777,6 +2777,13 @@ object ExtensionOracles {
       s"""WITH ${bm25CtesFor("doc_id % 4 <> 3")}
          |SELECT qid, doc_id, score, rank FROM rk
          | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // LEXICON COMPACTION (r14): frozen stats/vocab, rewritten tables,
+    // re-derived bucket count — served scores are BIT-IDENTICAL to the
+    // uncompacted upsert chain, so the oracle is q_bm25_upsert's verbatim
+    "q_lexicon_compact" ->
+      s"""WITH ${bm25CtesFor("doc_id % 4 <> 3")}
+         |SELECT qid, doc_id, score, rank FROM rk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // FREE-TEXT query surface (r14): caller-supplied (qid, text) queries —
     // here derived from the % 101 = 5 doc slice so the oracle is
     // SQL-expressible — scored with NO self-exclusion (caller qids are

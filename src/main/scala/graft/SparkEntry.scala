@@ -53,10 +53,24 @@ object SparkEntry {
   private val replayWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Invocation counter for the q_bm25_upsert gate's fresh-per-invocation
-    * artifact path (r13 verdict #3 — bench reps re-run the gate lambda, so
-    * the artifact must never be shared across invocations). */
-  private val upsertGateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Fresh per-invocation /tmp artifact path (r13 verdict #3 — bench
+    * reps re-run the gate lambda, so a mutable artifact must never be
+    * shared across invocations): `<prefix>_<sfKey>_<seq>`, tearing down
+    * the PREVIOUS invocation's tree so /tmp never accretes across reps. */
+  private val gateSeq = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private def freshGatePath(s: SparkSession, prefix: String,
+                            dir: String): String = {
+    val key = s"${prefix}_${Sources.pathKey(dir)}"
+    val seq = gateSeq.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+    val parent = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prior = new java.io.File(parent, s"${key}_${seq - 1}").getAbsolutePath
+    new org.apache.hadoop.fs.Path(prior)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(prior), true): Unit
+    new java.io.File(parent, s"${key}_$seq").getAbsolutePath
+  }
 
   private def replayFixture(prefix: String, dir: String,
                             write: String => Unit): String = {
@@ -338,24 +352,27 @@ object SparkEntry {
     // (the frozen-books discipline applied to retrieval): the oracle
     // recomputes (N, S, df, idf) on the base split only, in plain SQL
     "q_bm25_upsert" -> ((s, dir) => {
-      // FRESH artifact path per invocation (r13 verdict #3: bench reps
-      // re-run the whole gate, and any cross-rep artifact reuse makes the
-      // gate non-idempotent under re-execution); the previous invocation's
-      // tree is torn down so /tmp never accretes across reps
-      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_lex_up_${Sources.pathKey(dir)}")
-      val seq = upsertGateSeq.incrementAndGet()
-      val prior = new java.io.File(base.getParentFile, s"${base.getName}_${seq - 1}")
-        .getAbsolutePath
-      new org.apache.hadoop.fs.Path(prior)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(prior), true): Unit
-      val lex = new java.io.File(base.getParentFile, s"${base.getName}_$seq")
-        .getAbsolutePath
+      val lex = freshGatePath(s, "graft_lex_up", dir)
       val docs = Sources.documents(s, dir)
       Retrieval.persistLexicon(docs.filter(col("doc_id") % 4 =!= 3), lex)
       Retrieval.upsertLexicon(docs.filter(col("doc_id") % 4 === 3), lex,
         deliveryId = "up-delta")
+      Retrieval.bm25Served(docs, lex)
+    }),
+    // LEXICON COMPACTION (r14): two upsert deliveries fragment the
+    // artifact, the compaction rewrites dl/postings under the FROZEN
+    // stats/vocab and re-derives the bucket count — served scores must
+    // be bit-identical to the uncompacted upsert chain, so the gate
+    // rides the q_bm25_upsert oracle verbatim
+    "q_lexicon_compact" -> ((s, dir) => {
+      val lex = freshGatePath(s, "graft_lex_cp", dir)
+      val docs = Sources.documents(s, dir)
+      Retrieval.persistLexicon(docs.filter(col("doc_id") % 4 =!= 3), lex)
+      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 8 === 3), lex,
+        deliveryId = "cp-d1")
+      Retrieval.upsertLexicon(docs.filter(col("doc_id") % 8 === 7), lex,
+        deliveryId = "cp-d2")
+      Retrieval.compactLexicon(s, lex)
       Retrieval.bm25Served(docs, lex)
     }),
     // SQ8 scalar-quantized ANN tier: trained ranges -> byte codes ->

@@ -800,15 +800,16 @@ object Imi {
         else {
           val stored = spark.read.schema("vec_id LONG, qc ARRAY<BIGINT>")
             .parquet(sq8Dir.toString)
-          // semi join drops tombstoned members' codes AND any code whose
-          // member is gone; anti join finds members whose code never
-          // landed — both slim id-keyed shuffles, no vector reads
-          val kept = stored.join(live.select("vec_id"), Seq("vec_id"), "left_semi")
-          val healed = Sq8.encodeWith(
-            live.select(col("vec_id"), col("emb"))
-              .join(stored.select("vec_id"), Seq("vec_id"), "left_anti"),
-            ranges)
-          kept.unionByName(healed)
+          // ONE left join from the live side: tombstoned members' codes
+          // and orphaned codes drop (no live row to attach to), and the
+          // coalesce short-circuits — the encode expression only
+          // evaluates for rows MISSING a stored code (the torn-append
+          // healing set, empty in every non-crash compaction)
+          live.select(col("vec_id"), col("emb"))
+            .join(stored, Seq("vec_id"), "left")
+            .crossJoin(broadcast(Sq8.rangesRow(ranges)))
+            .select(col("vec_id"),
+              coalesce(col("qc"), expr(Sq8.EncodeExpr)).as("qc"))
         }
       rebuilt.write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
     }

@@ -423,23 +423,108 @@ object Retrieval {
         (col("n_docs") - col("n_stats")).as("n_stale"))
   }
 
-  /** The maintenance policy: rebuild when the stale mass exceeds
-    * `maxStaleNum/maxStaleDen` of the statistics base (exact integer
-    * comparison — no float boundary decides maintenance). Rebuilding
-    * retrains the collection statistics over what the corpus has become
-    * (`docs` — the caller's current corpus table) UNDER THE STORED
-    * df-cap contract (r13 ADVICE: a lexicon built with a custom cap must
-    * not silently rebuild under the default), repaying the frozen-stats
-    * staleness the upsert path accrues — and healing any torn upsert
-    * delivery (see [[upsertLexicon]]). Crashed-rebuild junk subtrees are
-    * pruned on every entry (the [[Imi.maintainIndex]] r12 discipline).
-    * Returns the action taken ("rebuild" | "none"). */
+  /** LEXICON COMPACTION — the fragmentation remedy BETWEEN stat-refresh
+    * rebuilds ([[Imi.compactIndex]] applied to the lexicon): every
+    * upsert delivery appends small files into dl and the posting
+    * buckets, so a long upsert run fragments the artifact (a bucket read
+    * touches O(deliveries) files). Compaction rewrites dl + postings
+    * into a fresh version under the SAME frozen stats and vocab
+    * (byte-copied — NO statistic retrains), so served scores are
+    * bit-identical before and after — which is exactly what the
+    * `q_lexicon_compact` gate hash-proves. The posting BUCKET COUNT is
+    * re-derived from the current posting mass (upserts grow it past what
+    * the bootstrap sized for — the same reason [[postingBucketCount]]
+    * exists) and the stats row updated accordingly; bucket count is
+    * layout, not scoring, so bit-identity holds. The delivery ledger is
+    * carried forward (markers are empty files), so a post-compaction
+    * redelivery still short-circuits on its marker. */
+  def compactLexicon(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    val fs = graft.sources.Versioned.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (curV, curDir) = graft.sources.Versioned.currentVersionOrThrow(
+      spark, path, "lexicon", "persistLexicon")
+    def cur(name: String) = new org.apache.hadoop.fs.Path(curDir, name)
+    val (newV, newDir) = graft.sources.Versioned.nextVersionDir(fs, root)
+    def sub(name: String) = new org.apache.hadoop.fs.Path(newDir, name)
+    val stats = lexStats(spark, curDir).head()
+    val postings = spark.read
+      .schema("tok STRING, doc_id BIGINT, tf BIGINT, bucket BIGINT")
+      .parquet(cur("postings").toString)
+      .select("tok", "doc_id", "tf")
+      .localCheckpoint() // the count below and the rewrite share one read
+    val buckets = postingBucketCount(postings.count())
+    spark.range(1).select(
+        lit(stats.getLong(0)).as("n"), lit(stats.getLong(1)).as("s"),
+        lit(buckets).as("buckets"),
+        lit(stats.getLong(3)).as("df_cap_den"))
+      .coalesce(1).write.mode("overwrite").parquet(sub("stats").toString)
+    spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(cur("dl").toString)
+      .write.mode("overwrite").parquet(sub("dl").toString)
+    graft.sources.Sources.writePartitioned(
+      postings
+        .withColumn("bucket",
+          pmod(graft.functions.Hashes.h60(col("tok")), lit(buckets)))
+        .select("bucket", "tok", "doc_id", "tf"),
+      sub("postings").toString, Seq("bucket"))
+    // vocab is frozen: byte-copy (a failed copy aborts before publish —
+    // a version without a vocab would fail every serve confusingly)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, cur("vocab"), fs,
+        sub("vocab"), false, spark.sparkContext.hadoopConfiguration))
+      throw new IllegalStateException(
+        s"lexicon compaction could not copy ${cur("vocab")} into $newDir — " +
+          "aborting before publish (the old version is untouched)")
+    // carry the delivery DEDUP ledger forward (the at-least-once memory
+    // — a retried delivery after compaction must still short-circuit);
+    // the FRAGMENTATION ledger (_frag) is deliberately NOT carried: the
+    // rewrite just repaid the fragmentation debt, so the signal resets —
+    // the two-ledger split [[Imi]] uses (_batch_commits vs _deliveries)
+    if (fs.exists(cur("_deliveries")) &&
+        !org.apache.hadoop.fs.FileUtil.copy(fs, cur("_deliveries"), fs,
+          sub("_deliveries"), false, spark.sparkContext.hadoopConfiguration))
+      throw new IllegalStateException(
+        s"lexicon compaction could not carry the delivery ledger into " +
+          s"$newDir — a retried delivery could re-append; aborting")
+    graft.sources.Versioned.publish(fs, root, Some(curV), newV, newDir)
+  }
+
+  /** How many upsert deliveries THIS VERSION'S TABLES have physically
+    * absorbed — the O(1) fragmentation signal ([[Imi.maintainIndex]]'s
+    * `_deliveries` ledger applied to the lexicon). Reads the `_frag`
+    * ledger, which a compaction rewrite does NOT carry (the debt is
+    * repaid), unlike the carried `_deliveries` dedup ledger. */
+  private def fragCount(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path): Int = {
+    val ledger = new org.apache.hadoop.fs.Path(dir, "_frag")
+    if (fs.exists(ledger)) fs.listStatus(ledger).count(_.isFile) else 0
+  }
+
+  /** The maintenance policy, two triggers in severity order (exact
+    * integer comparisons — no float boundary decides maintenance):
+    *
+    *   1. STALENESS: rebuild when the stale mass exceeds
+    *      `maxStaleNum/maxStaleDen` of the statistics base. Rebuilding
+    *      retrains the collection statistics over what the corpus has
+    *      become (`docs` — the caller's current corpus table) UNDER THE
+    *      STORED df-cap contract (r13 ADVICE: a custom cap must not
+    *      silently rebuild under the default), repaying the frozen-stats
+    *      staleness the upsert path accrues — and healing any torn
+    *      upsert delivery (see [[upsertLexicon]]). A rebuild also resets
+    *      fragmentation, so it supersedes compaction.
+    *   2. FRAGMENTATION: compact when the delivery ledger exceeds
+    *      `maxDeliveries` ([[compactLexicon]] — frozen stats, rewritten
+    *      tables, re-derived bucket count).
+    *
+    * Crashed-rewrite junk subtrees are pruned on every entry (the
+    * [[Imi.maintainIndex]] r12 discipline). Returns the action taken
+    * ("rebuild" | "compact" | "none"). */
   def maintainLexicon(docs: DataFrame, path: String,
-                      maxStaleNum: Long = 1L, maxStaleDen: Long = 5L): String = {
+                      maxStaleNum: Long = 1L, maxStaleDen: Long = 5L,
+                      maxDeliveries: Int = 8): String = {
     val spark = docs.sparkSession
+    val fs = graft.sources.Versioned.fs(spark, path)
     graft.sources.Versioned.pruneUnpublished(
-      graft.sources.Versioned.fs(spark, path),
-      new org.apache.hadoop.fs.Path(path))
+      fs, new org.apache.hadoop.fs.Path(path))
     val dir = lexDirAt(spark, path, None)
     val storedCap = lexStats(spark, dir).select("df_cap_den").head().getLong(0)
     val row = lexiconStaleness(spark, path).head()
@@ -447,6 +532,9 @@ object Retrieval {
     if (nStale * maxStaleDen > nStats * maxStaleNum) {
       persistLexicon(docs, path, storedCap)
       "rebuild"
+    } else if (fragCount(fs, dir) > maxDeliveries) {
+      compactLexicon(spark, path)
+      "compact"
     } else "none"
   }
 
@@ -584,8 +672,13 @@ object Retrieval {
           pmod(graft.functions.Hashes.h60(col("tok")), lit(buckets)))
         .select("bucket", "tok", "doc_id", "tf"),
       sub("postings"), Seq("bucket"), mode = "append")
+    // two ledgers (see [[compactLexicon]]): the dedup marker is carried
+    // across compactions; the fragmentation marker is version-local
     val out = fs.create(marker, false)
     out.close()
+    val frag = fs.create(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir, "_frag"), deliveryId), false)
+    frag.close()
     "append"
   }
 }

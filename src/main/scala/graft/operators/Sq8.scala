@@ -62,24 +62,34 @@ object Sq8 {
       least(lit(255L), greatest(lit(0L),
         floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)))))
 
+  /** The row-wise encode expression over columns `emb` and `rs` (the
+    * sorted (pos, mn, mx) ranges array) — shared by [[encodeWith]] and
+    * the compaction copy-pass fallback in [[Imi]] (where it sits inside
+    * a coalesce, so codegen only evaluates it for rows MISSING a stored
+    * code). */
+  private[operators] val EncodeExpr: String =
+    "zip_with(emb, rs, (x, r) -> " +
+      "CASE WHEN r.mx = r.mn THEN CAST(0 AS BIGINT) ELSE " +
+      "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      "CAST(floor((x - r.mn) * 255.0D / (r.mx - r.mn) + 0.5D) AS BIGINT)))" +
+      " END)"
+
+  /** The 1-row (rs: sorted ranges array) frame [[EncodeExpr]] reads —
+    * broadcast-crossJoined onto the rows to encode. */
+  private[operators] def rangesRow(ranges: DataFrame): DataFrame =
+    ranges
+      .select(array_agg(struct(col("pos"), col("mn"), col("mx"))).as("rs"))
+      .select(array_sort(col("rs")).as("rs"))
+
   /** Encode (vec_id, emb) rows against an EXPLICIT ranges table — the
     * form the persisted index tier uses, where the ranges are the STORED
     * trained state rather than retrained per call (the stored-books
     * discipline applied to SQ8). Output (vec_id, qc array<long>, dims in
     * index order). */
   private[operators] def encodeWith(emb: DataFrame,
-                                    ranges: DataFrame): DataFrame = {
-    val r = ranges
-      .select(array_agg(struct(col("pos"), col("mn"), col("mx"))).as("rs"))
-      .select(array_sort(col("rs")).as("rs"))
-    emb.crossJoin(broadcast(r))
-      .select(col("vec_id"),
-        expr("zip_with(emb, rs, (x, r) -> " +
-          "CASE WHEN r.mx = r.mn THEN CAST(0 AS BIGINT) ELSE " +
-          "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
-          "CAST(floor((x - r.mn) * 255.0D / (r.mx - r.mn) + 0.5D) AS BIGINT)))" +
-          " END)").as("qc"))
-  }
+                                    ranges: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(rangesRow(ranges)))
+      .select(col("vec_id"), expr(EncodeExpr).as("qc"))
 
   /** Codes as an array column (vec_id, qcodes array<long>) — the packed
     * serving shape (one row per vector, dims in index order). */

@@ -186,6 +186,58 @@ class Round14Spec extends AnyFunSuite with SharedSpark {
     assert(bucketVals.forall(b => b >= 0L && b < buckets))
   }
 
+  // ---- lexicon compaction ----
+
+  test("compactLexicon: bit-identical serve, frozen stats, carried delivery ledger, new version") {
+    val base = corpus
+    val d1 = docsOf(20L -> "needle probe fresh one")
+    val d2 = docsOf(21L -> "fresh padding words")
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexcpt").toString
+    Retrieval.persistLexicon(base, lex, dfCapDen = 1L)
+    Retrieval.upsertLexicon(d1, lex, deliveryId = "c-d1")
+    Retrieval.upsertLexicon(d2, lex, deliveryId = "c-d2")
+    val all = base.union(d1).union(d2)
+    val before = Retrieval.bm25Served(all, lex, nq = 1, k = 20).collect().toSeq
+    val v0 = Retrieval.currentLexiconVersion(spark, lex)
+    val statsBefore = spark.read.parquet(
+      Retrieval.lexTableDirForTest(spark, lex, "stats"))
+      .select("n", "s", "df_cap_den").collect().toSeq
+    Retrieval.compactLexicon(spark, lex)
+    assert(Retrieval.currentLexiconVersion(spark, lex) > v0,
+      "compaction publishes a new version")
+    assert(Retrieval.bm25Served(all, lex, nq = 1, k = 20).collect().toSeq
+      === before, "compaction must not change a served row")
+    assert(spark.read.parquet(
+      Retrieval.lexTableDirForTest(spark, lex, "stats"))
+      .select("n", "s", "df_cap_den").collect().toSeq === statsBefore,
+      "compaction must not touch the frozen statistics or the cap")
+    // the carried ledger: a post-compaction redelivery is still a no-op
+    assert(Retrieval.upsertLexicon(d1, lex, deliveryId = "c-d1") === "duplicate",
+      "the delivery ledger must survive compaction")
+  }
+
+  test("maintainLexicon: fragmentation triggers compact when staleness does not warrant a rebuild") {
+    // a 16-doc stats base with 3 single-doc deliveries: staleness
+    // 3/16 < 1/5 (no rebuild) but deliveries 3 > maxDeliveries 2
+    val base = docsOf((0L to 15L).map(i =>
+      i -> s"base doc number $i content"): _*)
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_lexfrg").toString
+    Retrieval.persistLexicon(base, lex, dfCapDen = 1L)
+    (1 to 3).foreach(i => Retrieval.upsertLexicon(
+      docsOf((100L + i) -> s"delta doc number $i arrives"),
+      lex, deliveryId = s"f-d$i"))
+    val v0 = Retrieval.currentLexiconVersion(spark, lex)
+    assert(Retrieval.maintainLexicon(base, lex, maxDeliveries = 2) === "compact")
+    assert(Retrieval.currentLexiconVersion(spark, lex) > v0)
+    // the compaction repaid the fragmentation debt: the version-local
+    // _frag ledger reset, so the SAME threshold no longer fires — while
+    // the carried dedup ledger still short-circuits redeliveries
+    assert(Retrieval.maintainLexicon(base, lex, maxDeliveries = 2) === "none")
+    assert(Retrieval.upsertLexicon(
+      docsOf(101L -> "delta doc number 1 arrives"), lex,
+      deliveryId = "f-d1") === "duplicate")
+  }
+
   // ---- SQ8 copy-pass compaction (r13 verdict #4) ----
 
   test("sq8 tier: a PARTIALLY torn code table heals at compaction — kept codes copied, missing re-encoded") {
