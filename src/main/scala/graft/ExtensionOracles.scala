@@ -2777,6 +2777,55 @@ object ExtensionOracles {
       s"""WITH ${bm25CtesFor("doc_id % 4 <> 3")}
          |SELECT qid, doc_id, score, rank FROM rk
          | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // HYBRID RRF (r14): fuse the bm25 rank chain (rk) with the brute
+    // cosine rank chain (br) — contrib = 1e6 // (60 + rank), exact int64,
+    // order-free sum; a system that missed the doc contributes 0
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |$EMB,
+         |$bruteTopkCtesNoEmb,
+         |lx AS (SELECT qid, doc_id, rank AS lrank FROM rk WHERE rank <= 10),
+         |sm AS (SELECT qid, nid AS doc_id, rank AS srank FROM br WHERE rank <= 10),
+         |fu AS (SELECT COALESCE(lx.qid, sm.qid) AS qid,
+         |              COALESCE(lx.doc_id, sm.doc_id) AS doc_id,
+         |              CAST(COALESCE(1000000 // (60 + lx.lrank), 0) +
+         |                   COALESCE(1000000 // (60 + sm.srank), 0) AS BIGINT) AS fused
+         |         FROM lx FULL OUTER JOIN sm
+         |           ON lx.qid = sm.qid AND lx.doc_id = sm.doc_id),
+         |fr AS (SELECT qid, doc_id, fused,
+         |              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY fused DESC, doc_id) AS BIGINT) AS rank
+         |         FROM fu)
+         |SELECT qid, doc_id, fused, rank FROM fr
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // MAP@10 (r14): scaled integer average precision — hit i at rank r_i
+    // contributes (i * 1e6) // (r_i * min(n_rel, 10)); order-free int sum
+    "q_map_eval" ->
+      s"""WITH $bm25Ctes,
+         |rel AS (SELECT tm.qid, tf.doc_id
+         |          FROM tf JOIN terms tm ON tf.tok = tm.tok
+         |         WHERE tf.doc_id <> tm.qid
+         |         GROUP BY tm.qid, tf.doc_id
+         |        HAVING COUNT(DISTINCT tf.tok) >= 2),
+         |nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+         |ht AS (SELECT r.qid, r.rank,
+         |              CAST(ROW_NUMBER() OVER (PARTITION BY r.qid
+         |                   ORDER BY r.rank) AS BIGINT) AS h
+         |         FROM rk r JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+         |        WHERE r.rank <= 10),
+         |apq AS (SELECT ht.qid, CAST(COUNT(*) AS BIGINT) AS hits,
+         |               CAST(SUM((ht.h * 1000000) //
+         |                    (ht.rank * least(nr.n_rel, 10))) AS BIGINT) AS ap_scaled
+         |          FROM ht JOIN nr ON ht.qid = nr.qid GROUP BY ht.qid),
+         |qs AS (SELECT DISTINCT doc_id AS qid FROM tf WHERE doc_id < 5)
+         |SELECT qs.qid,
+         |       COALESCE(nr.n_rel, CAST(0 AS BIGINT)) AS n_rel,
+         |       COALESCE(apq.hits, CAST(0 AS BIGINT)) AS hits,
+         |       COALESCE(apq.ap_scaled, CAST(0 AS BIGINT)) AS ap_scaled,
+         |       CAST(COALESCE(apq.ap_scaled, 0) AS DOUBLE) / 1000000.0 AS ap
+         |  FROM qs
+         |  LEFT JOIN nr ON qs.qid = nr.qid
+         |  LEFT JOIN apq ON qs.qid = apq.qid ORDER BY qs.qid""".stripMargin,
     // LEXICON COMPACTION (r14): frozen stats/vocab, rewritten tables,
     // re-derived bucket count — served scores are BIT-IDENTICAL to the
     // uncompacted upsert chain, so the oracle is q_bm25_upsert's verbatim

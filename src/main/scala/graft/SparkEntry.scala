@@ -348,6 +348,14 @@ object SparkEntry {
     // term-overlap pseudo-relevance set (>= 2 shared indexable terms)
     "q_retrieval_eval" -> ((s, dir) =>
       Retrieval.retrievalEval(Sources.documents(s, dir))),
+    // HYBRID lexical+semantic retrieval (r14): integer-exact RRF over the
+    // q_bm25 and q_ann_topk rank chains (doc_id == vec_id by corpus
+    // construction)
+    "q_hybrid_rrf" -> ((s, dir) => Retrieval.hybridTopK(
+      Sources.documents(s, dir), Sources.embeddings(s, dir))),
+    // MAP@10 in the exact-integer discipline (scaled floor-div average
+    // precision over the same pseudo-relevance set)
+    "q_map_eval" -> ((s, dir) => Retrieval.mapEval(Sources.documents(s, dir))),
     // incremental document delivery under FROZEN collection statistics
     // (the frozen-books discipline applied to retrieval): the oracle
     // recomputes (N, S, df, idf) on the base split only, in plain SQL

@@ -236,6 +236,96 @@ object Retrieval {
     packHits(hits, docs, budget)
   }
 
+  /** RRF integer scaling: contrib = RrfScale div (RrfK + rank). The
+    * standard k = 60 (Cormack et al.'s robust default) with a 10^6
+    * scale: every contribution is an exact int64 and the fused score an
+    * order-free integer sum — the repo's whole-bit discipline applied to
+    * rank fusion (a float 1/(60+r) sum would not hash cross-engine). */
+  private val RrfK = 60L
+  private val RrfScale = 1000000L
+
+  /** HYBRID retrieval — lexical BM25 fused with semantic brute-cosine by
+    * Reciprocal Rank Fusion over each system's top-k RANKS:
+    *
+    *   fused(q, d) = Σ_systems RrfScale div (RrfK + rank_system(q, d))
+    *
+    * with 0 for a system that did not return the doc. Fusion consumes
+    * only the ranks of two chains that each hash-gate on their own
+    * (`q_bm25`, `q_ann_topk`), so the whole hybrid is deterministic and
+    * SQL-expressible — no score normalization across incomparable score
+    * scales, which is exactly why RRF is the production-standard hybrid.
+    *
+    * Id contract: `docs.doc_id` and `emb.vec_id` name the SAME item (the
+    * synthetic corpus pairs them 1:1; a deployment joins its own doc/
+    * embedding tables the same way). Queries are the derived nq
+    * lowest-id items on both sides. Scale shape: both legs are the
+    * already-bounded top-k chains; the fusion itself is a full-outer
+    * join of two ≤ nq·k-row tables — driver-trivial at any corpus size. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, nq: Int = 5,
+                 qTerms: Int = 6, k: Int = 10,
+                 dfCapDen: Long = 10L): DataFrame = {
+    val lex = bm25TopK(docs, nq, qTerms, k, dfCapDen)
+      .select(col("qid"), col("doc_id"), col("rank").as("lrank"))
+    val sem = Similarity.annBruteForce(emb, nq, k)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank").as("srank"))
+    val w = Window.partitionBy("qid").orderBy(col("fused").desc, col("doc_id").asc)
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + lrank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + srank)"), lit(0L))).as("fused"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "fused", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** MAP@k — mean-average-precision of the BM25 ranking against the
+    * same term-overlap pseudo-relevance set as [[retrievalEval]], in the
+    * exact-integer discipline: with hit positions r_1 < … < r_h among
+    * the top k and m = min(n_rel, k),
+    *
+    *   ap_scaled = Σ_i (i · 10^6) div (r_i · m)
+    *
+    * — each term an exact int64 floor (i = hits-so-far at position r_i
+    * is precision@r_i's numerator), the sum order-free, so the row
+    * hash-gates where a float Σ(precision@r_i)/m would not. `ap` is the
+    * single exact division ap_scaled / 10^6 for human reading. Output
+    * one row per query: (qid, n_rel, hits, ap_scaled, ap). */
+  def mapEval(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
+              dfCapDen: Long = 10L, minShared: Long = 2L): DataFrame = {
+    val (tf, _, _, vocab) = corpusTables(docs, dfCapDen)
+    val terms = termsOf(
+      tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
+      vocab, qTerms).select("qid", "tok")
+    val rel = tf.join(broadcast(terms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(countDistinct(col("tok")).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("qid", "doc_id")
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hitW = Window.partitionBy("qid").orderBy("rank")
+    val hits = bm25TopK(docs, nq, qTerms, k, dfCapDen)
+      .select("qid", "doc_id", "rank")
+      .join(rel, Seq("qid", "doc_id"))
+      .withColumn("h", row_number().over(hitW).cast("long")) // hits-so-far
+    val ap = hits.join(nRel, "qid")
+      .withColumn("m", least(col("n_rel"), lit(k.toLong)))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"),
+        sum(expr(s"(h * $RrfScale) div (rank * m)")).as("ap_scaled"))
+    tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid")).distinct()
+      .join(nRel, Seq("qid"), "left")
+      .join(ap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("ap_scaled"), lit(0L)).as("ap_scaled"),
+        (coalesce(col("ap_scaled"), lit(0L)).cast("double") /
+          lit(RrfScale.toDouble)).as("ap"))
+      .orderBy("qid")
+  }
+
   // --------------------------------------------------------------------
   // The PERSISTED LEXICON — the retrieval family's stored artifact (the
   // [[Imi.persistIndex]] story applied to BM25): a deployment does not

@@ -186,6 +186,53 @@ class Round14Spec extends AnyFunSuite with SharedSpark {
     assert(bucketVals.forall(b => b >= 0L && b < buckets))
   }
 
+  // ---- hybrid RRF + MAP ----
+
+  test("hybrid RRF: a doc in BOTH top-k lists outranks docs in only one") {
+    import spark.implicits._
+    val docs = docsOf(
+      0L -> "needle probe query",
+      10L -> "needle probe both lists", // lexical hit AND semantic hit
+      11L -> "needle probe lexical only",
+      12L -> "unrelated words entirely", // semantic hit only
+      13L -> "more unrelated filler", 14L -> "padding one")
+    // embeddings: 10 and 12 near the query vector, 11/13/14 far
+    def v(x: Double, y: Double) = Seq(x, y)
+    val emb = Seq(
+      0L -> v(1.0, 0.0), 10L -> v(0.99, 0.14), 12L -> v(0.98, 0.2),
+      11L -> v(-1.0, 0.1), 13L -> v(-0.9, -0.4), 14L -> v(0.0, -1.0))
+      .toDF("vec_id", "emb")
+    val out = Retrieval.hybridTopK(docs, emb, nq = 1, k = 5, dfCapDen = 1L)
+      .collect().filter(_.getLong(0) == 0L)
+    val rankOf = out.map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(rankOf(10L) === 1L,
+      s"the doc present in both systems' top-k must fuse to rank 1: ${out.toSeq}")
+    assert(rankOf.contains(11L) && rankOf.contains(12L),
+      "single-system docs still appear (one-sided contribution)")
+    assert(rankOf(10L) < rankOf(11L) && rankOf(10L) < rankOf(12L))
+  }
+
+  test("mapEval: perfect prefix retrieval scores ap_scaled == 10^6; AP bounded by 1") {
+    // docs 10 and 11 each share the two bigrams of "alpha beta gamma"
+    // with the query — both pseudo-relevant (>= 2 shared terms), both
+    // retrieved ahead of everything else => AP = 1 exactly:
+    //   m = 2; hit 1 at rank 1: (1*1e6) div (1*2) = 500000
+    //          hit 2 at rank 2: (2*1e6) div (2*2) = 500000
+    val docs = docsOf(
+      0L -> "alpha beta gamma",
+      10L -> "alpha beta gamma ten",
+      11L -> "alpha beta gamma eleven",
+      12L -> "unrelated words entirely", 13L -> "padding one",
+      14L -> "padding two")
+    val out = Retrieval.mapEval(docs, nq = 1, dfCapDen = 1L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L,
+      s"both relevant docs retrieved: $r")
+    assert(r.getLong(3) === 1000000L, s"perfect ranking => ap_scaled 1e6: $r")
+    assert(r.getDouble(4) === 1.0)
+  }
+
   // ---- lexicon compaction ----
 
   test("compactLexicon: bit-identical serve, frozen stats, carried delivery ledger, new version") {
