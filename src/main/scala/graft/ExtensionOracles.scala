@@ -2798,6 +2798,26 @@ object ExtensionOracles {
          |         FROM fu)
          |SELECT qid, doc_id, fused, rank FROM fr
          | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // the SERVED hybrid (r14): lexical leg = the bm25 chain (stored
+    // integers are exact), semantic leg = the SQ8 code-distance chain
+    // (stored ranges/codes are exact), same integer RRF fusion
+    "q_hybrid_served" ->
+      s"""WITH $bm25Ctes,
+         |$sq8TopkCtes,
+         |lx AS (SELECT qid, doc_id, rank AS lrank FROM rk WHERE rank <= 10),
+         |sm AS (SELECT qid, nid AS doc_id, rank AS srank FROM srk WHERE rank <= 10),
+         |fu AS (SELECT COALESCE(lx.qid, sm.qid) AS qid,
+         |              COALESCE(lx.doc_id, sm.doc_id) AS doc_id,
+         |              CAST(COALESCE(1000000 // (60 + lx.lrank), 0) +
+         |                   COALESCE(1000000 // (60 + sm.srank), 0) AS BIGINT) AS fused
+         |         FROM lx FULL OUTER JOIN sm
+         |           ON lx.qid = sm.qid AND lx.doc_id = sm.doc_id),
+         |fr AS (SELECT qid, doc_id, fused,
+         |              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY fused DESC, doc_id) AS BIGINT) AS rank
+         |         FROM fu)
+         |SELECT qid, doc_id, fused, rank FROM fr
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // MAP@10 (r14): scaled integer average precision — hit i at rank r_i
     // contributes (i * 1e6) // (r_i * min(n_rel, 10)); order-free int sum
     "q_map_eval" ->
@@ -2826,6 +2846,24 @@ object ExtensionOracles {
          |  FROM qs
          |  LEFT JOIN nr ON qs.qid = nr.qid
          |  LEFT JOIN apq ON qs.qid = apq.qid ORDER BY qs.qid""".stripMargin,
+    // SNIPPETS (r14): per hit, the highest-idf query phrase the text
+    // literally contains + a fixed window around it (strpos/substr are
+    // 1-based in both engines; a hit with no literal phrase drops)
+    "q_snippets" ->
+      s"""WITH $bm25Ctes,
+         |hx AS (SELECT r.qid, r.doc_id, r.rank, d.text
+         |         FROM rk r JOIN $DOCS d ON r.doc_id = d.doc_id
+         |        WHERE r.rank <= 10),
+         |cand AS (SELECT hx.qid, hx.doc_id, hx.rank, tm.tok, tm.idf, hx.text,
+         |                CAST(strpos(hx.text, tm.tok) AS BIGINT) AS pos
+         |           FROM hx JOIN terms tm ON hx.qid = tm.qid
+         |          WHERE strpos(hx.text, tm.tok) > 0),
+         |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, doc_id
+         |                ORDER BY idf DESC, tok) AS rn
+         |           FROM cand)
+         |SELECT qid, doc_id, rank, tok AS term, pos,
+         |       substr(text, greatest(1, pos - 20), 60) AS snippet
+         |  FROM pick WHERE rn = 1 ORDER BY qid, rank""".stripMargin,
     // LEXICON COMPACTION (r14): frozen stats/vocab, rewritten tables,
     // re-derived bucket count — served scores are BIT-IDENTICAL to the
     // uncompacted upsert chain, so the oracle is q_bm25_upsert's verbatim

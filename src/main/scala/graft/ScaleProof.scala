@@ -1343,6 +1343,14 @@ object ScaleProof {
       val served = Retrieval.bm25Served(docs, lex).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
+      // r14: COMPACT the 10× artifact and re-serve — the frozen-stats
+      // rewrite (and its bucket re-derivation) must be score-invisible
+      // at 10× volume, not just at the gate scale
+      Retrieval.compactLexicon(spark, lex)
+      val servedCompacted = Retrieval.bm25Served(docs, lex).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val compactInvisible = servedCompacted == served
       val base = Retrieval.bm25TopK(baseDocsTab, k = Int.MaxValue).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val predicted = base.groupBy(_._1).flatMap { case (qid, rows) =>
@@ -1356,11 +1364,12 @@ object ScaleProof {
           .take(10)
           .zipWithIndex.map { case ((d, sc), i) => (qid, d, sc, i + 1L) }
       }.toSet
-      (predicted == served, bucketsRespond)
+      (predicted == served, bucketsRespond, compactInvisible)
     }
     results += "bm25_served_10x" -> tLex
     checks += "lexicon_artifact_serve_closed_form" -> lexAgree._1
     checks += "lexicon_bucket_count_scales_with_corpus" -> lexAgree._2
+    checks += "lexicon_compaction_score_invisible_10x" -> lexAgree._3
 
     // ragPack at reps×: replicas carry identical text, so the dup
     // collapse must absorb them — the predicted output is the expanded
@@ -1403,6 +1412,53 @@ object ScaleProof {
     }
     results += "ragpack_10x" -> tRag
     checks += "ragpack_replica_collapse_closed_form" -> ragAgree._1
+
+    // hybrid RRF at reps× (r14): both leg rankings expand predictably —
+    // bm25 scores are replication-invariant (the closed form above) and
+    // brute cosine is value-identical per replica (same arrays, same
+    // arithmetic), with the query's own replicas entering the semantic
+    // leg at cos = 1.0 and the lexical leg at the driver-derived self
+    // score. Predict each leg's 10× top-k driver-side, fuse with the
+    // same integer RRF formula, and the 10× hybrid output must match
+    // exactly — binds the fusion join + both leg chains at volume.
+    val (hybridAgree, tHybrid) = timed {
+      val k = 10
+      val off = 10000000L
+      val baseEmb = Sources.embeddings(spark, sfDir)
+      val baseLex = Retrieval.bm25TopK(baseDocsTab, k = Int.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val baseSem = Similarity.annBruteForce(baseEmb, k = Int.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      val qids = baseLex.map(_._1).toSet ++ baseSem.map(_._1).toSet
+      val predicted = qids.flatMap { qid =>
+        val lexExp = (for {
+          (q, d, sc) <- baseLex.toSeq if q == qid
+          j <- 0L until reps.toLong
+        } yield (j * off + d, sc)) ++
+          (1L until reps.toLong).map(j => (j * off + qid, selfScores(qid)))
+        val lexRank = lexExp.sortBy { case (id, sc) => (-sc, id) }
+          .take(k).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+        val semExp = (for {
+          (q, n, c) <- baseSem.toSeq if q == qid
+          j <- 0L until reps.toLong
+        } yield (j * off + n, c)) ++
+          (1L until reps.toLong).map(j => (j * off + qid, 1.0))
+        val semRank = semExp.sortBy { case (id, c) => (-c, id) }
+          .take(k).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+        val fused = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+          (id, lexRank.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+            semRank.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L))
+        }
+        fused.sortBy { case (id, f) => (-f, id) }.take(k).zipWithIndex
+          .map { case ((id, f), i) => (qid, id, f, i + 1L) }
+      }
+      val big = Retrieval.hybridTopK(docs, emb, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      predicted == big
+    }
+    results += "hybrid_rrf_10x" -> tHybrid
+    checks += "hybrid_rrf_fusion_closed_form" -> hybridAgree
 
     // SQ8 at reps×: replication leaves every per-dimension (min, max)
     // in place, so ranges are invariant and each replica's codes equal

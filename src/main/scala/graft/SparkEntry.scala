@@ -353,9 +353,26 @@ object SparkEntry {
     // construction)
     "q_hybrid_rrf" -> ((s, dir) => Retrieval.hybridTopK(
       Sources.documents(s, dir), Sources.embeddings(s, dir))),
+    // the SERVED hybrid: lexical leg from the published lexicon's pruned
+    // buckets, semantic leg from the published index's SQ8 byte codes —
+    // the fusion a deployment actually ships, priced at SQ8 recall
+    "q_hybrid_served" -> ((s, dir) => {
+      val lex = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lex_hy_${Sources.pathKey(dir)}").getAbsolutePath
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_idx_hy_${Sources.pathKey(dir)}").getAbsolutePath
+      val docs = Sources.documents(s, dir)
+      val emb = Sources.embeddings(s, dir)
+      Retrieval.persistLexicon(docs, lex)
+      operators.Imi.persistIndex(emb, idx, withSq8 = true)
+      Retrieval.hybridServed(docs, emb, lex, idx)
+    }),
     // MAP@10 in the exact-integer discipline (scaled floor-div average
     // precision over the same pseudo-relevance set)
     "q_map_eval" -> ((s, dir) => Retrieval.mapEval(Sources.documents(s, dir))),
+    // keyword-in-context snippets for the BM25 hits (the result-page
+    // surface) — pure 1-based instr/substring string arithmetic
+    "q_snippets" -> ((s, dir) => Retrieval.snippets(Sources.documents(s, dir))),
     // incremental document delivery under FROZEN collection statistics
     // (the frozen-books discipline applied to retrieval): the oracle
     // recomputes (N, S, df, idf) on the base split only, in plain SQL

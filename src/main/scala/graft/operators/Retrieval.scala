@@ -279,6 +279,35 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
+  /** [[hybridTopK]] SERVED FROM THE STORED ARTIFACTS — the deployment
+    * shape: the lexical leg reads the published lexicon's pruned posting
+    * buckets ([[bm25Served]]) and the semantic leg scans the published
+    * index's SQ8 byte codes ([[Imi.annSq8Served]] — integer
+    * code-distance, ~1 B/dim reads), fused with the same integer RRF.
+    * Both legs are bit-identical to their in-query twins (the stored
+    * numbers are exact), so the fusion is too — but the SEMANTIC leg
+    * ranks by quantized distance rather than true cosine, so the fused
+    * ranking legitimately differs from [[hybridTopK]]'s: this is the
+    * hybrid a deployment actually serves, priced at the SQ8 tier's
+    * recall. */
+  def hybridServed(docs: DataFrame, emb: DataFrame, lexPath: String,
+                   idxPath: String, nq: Int = 5, qTerms: Int = 6,
+                   k: Int = 10): DataFrame = {
+    val lex = bm25Served(docs, lexPath, nq, qTerms, k)
+      .select(col("qid"), col("doc_id"), col("rank").as("lrank"))
+    val sem = Imi.annSq8Served(emb, idxPath, nq, k)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank").as("srank"))
+    val w = Window.partitionBy("qid").orderBy(col("fused").desc, col("doc_id").asc)
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + lrank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + srank)"), lit(0L))).as("fused"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "fused", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** MAP@k — mean-average-precision of the BM25 ranking against the
     * same term-overlap pseudo-relevance set as [[retrievalEval]], in the
     * exact-integer discipline: with hit positions r_1 < … < r_h among
@@ -324,6 +353,40 @@ object Retrieval {
         (coalesce(col("ap_scaled"), lit(0L)).cast("double") /
           lit(RrfScale.toDouble)).as("ap"))
       .orderBy("qid")
+  }
+
+  /** Keyword-in-context SNIPPETS for retrieval hits — the result-page
+    * surface a search UI renders: for each (qid, doc) of the BM25 top-k,
+    * the highest-idf query term whose bigram phrase the document text
+    * literally contains, its 1-based character position, and a fixed
+    * character window around it. Pure deterministic string arithmetic
+    * (instr/substring — 1-based in both engines), so the whole report
+    * hash-gates; a hit containing no query phrase as a literal substring
+    * drops from the report identically on both engines. Scale: ≤ nq·k
+    * hit rows × qTerms candidate terms — driver-trivial; each snippet is
+    * one substring over one document's text. */
+  def snippets(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
+               dfCapDen: Long = 10L, before: Int = 20,
+               width: Int = 60): DataFrame = {
+    val (tf, dl, corpus, vocab) = corpusTables(docs, dfCapDen)
+    val terms = termsOf(
+      tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
+      vocab, qTerms)
+    val hits = scoreAgainstPostings(tf, dl, corpus, terms, k, excludeSelf = true)
+    val pickW = Window.partitionBy("qid", "doc_id")
+      .orderBy(col("idf").desc, col("tok").asc)
+    hits
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .join(broadcast(terms), "qid")
+      .withColumn("pos", instr(col("text"), col("tok")).cast("long"))
+      .filter(col("pos") > 0L)
+      .withColumn("rn", row_number().over(pickW))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("doc_id"), col("rank"), col("tok").as("term"),
+        col("pos"),
+        expr(s"substring(text, greatest(1, pos - $before), $width)")
+          .as("snippet"))
+      .orderBy("qid", "rank")
   }
 
   // --------------------------------------------------------------------

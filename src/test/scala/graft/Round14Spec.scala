@@ -233,6 +233,45 @@ class Round14Spec extends AnyFunSuite with SharedSpark {
     assert(r.getDouble(4) === 1.0)
   }
 
+  test("snippets: highest-idf present phrase wins; window centers on it") {
+    val docs = docsOf(
+      0L -> "rare gem query words",
+      10L -> ("lots of common filler words here then the rare gem appears " +
+        "and more trailing text follows after it"),
+      11L -> "unrelated words entirely", 12L -> "more unrelated filler",
+      13L -> "padding one", 14L -> "padding two")
+    val out = Retrieval.snippets(docs, nq = 1, dfCapDen = 1L).collect()
+    val hit = out.find(_.getLong(1) == 10L)
+    assert(hit.isDefined, s"doc 10 must be retrieved and snippeted: ${out.toSeq}")
+    val r = hit.get
+    assert(r.getString(3) === "rare gem", s"best present phrase: $r")
+    val text = "lots of common filler words here then the rare gem appears " +
+      "and more trailing text follows after it"
+    val pos = text.indexOf("rare gem") + 1
+    assert(r.getLong(4) === pos.toLong)
+    assert(r.getString(5) === text.substring(pos - 21, pos - 21 + 60),
+      s"window = substring(text, pos-20, 60): $r")
+  }
+
+  test("hybridServed: both artifacts compose; ranks contiguous per query") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Sources.documents(spark, sf)
+    val emb = graft.sources.Sources.embeddings(spark, sf)
+    val lex = java.nio.file.Files.createTempDirectory("graft_r14_hylex").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_r14_hyidx").toString
+    Retrieval.persistLexicon(docs, lex)
+    graft.operators.Imi.persistIndex(emb, idx, withSq8 = true)
+    val out = Retrieval.hybridServed(docs, emb, lex, idx).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getLong(3)).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq,
+        s"contiguous fused ranks for qid $qid: $ranks")
+    }
+    // every fused row carries a positive integer score
+    assert(out.forall(_.getLong(2) > 0L))
+  }
+
   // ---- lexicon compaction ----
 
   test("compactLexicon: bit-identical serve, frozen stats, carried delivery ledger, new version") {
