@@ -2864,6 +2864,13 @@ object ExtensionOracles {
          |SELECT qid, doc_id, rank, tok AS term, pos,
          |       substr(text, greatest(1, pos - 20), 60) AS snippet
          |  FROM pick WHERE rn = 1 ORDER BY qid, rank""".stripMargin,
+    // STREAMING lexicon upsert (r14): micro-batch carving is invisible
+    // under frozen stats (pure per-doc appends), so the oracle is
+    // q_bm25_upsert's verbatim
+    "q_lexicon_upsert_stream" ->
+      s"""WITH ${bm25CtesFor("doc_id % 4 <> 3")}
+         |SELECT qid, doc_id, score, rank FROM rk
+         | WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // LEXICON COMPACTION (r14): frozen stats/vocab, rewritten tables,
     // re-derived bucket count — served scores are BIT-IDENTICAL to the
     // uncompacted upsert chain, so the oracle is q_bm25_upsert's verbatim

@@ -384,6 +384,17 @@ object SparkEntry {
         deliveryId = "up-delta")
       Retrieval.bm25Served(docs, lex)
     }),
+    // STREAMING lexicon upsert (r14): the delta arrives as micro-batches,
+    // each a committed frozen-vocab append — the drained artifact is
+    // carving-invariant, so the serve rides the q_bm25_upsert oracle
+    "q_lexicon_upsert_stream" -> ((s, dir) => {
+      val lex = freshGatePath(s, "graft_lex_us", dir)
+      val docs = Sources.documents(s, dir)
+      Retrieval.persistLexicon(docs.filter(col("doc_id") % 4 =!= 3), lex)
+      streaming.LexiconUpsertStream.run(
+        docReplayStream(s, dir).filter(col("doc_id") % 4 === 3), lex)
+      Retrieval.bm25Served(docs, lex)
+    }),
     // LEXICON COMPACTION (r14): two upsert deliveries fragment the
     // artifact, the compaction rewrites dl/postings under the FROZEN
     // stats/vocab and re-derives the bucket count — served scores must

@@ -324,6 +324,39 @@ class Round14Spec extends AnyFunSuite with SharedSpark {
       deliveryId = "f-d1") === "duplicate")
   }
 
+  test("lexicon-upsert stream resumes from a real checkpoint without double-append") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r14_lexus").toString
+    val (srcDir, ckpt, lex) = (s"$base/src", s"$base/ckpt", s"$base/lex")
+    val baseDocs = corpus
+    Retrieval.persistLexicon(baseDocs, lex, dfCapDen = 1L)
+    val d1 = docsOf(20L -> "needle probe fresh one")
+    val d2 = docsOf(21L -> "needle probe fresh two")
+    def stream() = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    def dlIds = spark.read.parquet(
+      Retrieval.lexTableDirForTest(spark, lex, "dl"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // run 1: first delivery drains, checkpoint commits
+    d1.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    graft.streaming.LexiconUpsertStream.run(stream(), lex, Some(ckpt))
+    val afterFirst = dlIds
+    assert(afterFirst.contains(20L))
+    // run 2 with NO new data: resume must append nothing
+    graft.streaming.LexiconUpsertStream.run(stream(), lex, Some(ckpt))
+    assert(dlIds === afterFirst,
+      "a resume with no new files must not re-append committed batches")
+    // run 3: second delivery lands; resumed query picks up ONLY it
+    d2.coalesce(1).write.mode("append").parquet(srcDir)
+    graft.streaming.LexiconUpsertStream.run(stream(), lex, Some(ckpt))
+    assert(dlIds === (afterFirst :+ 21L).sorted,
+      "checkpointed streaming upsert equals the bulk upsert's doc set")
+    val all = baseDocs.union(d1).union(d2)
+    assert(Retrieval.bm25Served(all, lex, nq = 1, k = 20).collect()
+      .map(_.getLong(1)).toSet.intersect(Set(20L, 21L)) === Set(20L, 21L),
+      "both streamed docs retrieve under the frozen stats")
+  }
+
   // ---- SQ8 copy-pass compaction (r13 verdict #4) ----
 
   test("sq8 tier: a PARTIALLY torn code table heals at compaction — kept codes copied, missing re-encoded") {
