@@ -32,6 +32,10 @@ class PlanPostureSpec extends AnyFunSuite with SharedSpark {
   private val deliberateNestedLoop = Set("q_ann_topk", "q_ann_ivf",
     "q_bm25", "q_rag_pipeline", // SINGLE-ROW corpus (n, s) stats x the posting rows
     "q_bm25_served", "q_bm25_upsert", "q_lexicon_lifecycle", "q_retrieval_eval", // the stored/derived 1-row stats x the posting rows
+    // r14 retrieval widening: all ride the same SINGLE-ROW (n, s) stats
+    // crossJoin (and the hybrids also the SQ8/brute broadcast-query side)
+    "q_bm25_freeq", "q_lexicon_compact", "q_lexicon_upsert_stream",
+    "q_hybrid_rrf", "q_hybrid_served", "q_map_eval", "q_snippets",
     // SQ8 family: the 5-row encoded query side and the 1-row packed-ranges
     // side broadcast against the code scan, as q_ann_topk
     "q_sq8_codes", "q_sq8_topk", "q_sq8_recall",
