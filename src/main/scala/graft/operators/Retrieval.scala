@@ -68,39 +68,67 @@ object Retrieval {
     * integer-scaled score above and the (score desc, doc_id asc)
     * tie-break. */
   def bm25TopK(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
-               dfCapDen: Long = 10L): DataFrame = {
-    val (tf, dl, corpus, vocab) = corpusTables(docs, dfCapDen)
+               dfCapDen: Long = 10L): DataFrame =
+    bm25From(corpusTables(docs, dfCapDen), nq, qTerms, k)
+
+  /** The derived-query BM25 chain over an ALREADY-BUILT corpus table set —
+    * so consumers that need both the ranking and the raw tables
+    * ([[retrievalEval]], [[mapEval]], [[snippets]]) pay ONE corpus build
+    * instead of two (optimization r14: the eval gauges previously ran the
+    * full bigram-explode + shuffle + checkpoint twice per query). */
+  private def bm25From(c: CorpusTabs, nq: Int, qTerms: Int,
+                       k: Int): DataFrame = {
     // query terms: first qTerms indexable tokens of the nq lowest-id docs
     val terms = termsOf(
-      tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
-      vocab, qTerms)
+      c.tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
+      c.vocab, qTerms)
     // posting join: candidates share ≥1 term; self excluded
-    scoreAgainstPostings(tf, dl, corpus, terms, k, excludeSelf = true)
+    scoreAgainstPostings(c.tf, c.dl, c.n, c.sBox, terms, k, excludeSelf = true)
+  }
+
+  /** The one-pass corpus table set: checkpointed tf and dl, the 1-row
+    * corpus statistics as DRIVER SCALARS, and the df-capped vocabulary.
+    * `sBox` is null (never 0) for a corpus with no terms — preserved so
+    * the stored stats row is bit-identical to the pre-r14 crossJoin
+    * form. */
+  private final case class CorpusTabs(tf: DataFrame, dl: DataFrame,
+                                      n: Long, sBox: java.lang.Long,
+                                      vocab: DataFrame) {
+    def s0: Long = if (sBox == null) 0L else sBox.longValue
   }
 
   /** ONE bigram-explode pass feeding every collection table: tf is
     * materialized once (localCheckpoint) and dl/df/corpus all derive from
     * it (dl = Σ_tok tf by definition) — without this every downstream
     * branch re-runs the |corpus|·|doc| explode (no cross-branch reuse in
-    * one Catalyst plan). The vocabulary keeps df ≤ N/dfCapDen (the cap is
+    * one Catalyst plan). dl is checkpointed too (strictly smaller than
+    * tf — one row per doc), so the (n, s) statistics, the dl write in
+    * [[persistLexicon]] and the scoring join all ride one groupBy instead
+    * of re-aggregating tf per consumer. The 1-row corpus statistics are
+    * collected to the DRIVER (optimization r14, guide §2.4): inlining
+    * (n, s) as literals removes the 1-row broadcast crossJoin — and its
+    * recomputed dl-aggregation subtree — from every downstream plan
+    * (previously evaluated once under vocab and once under the scoring
+    * tail), and lets Catalyst constant-fold the score denominator's
+    * s-products. The vocabulary keeps df ≤ N/dfCapDen (the cap is
     * a FRACTION of the corpus, so the indexable set is scale-invariant — a
     * fixed absolute cap empties the vocabulary as df grows linearly with
     * N) and whole-bit idf ≥ 1; the comparison is exact integers
-    * (df·den ≤ N). Returns (tf, dl, (n,s) stats, (tok,df,idf) vocab). */
-  private def corpusTables(docs: DataFrame, dfCapDen: Long)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    * (df·den ≤ N). */
+  private def corpusTables(docs: DataFrame, dfCapDen: Long): CorpusTabs = {
     val tf = bigrams(docs).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf")).localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val vocab = dfTab
-      .crossJoin(broadcast(corpus))
-      .filter(col("df") * lit(dfCapDen) <= col("n"))
-      .withColumn("idf", (length(bin(expr("n div df"))) - 1).cast("long"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")).localCheckpoint()
+    val cr = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val n = cr.getLong(0)
+    val sBox: java.lang.Long = if (cr.isNullAt(1)) null else cr.getLong(1)
+    val vocab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * lit(dfCapDen) <= lit(n))
+      .withColumn("idf",
+        (length(bin(expr(s"${n}L div df"))) - 1).cast("long"))
       .filter(col("idf") >= 1L)
       .select("tok", "df", "idf")
-    (tf, dl, corpus, vocab)
+    CorpusTabs(tf, dl, n, sBox, vocab)
   }
 
   /** Per-query terms from a (qid, tok) token table: the first `qTerms`
@@ -122,15 +150,19 @@ object Retrieval {
     * derived-query convention); free-text queries live in their own id
     * space and keep every candidate. */
   private def scoreAgainstPostings(tf: DataFrame, dl: DataFrame,
-                                   corpus: DataFrame, terms: DataFrame,
+                                   n: Long, sBox: java.lang.Long,
+                                   terms: DataFrame,
                                    k: Int, excludeSelf: Boolean): DataFrame = {
+    // (n, s) arrive as driver scalars (1-row corpus statistics — collected
+    // once, not re-derived per plan branch); s is null only for a corpus
+    // with no terms, where no candidate row exists to score anyway
+    val s = if (sBox == null) 0L else sBox.longValue
     val joined = tf.join(broadcast(terms), "tok")
     val candidates =
       if (excludeSelf) joined.filter(col("doc_id") =!= col("qid")) else joined
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     candidates
       .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
       // loud int64-headroom guard IN the plan (candidate rows only — ≤
       // nq·qTerms·(N/dfCapDen) rows): Spark's non-ANSI int64 multiply wraps
       // silently, so BOTH products are re-derived in decimal and compared
@@ -138,16 +170,17 @@ object Retrieval {
       // bounded by 18·S·N — NOT by the numerator bound — so it gets its
       // own clause (r13 ADVICE).
       .withColumn("_guard", assert_true(
-        (col("idf").cast("decimal(38,0)") * col("tf") * lit(44) * col("s") *
+        (col("idf").cast("decimal(38,0)") * col("tf") * lit(44) * lit(s) *
           lit(1024) < lit(Long.MaxValue).cast("decimal(38,0)")) &&
-        (lit(20).cast("decimal(38,0)") * col("tf") * col("s") +
-          lit(6).cast("decimal(38,0)") * col("s") +
-          lit(18).cast("decimal(38,0)") * col("dl") * col("n") <
+        (lit(20).cast("decimal(38,0)") * col("tf") * lit(s) +
+          lit(6).cast("decimal(38,0)") * lit(s) +
+          lit(18).cast("decimal(38,0)") * col("dl") * lit(n) <
             lit(Long.MaxValue).cast("decimal(38,0)")),
         lit("bm25 int64 headroom exceeded: lift the contribution products " +
           "into decimal(38,0) — see the Retrieval scaladoc")))
-      .withColumn("contrib",
-        expr("(idf * tf * 44 * s * 1024) div (20 * tf * s + 6 * s + 18 * dl * n)"))
+      .withColumn("contrib", expr(
+        s"(idf * tf * 44 * ${s}L * 1024) div " +
+          s"(20 * tf * ${s}L + 6 * ${s}L + 18 * dl * ${n}L)"))
       .filter(col("_guard").isNull) // assert_true returns null — keep all rows
       .groupBy("qid", "doc_id")
       .agg(sum(col("contrib")).as("score")) // exact int64 — order-free
@@ -221,9 +254,9 @@ object Retrieval {
     * |queries|·qTerms rows (broadcast), the posting join df-cap-bounded. */
   def bm25TopKQueries(docs: DataFrame, queries: DataFrame, qTerms: Int = 6,
                       k: Int = 10, dfCapDen: Long = 10L): DataFrame = {
-    val (tf, dl, corpus, vocab) = corpusTables(docs, dfCapDen)
-    val terms = termsOf(queryTokens(queries), vocab, qTerms)
-    scoreAgainstPostings(tf, dl, corpus, terms, k, excludeSelf = false)
+    val c = corpusTables(docs, dfCapDen)
+    val terms = termsOf(queryTokens(queries), c.vocab, qTerms)
+    scoreAgainstPostings(c.tf, c.dl, c.n, c.sBox, terms, k, excludeSelf = false)
   }
 
   /** [[ragPack]] for caller-supplied query strings: retrieve with
@@ -322,10 +355,11 @@ object Retrieval {
     * one row per query: (qid, n_rel, hits, ap_scaled, ap). */
   def mapEval(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
               dfCapDen: Long = 10L, minShared: Long = 2L): DataFrame = {
-    val (tf, _, _, vocab) = corpusTables(docs, dfCapDen)
+    val c = corpusTables(docs, dfCapDen)
+    val tf = c.tf
     val terms = termsOf(
       tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
-      vocab, qTerms).select("qid", "tok")
+      c.vocab, qTerms).select("qid", "tok")
     val rel = tf.join(broadcast(terms), "tok")
       .filter(col("doc_id") =!= col("qid"))
       .groupBy("qid", "doc_id")
@@ -334,7 +368,9 @@ object Retrieval {
       .select("qid", "doc_id")
     val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val hitW = Window.partitionBy("qid").orderBy("rank")
-    val hits = bm25TopK(docs, nq, qTerms, k, dfCapDen)
+    // one corpus build feeds both the ranking and the relevance set
+    // (optimization r14 — previously bm25TopK rebuilt the tables)
+    val hits = bm25From(c, nq, qTerms, k)
       .select("qid", "doc_id", "rank")
       .join(rel, Seq("qid", "doc_id"))
       .withColumn("h", row_number().over(hitW).cast("long")) // hits-so-far
@@ -368,11 +404,12 @@ object Retrieval {
   def snippets(docs: DataFrame, nq: Int = 5, qTerms: Int = 6, k: Int = 10,
                dfCapDen: Long = 10L, before: Int = 20,
                width: Int = 60): DataFrame = {
-    val (tf, dl, corpus, vocab) = corpusTables(docs, dfCapDen)
+    val c = corpusTables(docs, dfCapDen)
     val terms = termsOf(
-      tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
-      vocab, qTerms)
-    val hits = scoreAgainstPostings(tf, dl, corpus, terms, k, excludeSelf = true)
+      c.tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
+      c.vocab, qTerms)
+    val hits = scoreAgainstPostings(c.tf, c.dl, c.n, c.sBox, terms, k,
+      excludeSelf = true)
     val pickW = Window.partitionBy("qid", "doc_id")
       .orderBy(col("idf").desc, col("tok").asc)
     hits
@@ -481,16 +518,21 @@ object Retrieval {
     val prev = graft.sources.Versioned.currentVersion(spark, path).map(_._1)
     val (newV, newDir) = graft.sources.Versioned.nextVersionDir(fs, root)
     def sub(name: String) = new org.apache.hadoop.fs.Path(newDir, name).toString
-    // one explode pass feeds all four table writes (see corpusTables)
-    val (tf, dl, corpus, vocab) = corpusTables(docs, dfCapDen)
-    val postings = tf.join(vocab.select("tok"), "tok") // only indexable terms
+    // one explode pass feeds all four table writes (see corpusTables);
+    // vocab is checkpointed so the tok-aggregation runs once for the
+    // vocab write AND the postings join (optimization r14 — previously
+    // each write action re-aggregated the checkpointed tf)
+    val c = corpusTables(docs, dfCapDen)
+    val vocab = c.vocab.localCheckpoint()
+    val postings = c.tf.join(vocab.select("tok"), "tok") // only indexable terms
     // the count rides the checkpointed tf — one slim job, and the price of
     // a bucket count that tracks the corpus instead of a magic constant
     val buckets = postingBucketCount(postings.count())
-    corpus.select(col("n"), col("s"), lit(buckets).as("buckets"),
-        lit(dfCapDen).as("df_cap_den"))
+    docs.sparkSession.range(1)
+      .select(lit(c.n).as("n"), lit(c.sBox).cast("long").as("s"),
+        lit(buckets).as("buckets"), lit(dfCapDen).as("df_cap_den"))
       .coalesce(1).write.mode("overwrite").parquet(sub("stats"))
-    dl.write.mode("overwrite").parquet(sub("dl"))
+    c.dl.write.mode("overwrite").parquet(sub("dl"))
     vocab.write.mode("overwrite").parquet(sub("vocab"))
     graft.sources.Sources.writePartitioned(
       postings
@@ -512,24 +554,36 @@ object Retrieval {
                                qTerms: Int, k: Int,
                                excludeSelf: Boolean): DataFrame = {
     val spark = qToks.sparkSession
+    import spark.implicits._
     def sub(name: String) = new org.apache.hadoop.fs.Path(dir, name).toString
-    val stats = lexStats(spark, dir)
-    val buckets = stats.select("buckets").head().getLong(0)
+    // ONE head() serves every stored statistic (optimization r14 —
+    // previously buckets and (n, s) were separate actions/broadcasts)
+    val statsRow = lexStats(spark, dir).head()
+    val (n, buckets) = (statsRow.getLong(0), statsRow.getLong(2))
+    val sBox: java.lang.Long =
+      if (statsRow.isNullAt(1)) null else statsRow.getLong(1)
     val dl = spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(sub("dl"))
     val vocab = spark.read.schema("tok STRING, df BIGINT, idf BIGINT")
       .parquet(sub("vocab"))
-    val terms = termsOf(qToks, vocab, qTerms)
+    // resolve the query terms in ONE driver collect (≤ |q|·qTerms rows —
+    // the driver-bounded step that turns the bucket set into pruning
+    // literals); the terms table re-enters the plan as a LocalRelation,
+    // so the scoring broadcast needs no extra job (optimization r14 —
+    // previously a localCheckpoint job + a separate distinct-collect job)
+    val termRows = termsOf(qToks, vocab, qTerms)
       .withColumn("bucket",
         pmod(graft.functions.Hashes.h60(col("tok")), lit(buckets)))
-      .localCheckpoint()
-    val bucketIds = terms.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect()
+    val bucketIds = termRows.map(_.getAs[Long]("bucket")).distinct.toSeq
+    val terms = termRows.toSeq
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("tok"),
+        r.getAs[Long]("idf")))
+      .toDF("qid", "tok", "idf")
     val postings = spark.read
       .schema("tok STRING, doc_id BIGINT, tf BIGINT, bucket BIGINT")
       .parquet(sub("postings"))
       .filter(col("bucket").isin(bucketIds: _*)) // directory-level pruning
-    scoreAgainstPostings(postings, dl, stats.select("n", "s"),
-      terms.select("qid", "tok", "idf"), k, excludeSelf)
+    scoreAgainstPostings(postings, dl, n, sBox, terms, k, excludeSelf)
   }
 
   /** BM25 top-k served FROM the stored lexicon: query terms derive from
@@ -704,10 +758,11 @@ object Retrieval {
   def retrievalEval(docs: DataFrame, nq: Int = 5, qTerms: Int = 6,
                     k: Int = 10, dfCapDen: Long = 10L,
                     minShared: Long = 2L): DataFrame = {
-    val (tf, _, _, vocab) = corpusTables(docs, dfCapDen)
+    val c = corpusTables(docs, dfCapDen)
+    val tf = c.tf
     val terms = termsOf(
       tf.filter(col("doc_id") < nq).select(col("doc_id").as("qid"), col("tok")),
-      vocab, qTerms).select("qid", "tok")
+      c.vocab, qTerms).select("qid", "tok")
     // pseudo-relevance: ≥ minShared distinct shared terms, self excluded
     val rel = tf.join(broadcast(terms), "tok")
       .filter(col("doc_id") =!= col("qid"))
@@ -715,7 +770,9 @@ object Retrieval {
       .agg(countDistinct(col("tok")).as("shared"))
       .filter(col("shared") >= minShared)
       .select("qid", "doc_id")
-    val hits = bm25TopK(docs, nq, qTerms, k, dfCapDen)
+    // one corpus build feeds both the ranking and the relevance set
+    // (optimization r14 — previously bm25TopK rebuilt the tables)
+    val hits = bm25From(c, nq, qTerms, k)
       .select("qid", "doc_id")
       .join(rel, Seq("qid", "doc_id"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))
