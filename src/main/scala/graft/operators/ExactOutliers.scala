@@ -64,10 +64,25 @@ object ExactOutliers {
     * rides the hot loop). In the kernel the same idea loses to branch
     * mispredicts and the extra owner-index bookkeeping. */
   def ballCounts(points: DataFrame, d: Double,
-                 pruneProbes: Boolean = true): DataFrame = {
+                 pruneProbes: Boolean = true,
+                 capAbove: Option[Int] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val d2 = d * d
+    // Early-exit cap (optimization r14, guide §1.2 "per-task work"): when
+    // the caller only needs balls of size ≤ M exactly (the outlier
+    // queries), a point whose PER-CELL partial reaches M+1 is already
+    // provably a non-outlier (its cross-cell total is ≥ M+1 > M), so the
+    // kernel stops scanning that point's remaining candidates. Survivors
+    // (total ≤ M) never hit the cap in any cell, so their partials — and
+    // the reported ball_size — stay EXACT; capped points sum to ≥ M+1 and
+    // are dropped by the ≤ M filter exactly as before. With E[candidates]
+    // ≫ M this bounds kernel work per resident at O(scan-until-M+1-hits)
+    // instead of O(|3x3 occupancy|) — the denser the cell, the bigger the
+    // cut. None (the default) keeps the exact full counts for every
+    // caller that reads ball sizes beyond the threshold (specs,
+    // SkewProof).
+    val cap = capAbove.map(_ + 1L).getOrElse(Long.MaxValue)
     val bucketed = points.select(
       col("id").cast("long").as("id"),
       col("x").cast("double").as("x"), col("y").cast("double").as("y"),
@@ -138,7 +153,7 @@ object ExactOutliers {
             val x = ox(k); val y = oy(k)
             var cnt = 0L
             var i = 0
-            while (i < cx.length) {
+            while (i < cx.length && cnt < cap) {
               val dx = x - cx(i); val dy = y - cy(i)
               if (dx * dx + dy * dy <= d2) cnt += 1L
               i += 1
@@ -184,14 +199,14 @@ object ExactOutliers {
   /** Outliers: |B(p,D)| ≤ M (`big_data_computing_1.py:42-44`), first K in
     * ascending (ball_size, id) order (`:48-53`, tie-break made deterministic). */
   def outliers(points: DataFrame, d: Double, m: Int, k: Int): DataFrame =
-    ballCounts(points, d)
+    ballCounts(points, d, capAbove = Some(m))
       .filter(col("ball_size") <= m)
       .orderBy(col("ball_size").asc, col("id").asc)
       .limit(k)
 
   /** Total outlier count (`big_data_computing_1.py:46-47`). */
   def outlierCount(points: DataFrame, d: Double, m: Int): DataFrame =
-    ballCounts(points, d)
+    ballCounts(points, d, capAbove = Some(m))
       .filter(col("ball_size") <= m)
       .agg(count(lit(1)).as("n_outliers"))
 }

@@ -72,6 +72,30 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("capped ball counts keep the outlier report exact (early-exit cap)") {
+    // the r14 kernel early-exit: capAbove=Some(m) may stop a point's
+    // per-cell scan once its partial reaches m+1 — the ≤ m filter and the
+    // surviving ball_size values must be bit-identical to the uncapped run
+    val rng = new scala.util.Random(1414)
+    for (d <- List(1.0, 2.0, 3.5)) {
+      val m = 3
+      val n = 60 + rng.nextInt(120)
+      val pts = List.fill(n)((rng.nextDouble() * 30 - 15, rng.nextDouble() * 30 - 15))
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val full = ExactOutliers.ballCounts(df, d)
+        .filter(col("ball_size") <= m)
+        .select("id", "ball_size").as[(Long, Long)].collect().toMap
+      val capped = ExactOutliers.ballCounts(df, d, capAbove = Some(m))
+        .filter(col("ball_size") <= m)
+        .select("id", "ball_size").as[(Long, Long)].collect().toMap
+      assert(capped === full,
+        s"capped outlier report diverged at d=$d: " +
+          s"missing=${full.keySet -- capped.keySet}, " +
+          s"extra=${capped.keySet -- full.keySet}")
+    }
+  }
+
   test("grid containment holds on random point sets (sure ⊆ exact ⊆ sure ∪ uncertain)") {
     val rng = new scala.util.Random(4242)
     for (d <- List(1.0, 2.0, 3.0, 1.5, 2.5)) {
