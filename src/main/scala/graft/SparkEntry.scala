@@ -133,10 +133,12 @@ object SparkEntry {
     "q_topk_cells" -> ((s, dir) =>
       GridOutliers.topKCells(Sources.points2d(s, dir), D, K)),
     // ---- ExactOutliers (C1/J1) ----
+    // Sources.spread: parallelize the replica-explode + kernel pipeline
+    // (scale-adaptive scan floor — no-op past one scan split)
     "q_exact_outliers" -> ((s, dir) =>
-      ExactOutliers.outliers(Sources.points2d(s, dir), D, M, K)),
+      ExactOutliers.outliers(Sources.spread(Sources.points2d(s, dir)), D, M, K)),
     "q_exact_outlier_count" -> ((s, dir) =>
-      ExactOutliers.outlierCount(Sources.points2d(s, dir), D, M)),
+      ExactOutliers.outlierCount(Sources.spread(Sources.points2d(s, dir)), D, M)),
     // ---- MRFFT / k-center clustering (C3/C4, J3, A6) ----
     "q_radius_fixed_centers" -> ((s, dir) =>
       Sources.points2d(s, dir).agg(
@@ -796,7 +798,7 @@ object SparkEntry {
     // against brute-force truth — the reindex-trigger gauge (read next to
     // q_emb_lsh_recall, the retrained-at-bootstrap figure)
     "q_emb_stream_recall" -> ((s, dir) =>
-      Similarity.embStreamRecall(Sources.embeddings(s, dir))),
+      Similarity.embStreamRecall(Sources.spread(Sources.embeddings(s, dir)))),
     "q_csv_roundtrip" -> ((s, dir) => Sources.csvRoundTrip(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Relational.docsGroupingSets(s, dir)),
     "q_chunks" -> ((s, dir) =>
@@ -835,7 +837,7 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) =>
       TextAnalysis.lineDedup(Sources.documents(s, dir))),
     "q_substring_dedup" -> ((s, dir) =>
-      TextAnalysis.substringDedup(Sources.documents(s, dir))),
+      TextAnalysis.substringDedup(Sources.spread(Sources.documents(s, dir)))),
     "q_top_spans" -> ((s, dir) =>
       TextAnalysis.topSpans(Sources.documents(s, dir))),
     "q_source_overlap" -> ((s, dir) =>

@@ -73,7 +73,10 @@ object Dedup {
     import spark.implicits._
     val rs = (0 until h).map(v => (v * 7 + 3) % 60).toArray
     val cs = (0 until h).map(Hashes.mixConst60).toArray
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // spread the MD5 shingle kernel (optimization r14 — the suite's most
+    // shared compute funnel; see Sources.spread for the A/B evidence)
+    graft.sources.Sources.spread(
+        docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

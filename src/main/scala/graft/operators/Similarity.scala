@@ -120,10 +120,14 @@ object Similarity {
   private[graft] def lshBandTable(emb: DataFrame, dim: Int = 64): DataFrame = {
     val planes = signPlanes(LshBands * LshBandBits, dim)
     val rawK = ivfRawK(emb) // ONE row-count job feeds both branches
+    // spread the 128-plane + k-center band kernel (optimization r14 —
+    // see Sources.spread; training collects stay on the unspread frame)
+    val vecs = graft.sources.Sources.spread(
+      emb.select(col("vec_id"), col("emb")))
     if (rawK <= IvfMaxCells) {
       val centers = KMeans.trainCenters(emb, rawK.toInt, IvfTrainIters)
-      CenterKernels.lshBandRows(emb.select(col("vec_id"), col("emb")),
-        centers, planes, LshBands, LshBandBits, LshCellProbes)
+      CenterKernels.lshBandRows(vecs, centers, planes, LshBands,
+        LshBandBits, LshCellProbes)
     } else {
       // past the flat cap the clamped cell count would stop the key
       // domain growing (the r7 disease one level up) — block on the
@@ -131,7 +135,7 @@ object Similarity {
       // [[LshCellProbes]]-cell multi-probe width (2 super × probes/2
       // subs) while the packed fine-cell domain keeps growing ~n/32
       // (ScaleProof `lsh_hier_*` checks read this table directly)
-      Imi.lshBandRowsHier(emb.select(col("vec_id"), col("emb")), rawK,
+      Imi.lshBandRowsHier(vecs, rawK,
         planes, LshBands, LshBandBits,
         pSuper = 2, pSub = math.max(1, LshCellProbes / 2))
     }

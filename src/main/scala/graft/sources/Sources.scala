@@ -17,6 +17,38 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scan-parallelism floor for compute-dense kernels over sub-split
+    * inputs (optimization r14, guide §2.6/§6): the fixture tables are
+    * single-row-group parquet files, so a scan-rooted pipeline runs as
+    * ONE task no matter how many cores the session has — and a heavy
+    * per-row kernel above it (MD5 shingling, 128-plane sign folds,
+    * distance verification) serializes on one core. When the input is
+    * smaller than one scan split — i.e. splitting can never parallelize
+    * it — spread it across the session's default parallelism with a
+    * DETERMINISTIC hash repartition on the leading key column (every
+    * caller leads with its high-cardinality id; a keyless round-robin
+    * would pay sortBeforeRepartition). Scale-adaptive by construction:
+    * past one split (128 MB default) the condition is false and NO
+    * exchange is added — a 100 TB table parallelizes by splitting.
+    * Deliberately OPT-IN per kernel funnel, not global: a measured
+    * full-suite A/B of a global source-level spread showed the exchange
+    * is a net LOSS for cheap scan+agg queries (+0.2-0.4 s of stage
+    * latency each), for partitionBy artifact writers (task-count ×
+    * partition-value small-file explosion) and for streaming gates (the
+    * exchange re-executes per micro-batch), while the shingle/LSH/
+    * distance kernels won 0.3-1.7 s each. Results are partitioning-
+    * independent for every consumer (order-free aggregations, explicit
+    * orderBys), which the oracle gate re-proves. */
+  private val SpreadMinBytes = 256L << 10
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val oneSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes < BigInt(SpreadMinBytes) || bytes >= BigInt(oneSplit)) df
+    else df.repartition(spark.sparkContext.defaultParallelism,
+      col(df.columns.head))
+  }
+
   /** The events table with `ts` NORMALIZED to epoch nanoseconds (long) —
     * the single source boundary every event-time operator reads through.
     *
