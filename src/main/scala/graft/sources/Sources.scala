@@ -40,14 +40,21 @@ object Sources {
     * independent for every consumer (order-free aggregations, explicit
     * orderBys), which the oracle gate re-proves. */
   private val SpreadMinBytes = 256L << 10
-  def spread(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val oneSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    if (bytes < BigInt(SpreadMinBytes) || bytes >= BigInt(oneSplit)) df
-    else df.repartition(spark.sparkContext.defaultParallelism,
-      col(df.columns.head))
-  }
+  def spread(df: DataFrame): DataFrame =
+    // Streaming frames pass through untouched: probing
+    // queryExecution.optimizedPlan.stats on a streaming DataFrame throws
+    // AnalysisException ("Queries with streaming sources must be executed
+    // with writeStream.start()"), and the measured A/B showed the exchange
+    // is a per-micro-batch LOSS on streaming gates anyway.
+    if (df.isStreaming) df
+    else {
+      val spark = df.sparkSession
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val oneSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      if (bytes < BigInt(SpreadMinBytes) || bytes >= BigInt(oneSplit)) df
+      else df.repartition(spark.sparkContext.defaultParallelism,
+        col(df.columns.head))
+    }
 
   /** The events table with `ts` NORMALIZED to epoch nanoseconds (long) —
     * the single source boundary every event-time operator reads through.
