@@ -271,7 +271,10 @@ object SparkEntry {
     "q_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborPairs(Sources.documents(s, dir))),
     "q_editdist_pairs" -> ((s, dir) =>
-      Dedup.editDistancePairs(Sources.documents(s, dir))),
+      // Sources.spread: the per-doc lowercase+histogram kernel and the
+      // banded self-join otherwise root on a one-split scan (r15,
+      // VERDICT #7 — 8-vs-32-core ratio 0.94)
+      Dedup.editDistancePairs(Sources.spread(Sources.documents(s, dir)))),
     // ---- M7 extensions: similarity search ----
     "q_ann_topk" -> ((s, dir) => Similarity.annBruteForce(Sources.embeddings(s, dir))),
     "q_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Sources.embeddings(s, dir))),
@@ -365,8 +368,11 @@ object SparkEntry {
         s"graft_idx_hy_${Sources.pathKey(dir)}").getAbsolutePath
       val docs = Sources.documents(s, dir)
       val emb = Sources.embeddings(s, dir)
-      Retrieval.persistLexicon(docs, lex)
-      operators.Imi.persistIndex(emb, idx, withSq8 = true)
+      // the two artifact builds touch disjoint roots — overlap them
+      // (guide §2.6; both gates are job-latency-bound)
+      graft.sources.Par.join(
+        Retrieval.persistLexicon(docs, lex),
+        operators.Imi.persistIndex(emb, idx, withSq8 = true)): Unit
       Retrieval.hybridServed(docs, emb, lex, idx)
     }),
     // MAP@10 in the exact-integer discipline (scaled floor-div average

@@ -399,8 +399,11 @@ object Imi {
                    withSq8: Boolean = false): Seq[Seq[(Long, Array[Double])]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val books = productBooks(emb, imiDims(emb)._1)
-    val pqBooks = Similarity.pqCodebooks(emb)
+    // the two trainings are independent collect-driven Lloyd loops over
+    // the same read-only input — overlap them (guide §2.6; the persist
+    // gates are job-latency-bound, eff_cores ≈ 2 of 32)
+    val (books, pqBooks) = graft.sources.Par.join(
+      productBooks(emb, imiDims(emb)._1), Similarity.pqCodebooks(emb))
     val fs = hfs(spark, path)
     val root = new Path(path)
     val prev = currentVersion(spark, path).map(_._1)
@@ -425,16 +428,21 @@ object Imi {
         .toDF("s", "cid", "cv")
         .coalesce(1) // tens of rows — one footer, not one file per center
         .write.mode("overwrite").parquet(new Path(newDir, sub).toString)
-    writeBooks(books, "books")
-    writeBooks(pqBooks, "pq_books")
     // an empty corpus trains empty sub-books, which have no argmin column:
     // persist a null code (the member table is empty anyway)
     val codeCol =
       if (pqBooks.exists(_.isEmpty)) lit(null).cast("long")
       else Similarity.pqPackedCodeCol(pqBooks, col("emb"))
-    graft.sources.Sources.writePartitioned(
-      memberTable(emb, books).withColumn("code", codeCol),
-      new Path(newDir, "members").toString, Seq("scell"))
+    // every table lands in ITS OWN directory of the unpublished subtree,
+    // so the write jobs are independent — overlap them (guide §2.6; the
+    // marker below still only lands after ALL writes complete, so the
+    // crash/publish contract is unchanged)
+    val writes = scala.collection.mutable.ArrayBuffer[() => Unit](
+      () => writeBooks(books, "books"),
+      () => writeBooks(pqBooks, "pq_books"),
+      () => graft.sources.Sources.writePartitioned(
+        memberTable(emb, books).withColumn("code", codeCol),
+        new Path(newDir, "members").toString, Seq("scell")))
     // SQ8 tier (r13, opt-in — see sq8Tier above): per-dimension trained
     // ranges (2·d scalars — the stored-books discipline applied to scalar
     // quantization) plus the byte-code table the serve scans instead of
@@ -445,12 +453,13 @@ object Imi {
     if (sq8Tier) {
       val sq8Ranges = Sq8.ranges(emb.select(col("vec_id"),
         col("emb").cast("array<double>").as("emb")))
-      sq8Ranges.coalesce(1).write.mode("overwrite")
-        .parquet(new Path(newDir, "sq8_ranges").toString)
-      Sq8.encodeWith(emb.select(col("vec_id").cast("long"),
+      writes += (() => sq8Ranges.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(newDir, "sq8_ranges").toString))
+      writes += (() => Sq8.encodeWith(emb.select(col("vec_id").cast("long"),
           col("emb").cast("array<double>").as("emb")), sq8Ranges)
-        .write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
+        .write.mode("overwrite").parquet(new Path(newDir, "sq8").toString))
     }
+    graft.sources.Par.all(writes.toSeq: _*): Unit
     // a fresh bootstrap carries no pending deletes BY CONSTRUCTION: the
     // new version starts with an empty deletes table (no clear op to
     // fail half-way — the r11 ADVICE ignored-delete hazard is gone)
@@ -754,9 +763,14 @@ object Imi {
       }
     }
     val (newV, newDir) = nextVersionDir(fs, root)
-    graft.sources.Sources.writePartitioned(                        // step 2
-      live.repartition(col("scell")),
-      new Path(newDir, "members").toString, Seq("scell"))
+    // the member rewrite and the SQ8 code rewrite (below) land in
+    // DISJOINT directories of the unpublished subtree and both derive
+    // from `live` — overlap them (guide §2.6); kicked off together via
+    // Par.all right after the sq8 thunk is built
+    val rewrites = scala.collection.mutable.ArrayBuffer[() => Unit](
+      () => graft.sources.Sources.writePartitioned(                // step 2
+        live.repartition(col("scell")),
+        new Path(newDir, "members").toString, Seq("scell")))
     // the codebooks are immutable within a version: byte-copy them into
     // the new subtree (tens of small files); a failed copy must abort
     // BEFORE the publish — a version without books would fail every
@@ -811,8 +825,10 @@ object Imi {
             .select(col("vec_id"),
               coalesce(col("qc"), expr(Sq8.EncodeExpr)).as("qc"))
         }
-      rebuilt.write.mode("overwrite").parquet(new Path(newDir, "sq8").toString)
+      rewrites += (() => rebuilt.write.mode("overwrite")
+        .parquet(new Path(newDir, "sq8").toString))
     }
+    graft.sources.Par.all(rewrites.toSeq: _*): Unit
     // carry the batch-commit markers forward too (r12 ADVICE, low): the
     // markers are the at-least-once dedup memory of
     // [[upsertIndexCommitted]]. Without them, a micro-batch retried

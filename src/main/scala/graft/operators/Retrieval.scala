@@ -528,18 +528,22 @@ object Retrieval {
     // the count rides the checkpointed tf — one slim job, and the price of
     // a bucket count that tracks the corpus instead of a magic constant
     val buckets = postingBucketCount(postings.count())
-    docs.sparkSession.range(1)
-      .select(lit(c.n).as("n"), lit(c.sBox).cast("long").as("s"),
-        lit(buckets).as("buckets"), lit(dfCapDen).as("df_cap_den"))
-      .coalesce(1).write.mode("overwrite").parquet(sub("stats"))
-    c.dl.write.mode("overwrite").parquet(sub("dl"))
-    vocab.write.mode("overwrite").parquet(sub("vocab"))
-    graft.sources.Sources.writePartitioned(
-      postings
-        .withColumn("bucket",
-          pmod(graft.functions.Hashes.h60(col("tok")), lit(buckets)))
-        .select("bucket", "tok", "doc_id", "tf"),
-      sub("postings"), Seq("bucket"))
+    // four independent writes into DISJOINT directories of the unpublished
+    // subtree — overlap them (guide §2.6; the publish marker still lands
+    // only after all four, so the atomic-publish contract is unchanged)
+    graft.sources.Par.all(
+      () => docs.sparkSession.range(1)
+        .select(lit(c.n).as("n"), lit(c.sBox).cast("long").as("s"),
+          lit(buckets).as("buckets"), lit(dfCapDen).as("df_cap_den"))
+        .coalesce(1).write.mode("overwrite").parquet(sub("stats")),
+      () => c.dl.write.mode("overwrite").parquet(sub("dl")),
+      () => vocab.write.mode("overwrite").parquet(sub("vocab")),
+      () => graft.sources.Sources.writePartitioned(
+        postings
+          .withColumn("bucket",
+            pmod(graft.functions.Hashes.h60(col("tok")), lit(buckets)))
+          .select("bucket", "tok", "doc_id", "tf"),
+        sub("postings"), Seq("bucket"))): Unit
     graft.sources.Versioned.publish(fs, root, prev, newV, newDir)
   }
 
@@ -733,9 +737,15 @@ object Retrieval {
     graft.sources.Versioned.pruneUnpublished(
       fs, new org.apache.hadoop.fs.Path(path))
     val dir = lexDirAt(spark, path, None)
-    val storedCap = lexStats(spark, dir).select("df_cap_den").head().getLong(0)
-    val row = lexiconStaleness(spark, path).head()
-    val (nStats, nStale) = (row.getLong(0), row.getLong(2))
+    // ONE head() serves the stored cap AND the staleness signal (r15 —
+    // previously a stats head plus a separate lexiconStaleness head)
+    val row = lexStats(spark, dir).select("n", "df_cap_den")
+      .crossJoin(spark.read.schema("doc_id BIGINT, dl BIGINT")
+        .parquet(new org.apache.hadoop.fs.Path(dir, "dl").toString)
+        .agg(count(lit(1)).as("n_docs")))
+      .head()
+    val (nStats, storedCap) = (row.getLong(0), row.getLong(1))
+    val nStale = row.getLong(2) - nStats
     if (nStale * maxStaleDen > nStats * maxStaleNum) {
       persistLexicon(docs, path, storedCap)
       "rebuild"
