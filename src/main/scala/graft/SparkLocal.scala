@@ -63,6 +63,30 @@ object SparkLocal {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Fresh scratch dir for a FINITE replay drain's streaming checkpoint,
+    * on the same tmpfs as shuffle (optimization r15, guide §6 I/O
+    * placement): every micro-batch writes an offset WAL entry, a commit
+    * log entry and one state-store delta file per shuffle partition —
+    * dozens of small filesystem round trips per batch. Spark's fallback
+    * temporary checkpoint lands on java.io.tmpdir, the container's
+    * virtual disk with intermittent burst collapse, while a gate
+    * replay's checkpoint needs NO durability: the drain IS the
+    * computation and the caller deletes the dir right after
+    * ([[removeScratch]]). A production stream that must survive a
+    * restart passes its own durable checkpointLocation instead — this
+    * helper is only the default for the ephemeral-drain surfaces. */
+  def freshStreamCheckpoint(prefix: String): String = {
+    val base = new java.io.File(localDir, "stream-ckpt")
+    base.mkdirs()
+    java.nio.file.Files.createTempDirectory(base.toPath, prefix)
+      .toString
+  }
+
+  /** Delete a [[freshStreamCheckpoint]] dir (best-effort; a leaked dir is
+    * swept by [[sweepStale]] on the next session anyway). */
+  private[graft] def removeScratch(dir: String): Unit =
+    deleteRec(new java.io.File(dir))
+
   /** tmpfs is RAM: blockmgr/spark temp dirs leaked by killed JVMs must not
     * accumulate across runs. Spark removes its own dirs on clean stop; this
     * sweeps anything older than `maxAgeMs` (never the live run's dirs). */

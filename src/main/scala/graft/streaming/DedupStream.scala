@@ -71,13 +71,22 @@ object DedupStream {
   private def drainToTable(df: DataFrame, queryName: String)
                           (read: DataFrame => DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // ephemeral checkpoint on tmpfs, not the virtual-disk tmpdir Spark's
+    // temporary-checkpoint fallback uses (optimization r15 — the WAL +
+    // state-delta round trips are per-micro-batch latency; see
+    // SparkLocal.freshStreamCheckpoint)
+    val ckpt = graft.SparkLocal.freshStreamCheckpoint(queryName)
     val query = df.writeStream
       .queryName(queryName)
       .outputMode("update")
+      .option("checkpointLocation", ckpt)
       .format("memory")
       .start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      graft.SparkLocal.removeScratch(ckpt)
+    }
     try read(spark.table(queryName)).localCheckpoint()
     finally spark.catalog.dropTempView(queryName)
   }
@@ -210,8 +219,13 @@ object DedupStream {
     def drain(): String = {
       auditDrains.incrementAndGet(): Unit
       auditCleanupHook
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_dedup_state_audit").toString
+      // on tmpfs with the other streaming checkpoints (r15): this one
+      // PERSISTS for the JVM (the statestore source reads it back per
+      // rep) — the shutdown hook removes it, and SparkLocal's stale
+      // sweep catches a crashed JVM's leftovers
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.SparkLocal.localDir),
+        "graft_dedup_state_audit").toString
       auditCkptDirs.add(ckpt): Unit
       val query = groupStream(stream).writeStream
         .outputMode("update")
@@ -334,12 +348,23 @@ object DedupStream {
     * bootstrap run wrote, as the persisted ANN index family). */
   def nearDupReplay(stream: DataFrame, docsBatch: DataFrame, queryName: String,
                     h: Int = 16, rows: Int = 4,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5): DataFrame =
     // the signature table is the verify join's static side — checkpoint
     // (or reuse the harness memo) so the per-doc MD5+MinHash kernel runs
     // once, not once per micro-batch, exactly as the batch lshPairs path
-    val docAgg = graft.operators.Dedup.sharedSignatures(docsBatch, h)
-      .getOrElse(graft.operators.Dedup.docSignatures(docsBatch, h).localCheckpoint())
+    nearDupReplayWith(stream,
+      graft.operators.Dedup.sharedSignatures(docsBatch, h)
+        .getOrElse(graft.operators.Dedup.docSignatures(docsBatch, h)
+          .localCheckpoint()),
+      queryName, h, rows, threshold)
+
+  /** [[nearDupReplay]] with the signature store PRE-materialized — the
+    * seam that lets a composed pipeline ([[IngestPipeline]]) build the
+    * static verify side concurrently with an earlier stage's drain
+    * (guide §2.6) instead of serially between them. */
+  private[graft] def nearDupReplayWith(stream: DataFrame, docAgg: DataFrame,
+                    queryName: String, h: Int = 16, rows: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
     drainToTable(verifiedStream(stream, docAgg, h, rows, threshold), queryName) {
       // distinct: a pair colliding in several bands is emitted (and
       // verified to the identical jaccard) once per band — the batch

@@ -60,13 +60,19 @@ object DriftStream {
     * double-counted token moves the int64 numerator). */
   def tokenDriftReplay(stream: DataFrame, queryName: String): DataFrame = {
     val spark = stream.sparkSession
+    // ephemeral checkpoint on tmpfs (see SparkLocal.freshStreamCheckpoint)
+    val ckpt = graft.SparkLocal.freshStreamCheckpoint(queryName)
     val query = tokenCountStream(stream).toDF().writeStream
       .queryName(queryName)
       .outputMode("update")
+      .option("checkpointLocation", ckpt)
       .format("memory")
       .start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      graft.SparkLocal.removeScratch(ckpt)
+    }
     val counts =
       try {
         spark.table(queryName)

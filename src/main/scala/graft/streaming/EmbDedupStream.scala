@@ -129,19 +129,34 @@ object EmbDedupStream {
     * bit: `q_emb_stream` rides `q_emb_lsh_pairs`'s DuckDB oracle
     * verbatim. */
   def nearDupReplay(stream: DataFrame, embBatch: DataFrame, queryName: String,
+                    threshold: Double = 0.45): DataFrame =
+    nearDupReplayWith(stream,
+      // checkpoint the static verify side so the incremental planner
+      // doesn't re-scan the parquet per micro-batch join
+      embBatch.select(col("vec_id"), col("emb")).localCheckpoint(),
+      Similarity.lshStreamBander(embBatch), queryName, threshold)
+
+  /** [[nearDupReplay]] with the static verify side and the trained bander
+    * PRE-built — the seam that lets a composed pipeline
+    * ([[IngestPipeline]]) train the index concurrently with an earlier
+    * stage's drain (guide §2.6) instead of serially between them. */
+  private[graft] def nearDupReplayWith(stream: DataFrame, vecs: DataFrame,
+                    bander: DataFrame => DataFrame, queryName: String,
                     threshold: Double = 0.45): DataFrame = {
     val spark = stream.sparkSession
-    val bander = Similarity.lshStreamBander(embBatch)
-    // checkpoint the static verify side so the incremental planner doesn't
-    // re-scan the parquet per micro-batch join
-    val vecs = embBatch.select(col("vec_id"), col("emb")).localCheckpoint()
+    // ephemeral checkpoint on tmpfs (see SparkLocal.freshStreamCheckpoint)
+    val ckpt = graft.SparkLocal.freshStreamCheckpoint(queryName)
     val query = verifiedStream(stream, vecs, bander, threshold).writeStream
       .queryName(queryName)
       .outputMode("update")
+      .option("checkpointLocation", ckpt)
       .format("memory")
       .start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      graft.SparkLocal.removeScratch(ckpt)
+    }
     // a pair colliding in several bands/cells is emitted (and verified to
     // the identical cosine) once per collision — distinct, as the batch
     // self-join does; drop the sink view after materializing (r10 ADVICE)

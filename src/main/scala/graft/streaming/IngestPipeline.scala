@@ -42,27 +42,44 @@ object IngestPipeline {
   def run(docStream1: DataFrame, docStream2: DataFrame, embStream: DataFrame,
           docsBatch: DataFrame, embBatch: DataFrame,
           nameBase: String): DataFrame = {
-    // stage 1 — exact screen: drained keyed state, keepers survive
-    val groups = DedupStream.runReplay(docStream1, s"${nameBase}_exact")
-    val s1 = groups.select(col("keeper").as("doc_id")).distinct()
-      .localCheckpoint()
+    // stage 1 — exact screen: drained keyed state, keepers survive.
+    // The later stages' STATIC sides — the corpus signature store (stage
+    // 2's verify join), the frozen index training and the vector store
+    // (stage 3) — are pure functions of the batch tables, independent of
+    // every drain: build them concurrently with the stage-1 drain (guide
+    // §2.6) instead of serially between the drains.
+    var s1: DataFrame = null
+    var docAgg: DataFrame = null
+    var vecs: DataFrame = null
+    var bander: DataFrame => DataFrame = null
+    graft.sources.Par.all(
+      () => s1 = DedupStream.runReplay(docStream1, s"${nameBase}_exact")
+        .select(col("keeper").as("doc_id")).distinct()
+        .localCheckpoint(),
+      () => docAgg = graft.operators.Dedup.sharedSignatures(docsBatch, 16)
+        .getOrElse(graft.operators.Dedup.docSignatures(docsBatch, 16)
+          .localCheckpoint()),
+      () => vecs = embBatch.select(col("vec_id"), col("emb"))
+        .localCheckpoint(),
+      () => bander = graft.operators.Similarity.lshStreamBander(embBatch)): Unit
     // stage 2 — lexical screen on the exact survivors (the
     // exact-dedup-first discipline: stage 1 absorbed the mass that makes
     // bands hot); verified pairs emit in-stream against the full corpus
     // signature store
-    val lexPairs = DedupStream.nearDupReplay(
+    val lexPairs = DedupStream.nearDupReplayWith(
       docStream2.join(s1, Seq("doc_id"), "left_semi"),
-      docsBatch, s"${nameBase}_lex")
+      docAgg, s"${nameBase}_lex")
     val drop2 = lexPairs.select(col("b").as("doc_id")).distinct()
       .localCheckpoint()
     val s2 = s1.join(drop2, Seq("doc_id"), "left_anti").localCheckpoint()
     // stage 3 — semantic screen on the remaining survivors' embeddings,
     // probing the index trained on the full batch corpus (frozen, as the
-    // single-modality gate); verified pairs emit in-stream
-    val semPairs = EmbDedupStream.nearDupReplay(
+    // single-modality gate — built above, concurrent with stage 1);
+    // verified pairs emit in-stream
+    val semPairs = EmbDedupStream.nearDupReplayWith(
       embStream.join(s2.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi"),
-      embBatch, s"${nameBase}_sem")
+      vecs, bander, s"${nameBase}_sem")
     val drop3 = semPairs.select(col("b").as("doc_id")).distinct()
       .localCheckpoint()
     // label every document with the stage that dropped it

@@ -41,11 +41,17 @@ object LexiconUpsertStream {
           deliveryId = s"batch-$batchId"): Unit
       }
       .trigger(Trigger.AvailableNow())
-    val query = checkpointLocation
-      .fold(writer)(c => writer.option("checkpointLocation", c))
-      .start()
+    // None = ephemeral drain: checkpoint on tmpfs instead of Spark's
+    // virtual-disk temporary fallback (see SparkLocal.freshStreamCheckpoint)
+    val scratch = checkpointLocation.isEmpty
+    val ckpt = checkpointLocation.getOrElse(
+      graft.SparkLocal.freshStreamCheckpoint("lex_upsert"))
+    val query = writer.option("checkpointLocation", ckpt).start()
     val stopped = query.awaitTermination(120000)
     try require(stopped, "lexicon-upsert drain did not finish")
-    finally if (query.isActive) query.stop()
+    finally {
+      if (query.isActive) query.stop()
+      if (scratch) graft.SparkLocal.removeScratch(ckpt)
+    }
   }
 }
