@@ -72,11 +72,16 @@ object Bpe {
         val (pair, pc) = (best(0).getString(0), best(0).getLong(1))
         val merged = pair.replace(" ", "")
         merges += Row(it.toLong, pair, merged, pc)
+        // NO per-iteration checkpoint (r15): each checkpoint was one
+        // extra Spark job per merge, and the lineage it truncated is just
+        // i literal `replace` projections over the ALREADY-checkpointed
+        // v0 — re-evaluating them inside the next argmax job is a few
+        // codegen'd string ops per vocab row, far cheaper than a
+        // scheduled job (8 merges → 8 fewer jobs per trained gate)
         vocab = vocab
           .withColumn("seq", replace(col("seq"),
             lit(" " + pair.replace(" ", "  ") + " "),
             lit(" " + merged + " ")))
-          .localCheckpoint()
       }
     }
     (merges.result(), vocab)

@@ -121,7 +121,9 @@ object Similarity {
     val planes = signPlanes(LshBands * LshBandBits, dim)
     val rawK = ivfRawK(emb) // ONE row-count job feeds both branches
     // spread the 128-plane + k-center band kernel (optimization r14 —
-    // see Sources.spread; training collects stay on the unspread frame)
+    // see Sources.spread; training collects stay on the unspread frame
+    // in BOTH branches: flat trains centers on emb, hierarchical trains
+    // books on emb via the From-variant — r14 ADVICE)
     val vecs = graft.sources.Sources.spread(
       emb.select(col("vec_id"), col("emb")))
     if (rawK <= IvfMaxCells) {
@@ -135,7 +137,8 @@ object Similarity {
       // [[LshCellProbes]]-cell multi-probe width (2 super × probes/2
       // subs) while the packed fine-cell domain keeps growing ~n/32
       // (ScaleProof `lsh_hier_*` checks read this table directly)
-      Imi.lshBandRowsHier(vecs, rawK,
+      val (kSide, _) = Imi.dimsFor(rawK)
+      Imi.lshBandRowsHierFrom(vecs, Imi.productBooks(emb, kSide), kSide,
         planes, LshBands, LshBandBits,
         pSuper = 2, pSub = math.max(1, LshCellProbes / 2))
     }
