@@ -285,7 +285,10 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) => Bpe.bpeMerges(Sources.documents(s, dir))),
     "q_bpe_encode" -> ((s, dir) => Bpe.bpeEncode(Sources.documents(s, dir))),
     "q_tok_lengths" -> ((s, dir) => TextAnalysis.tokenLengths(Sources.documents(s, dir))),
-    "q_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Sources.documents(s, dir))),
+    "q_lm_score" -> ((s, dir) =>
+      // Sources.spread: the per-doc bigram explode otherwise roots on a
+      // one-split scan (r15, VERDICT #7 — 8-vs-32-core ratio 0.90)
+      TextAnalysis.lmScore(Sources.spread(Sources.documents(s, dir)))),
     "q_holdout_ppl" -> ((s, dir) =>
       TextAnalysis.holdoutLmScore(Sources.documents(s, dir))),
     "q_signal_corr" -> ((s, dir) =>

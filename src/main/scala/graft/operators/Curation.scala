@@ -563,11 +563,17 @@ object Curation {
       d.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
         .select(lit(name).as("stage"), col("n_docs"), col("chars_sum"))
+    // each stage frame feeds TWO consumers (its funnel row and the next
+    // stage's operator) inside one final action — checkpoint so the heavy
+    // stage subtrees run once, not once per consumer branch (r15 job
+    // diet; plan surgery only, the funnel values are unchanged)
     val cleaned = docs.join(
       graft.operators.TextAnalysis.cleanCorpus(docs).select("doc_id"), "doc_id")
+      .localCheckpoint()
     val decon = cleaned.join(
       decontaminate(cleaned).filter(!col("contaminated")).select("doc_id"),
       "doc_id")
+      .localCheckpoint()
     val mixed = decon.join(
       mixtureSample(decon, target = 100L).select("doc_id"), "doc_id")
     stage("1_raw", docs)

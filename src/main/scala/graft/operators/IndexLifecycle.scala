@@ -115,24 +115,35 @@ object IndexLifecycle {
           .select(col("tvd").as("tvd_frozen")).localCheckpoint()),
       () => frozenBander = legMs("frozen_bander", legs)(
         Similarity.lshStreamBander(emb))): Unit
-    val recallFrozen = Similarity.recallRow(truth,
-        Similarity.verifyCosCandidates(Similarity.embLshCandidatesFrom(
-          frozenBander(grown)), grown, threshold = 0.45)
-          .select("a", "b"))
-      .select(col("recall").as("recall_frozen"))
     // 3. the trigger decision — one scalar off the one-row statistic
     val triggered = before.head().getDouble(0) > threshold
-    if (triggered)
-      legMs("reindex_persist", legs)(Imi.persistIndex(grown, path)): Unit
+    // 4a. the reindex publish overlapped with BOTH recall gauges (§2.6):
+    //     the gauges read only truth/grown/the frozen bander — never the
+    //     artifact the reindex is publishing — so the heavy LSH chains no
+    //     longer evaluate serially inside the final collect
+    var recallFrozen: DataFrame = null
+    var recallRetrained: DataFrame = null
+    graft.sources.Par.all[Unit](
+      () => if (triggered)
+        legMs("reindex_persist", legs)(Imi.persistIndex(grown, path)): Unit,
+      () => recallFrozen = legMs("recall_frozen", legs)(
+        Similarity.recallRow(truth,
+            Similarity.verifyCosCandidates(Similarity.embLshCandidatesFrom(
+              frozenBander(grown)), grown, threshold = 0.45)
+              .select("a", "b"))
+          .select(col("recall").as("recall_frozen")).localCheckpoint()),
+      () => recallRetrained = legMs("recall_retrained", legs)(
+        Similarity.recallRow(truth,
+            Similarity.embLshPairs(grown).select("a", "b"))
+          .select(col("recall").as("recall_retrained"))
+          .localCheckpoint())): Unit
     System.err.println(s"q_index_lifecycle legs: ${legs.mkString(" ")} " +
-      "(serve+recall tail evaluates lazily at collect = total - these)")
-    // 4. re-measure: post-drift deliveries against the (re)published
-    //    artifact, and the retrained screen's recovered recall
+      "(serve tail evaluates lazily at collect = total - these)")
+    // 4b. re-measure: post-drift deliveries against the (re)published
+    //     artifact (this leg DOES read the artifact, so it stays after
+    //     the reindex publish)
     val after = Imi.driftTvd(Imi.indexDriftServedFrom(grown, path))
       .select(col("tvd").as("tvd_reindexed"))
-    val recallRetrained = Similarity.recallRow(truth,
-        Similarity.embLshPairs(grown).select("a", "b"))
-      .select(col("recall").as("recall_retrained"))
     before
       .withColumn("reindex_triggered", lit(if (triggered) 1L else 0L))
       .crossJoin(after)

@@ -525,9 +525,14 @@ object Retrieval {
     val c = corpusTables(docs, dfCapDen)
     val vocab = c.vocab.localCheckpoint()
     val postings = c.tf.join(vocab.select("tok"), "tok") // only indexable terms
-    // the count rides the checkpointed tf — one slim job, and the price of
-    // a bucket count that tracks the corpus instead of a magic constant
-    val buckets = postingBucketCount(postings.count())
+    // |postings| = Σ df over the SURVIVING vocab (postings is exactly the
+    // tf rows whose tok is in vocab, and df counts those rows over the
+    // same tf) — so the bucket sizing rides one tiny aggregation over the
+    // checkpointed |vocab|-row table instead of a join+count over the
+    // posting mass (r15 job diet; same value by construction, and the
+    // bucket count still tracks the corpus instead of a magic constant)
+    val buckets = postingBucketCount(
+      vocab.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0))
     // four independent writes into DISJOINT directories of the unpublished
     // subtree — overlap them (guide §2.6; the publish marker still lands
     // only after all four, so the atomic-publish contract is unchanged)
@@ -665,19 +670,24 @@ object Retrieval {
       .select("tok", "doc_id", "tf")
       .localCheckpoint() // the count below and the rewrite share one read
     val buckets = postingBucketCount(postings.count())
-    spark.range(1).select(
-        lit(stats.getLong(0)).as("n"), lit(stats.getLong(1)).as("s"),
-        lit(buckets).as("buckets"),
-        lit(stats.getLong(3)).as("df_cap_den"))
-      .coalesce(1).write.mode("overwrite").parquet(sub("stats").toString)
-    spark.read.schema("doc_id BIGINT, dl BIGINT").parquet(cur("dl").toString)
-      .write.mode("overwrite").parquet(sub("dl").toString)
-    graft.sources.Sources.writePartitioned(
-      postings
-        .withColumn("bucket",
-          pmod(graft.functions.Hashes.h60(col("tok")), lit(buckets)))
-        .select("bucket", "tok", "doc_id", "tf"),
-      sub("postings").toString, Seq("bucket"))
+    // three independent writes into DISJOINT directories of the
+    // unpublished subtree — overlap them (guide §2.6, the persistLexicon
+    // pattern; the publish marker still lands only after all three)
+    graft.sources.Par.all(
+      () => spark.range(1).select(
+          lit(stats.getLong(0)).as("n"), lit(stats.getLong(1)).as("s"),
+          lit(buckets).as("buckets"),
+          lit(stats.getLong(3)).as("df_cap_den"))
+        .coalesce(1).write.mode("overwrite").parquet(sub("stats").toString),
+      () => spark.read.schema("doc_id BIGINT, dl BIGINT")
+        .parquet(cur("dl").toString)
+        .write.mode("overwrite").parquet(sub("dl").toString),
+      () => graft.sources.Sources.writePartitioned(
+        postings
+          .withColumn("bucket",
+            pmod(graft.functions.Hashes.h60(col("tok")), lit(buckets)))
+          .select("bucket", "tok", "doc_id", "tf"),
+        sub("postings").toString, Seq("bucket"))): Unit
     // vocab is frozen: byte-copy (a failed copy aborts before publish —
     // a version without a vocab would fail every serve confusingly)
     if (!org.apache.hadoop.fs.FileUtil.copy(fs, cur("vocab"), fs,

@@ -38,8 +38,14 @@ object Sources {
     * exchange re-executes per micro-batch), while the shingle/LSH/
     * distance kernels won 0.3-1.7 s each. Results are partitioning-
     * independent for every consumer (order-free aggregations, explicit
-    * orderBys), which the oracle gate re-proves. */
-  private val SpreadMinBytes = 256L << 10
+    * orderBys), which the oracle gate re-proves. The floor is
+    * overridable (`graft.spread.minBytes`, r14 ADVICE) so a Verify pass
+    * with the floor at 0 can value-check the spread-ACTIVE plan shapes
+    * against the oracle even at oracle scale, where the default floor
+    * makes every call site a no-op; `-1` disables spread outright (the
+    * before-plan dump switch). */
+  private def SpreadMinBytes: Long =
+    sys.props.get("graft.spread.minBytes").map(_.toLong).getOrElse(256L << 10)
   def spread(df: DataFrame): DataFrame =
     // Streaming frames pass through untouched: probing
     // queryExecution.optimizedPlan.stats on a streaming DataFrame throws
@@ -48,10 +54,11 @@ object Sources {
     // is a per-micro-batch LOSS on streaming gates anyway.
     if (df.isStreaming) df
     else {
+      val floor = SpreadMinBytes
       val spark = df.sparkSession
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val oneSplit = spark.sessionState.conf.filesMaxPartitionBytes
-      if (bytes < BigInt(SpreadMinBytes) || bytes >= BigInt(oneSplit)) df
+      if (floor < 0L || bytes < BigInt(floor) || bytes >= BigInt(oneSplit)) df
       else df.repartition(spark.sparkContext.defaultParallelism,
         col(df.columns.head))
     }
