@@ -63,6 +63,25 @@ object Sources {
         col(df.columns.head))
     }
 
+  /** STREAM-side twin of [[spread]] (optimization r15): a replayed
+    * micro-batch arrives as ONE file split, so a compute-dense stateless
+    * kernel between the source and the stateful shuffle (MD5 shingling +
+    * MinHash banding, 128-plane sign folds, tokenize+explode) runs as one
+    * task per batch — 0.4-0.9 s serial per micro-batch in the r15 JobProf
+    * of q_ingest_pipeline/q_neardup_stream. Spreading the stream side
+    * itself (unlike r14's static-side spread, whose exchange re-executed
+    * per batch for no per-batch gain) parallelizes exactly the per-batch
+    * work; the kernels' outputs feed a keyed stateful shuffle, so results
+    * are partitioning-independent (each group's fold is order-free or
+    * explicitly sorted). Size cannot be probed on a streaming frame
+    * (optimizedPlan.stats throws), so this is opt-in per kernel, keyed on
+    * the same leading-id hash as [[spread]] and honouring the same `-1`
+    * kill switch. */
+  def spreadStream(df: DataFrame): DataFrame =
+    if (!df.isStreaming || SpreadMinBytes < 0L) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col(df.columns.head))
+
   /** The events table with `ts` NORMALIZED to epoch nanoseconds (long) —
     * the single source boundary every event-time operator reads through.
     *

@@ -284,7 +284,12 @@ object DedupStream {
                       bucketCap: Int = 4096): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.Dedup.bandRows(docs, h, rows)
+    // spreadStream: the shingle+MinHash kernel otherwise runs as ONE task
+    // per micro-batch (0.4-0.9 s serial each in the r15 JobProf); the
+    // banded output feeds the keyed state shuffle, so partitioning cannot
+    // change the emitted candidate set
+    graft.operators.Dedup.bandRows(
+        graft.sources.Sources.spreadStream(docs), h, rows)
       .as[BandArrival]
       .groupByKey(r => (r.band, r.bsig))
       .flatMapGroupsWithState[BucketMembers, CandPair](

@@ -34,7 +34,10 @@ object DriftStream {
   def tokenCountStream(docs: DataFrame): Dataset[TokCount] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    // spreadStream: tokenize+explode otherwise runs as ONE task per
+    // micro-batch (r15 JobProf, ~0.5 s serial each); the token rows feed
+    // the keyed count shuffle, so partitioning cannot change the sums
+    graft.sources.Sources.spreadStream(docs)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .as[TokArrival]
       .groupByKey(a => (a.source, a.tok))
