@@ -82,6 +82,62 @@ object Sources {
     else df.repartition(df.sparkSession.sparkContext.defaultParallelism,
       col(df.columns.head))
 
+  /** The file-replay directory behind a streaming frame, if any — the
+    * size probe for [[withDrainPartitions]] (a streaming frame's
+    * optimizedPlan.stats cannot be read, but its SOURCE directory can be
+    * sized). Non-file sources (MemoryStream specs) return None. */
+  private def replaySourceDir(df: DataFrame): Option[String] =
+    // the ANALYZED plan: a raw `readStream...parquet(path)` frame's
+    // un-analyzed plan is still an UnresolvedDataSource leaf (it only
+    // resolves to StreamingRelation under analysis, which is safe to
+    // force on a streaming frame — only EXECUTION throws)
+    df.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.streaming.runtime
+          .StreamingRelation(ds, _, _) => ds.options.get("path")
+    }.flatten
+
+  /** Scale-adaptive STATE-partition sizing for a finite-replay drain
+    * (optimization r15, guide §2.2/§1): the stateful operator's shuffle
+    * partition count is pinned from `spark.sql.shuffle.partitions` when
+    * the query starts, and EVERY state partition then costs a fixed
+    * per-micro-batch state-store open + delta-file commit — measured
+    * 60-240 ms of summed commit wall per batch at 32 partitions against
+    * ~620 state rows (the per-store costs grow superlinearly with
+    * concurrent stores: provider-map and local-filesystem contention),
+    * i.e. a KB-scale replay pays far more in state plumbing than in
+    * compute, and the r14 driver's 8-vs-32-core ratios ≈ 1.0 on every
+    * streaming gate say exactly this. Size the stateful shuffle to the
+    * replay directory's bytes — one partition per 128 KiB, min 2 —
+    * CLAMPED to the session's configured count, so a production-scale
+    * replay saturates back to the session ceiling and nothing here is a
+    * local-core-count tune. The override lasts from query start through
+    * the drain (the conf is read once at stream start; concurrent BATCH
+    * work in an overlapped pipeline briefly plans reduces at the drain's
+    * count — AQE still re-splits skew, and the overlapped builds are
+    * KB-scale too). Restored in finally. Non-file sources keep the
+    * session default untouched. */
+  def withDrainPartitions[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    val derived = replaySourceDir(df).flatMap { src =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(src)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(p).getLength
+        val ceilCount = spark.sessionState.conf.numShufflePartitions
+        Some(math.max(2L, math.min(ceilCount.toLong,
+          (bytes + (128L << 10) - 1) / (128L << 10))).toInt)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    derived match {
+      case None => body
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** The events table with `ts` NORMALIZED to epoch nanoseconds (long) —
     * the single source boundary every event-time operator reads through.
     *

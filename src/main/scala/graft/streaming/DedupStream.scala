@@ -76,16 +76,20 @@ object DedupStream {
     // state-delta round trips are per-micro-batch latency; see
     // SparkLocal.freshStreamCheckpoint)
     val ckpt = graft.SparkLocal.freshStreamCheckpoint(queryName)
-    val query = df.writeStream
-      .queryName(queryName)
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .format("memory")
-      .start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      graft.SparkLocal.removeScratch(ckpt)
+    // state partitions sized to the replay fixture, not the session core
+    // count (r15 — see Sources.withDrainPartitions)
+    graft.sources.Sources.withDrainPartitions(df) {
+      val query = df.writeStream
+        .queryName(queryName)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .start()
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        graft.SparkLocal.removeScratch(ckpt)
+      }
     }
     try read(spark.table(queryName)).localCheckpoint()
     finally spark.catalog.dropTempView(queryName)
@@ -151,7 +155,12 @@ object DedupStream {
     * on. A non-file source returns None (the audit then drains fresh —
     * correct, never aliased). */
   private def replaySourcePath(df: DataFrame): Option[String] =
-    df.queryExecution.logical.collectFirst {
+    // ANALYZED plan (r15): a raw `readStream...parquet(path)` frame's
+    // un-analyzed plan is still an UnresolvedDataSource leaf, so probing
+    // `.logical` missed the memo key for gate-shaped (source-rooted)
+    // frames; analysis is safe on a streaming frame — only EXECUTION
+    // throws
+    df.queryExecution.analyzed.collectFirst {
       case org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
           ds, _, _) => ds.options.get("path")
       // Spark 4 defers file-source resolution: readStream.parquet(path)
@@ -227,17 +236,21 @@ object DedupStream {
         java.nio.file.Paths.get(graft.SparkLocal.localDir),
         "graft_dedup_state_audit").toString
       auditCkptDirs.add(ckpt): Unit
-      val query = groupStream(stream).writeStream
-        .outputMode("update")
-        // every partition must be consumed or the state commit is rejected
-        // (STATE_STORE_COMMIT_VALIDATION_FAILED) — count() is the full drain
-        .foreachBatch { (ds: Dataset[HashGroup], _: Long) => ds.count(): Unit }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val stopped = query.awaitTermination(120000)
-      try require(stopped, "state-audit drain did not finish")
-      finally if (query.isActive) query.stop()
+      // state partitions sized to the replay fixture (r15 — see
+      // Sources.withDrainPartitions)
+      graft.sources.Sources.withDrainPartitions(stream) {
+        val query = groupStream(stream).writeStream
+          .outputMode("update")
+          // every partition must be consumed or the state commit is rejected
+          // (STATE_STORE_COMMIT_VALIDATION_FAILED) — count() is the full drain
+          .foreachBatch { (ds: Dataset[HashGroup], _: Long) => ds.count(): Unit }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val stopped = query.awaitTermination(120000)
+        try require(stopped, "state-audit drain did not finish")
+        finally if (query.isActive) query.stop()
+      }
       ckpt
     }
     val ckpt = replaySourcePath(stream) match {

@@ -65,16 +65,20 @@ object DriftStream {
     val spark = stream.sparkSession
     // ephemeral checkpoint on tmpfs (see SparkLocal.freshStreamCheckpoint)
     val ckpt = graft.SparkLocal.freshStreamCheckpoint(queryName)
-    val query = tokenCountStream(stream).toDF().writeStream
-      .queryName(queryName)
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .format("memory")
-      .start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      graft.SparkLocal.removeScratch(ckpt)
+    // state partitions sized to the replay fixture (r15 — see
+    // Sources.withDrainPartitions)
+    graft.sources.Sources.withDrainPartitions(stream) {
+      val query = tokenCountStream(stream).toDF().writeStream
+        .queryName(queryName)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .start()
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        graft.SparkLocal.removeScratch(ckpt)
+      }
     }
     val counts =
       try {

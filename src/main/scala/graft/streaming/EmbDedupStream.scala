@@ -150,16 +150,20 @@ object EmbDedupStream {
     val spark = stream.sparkSession
     // ephemeral checkpoint on tmpfs (see SparkLocal.freshStreamCheckpoint)
     val ckpt = graft.SparkLocal.freshStreamCheckpoint(queryName)
-    val query = verifiedStream(stream, vecs, bander, threshold).writeStream
-      .queryName(queryName)
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .format("memory")
-      .start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      graft.SparkLocal.removeScratch(ckpt)
+    // state partitions sized to the replay fixture (r15 — see
+    // Sources.withDrainPartitions)
+    graft.sources.Sources.withDrainPartitions(stream) {
+      val query = verifiedStream(stream, vecs, bander, threshold).writeStream
+        .queryName(queryName)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .start()
+      try query.processAllAvailable()
+      finally {
+        query.stop()
+        graft.SparkLocal.removeScratch(ckpt)
+      }
     }
     // a pair colliding in several bands/cells is emitted (and verified to
     // the identical cosine) once per collision — distinct, as the batch
